@@ -1,0 +1,123 @@
+"""Catalog-described tables over Parquet — the engine's batch source/sink.
+
+The reference exposes an HBase table as a Spark DataFrame via a DSv2
+connector (``DefaultSource.scala``, ``HbaseTable.scala``); every pushdown it
+hand-implements (filters ``HbaseScanBuilder.scala:29-52``, column pruning
+``:54-59``, region-range scans ``HbaseScan.scala:27-45``) is something
+Catalyst + Parquet already do natively. So the PySpark-native equivalent is
+*layout discipline + a thin mapping layer*:
+
+- ``load_table``: read a Parquet dataset, project/cast/rename physical
+  columns to the catalog's logical schema, attach the ``(cf, col)`` physical
+  address as column metadata (the reference's compositional-pruning trick,
+  ``DefaultSource.scala:25-28``). Predicate pushdown, column pruning, and
+  row-group min/max pruning then happen inside Spark — verified by
+  ``plans.audit``.
+- ``write_table``: the write path the reference *lacks* (capabilities are
+  BATCH_READ only, ``HbaseTable.scala:21-22``). Writes Parquet
+  range-partitioned and sorted by the rowkey, so rowkey range predicates
+  prune at file/row-group granularity — the proper fix for the reference's
+  own TODO (rowkey ranges were evaluated row-by-row server-side instead of
+  narrowing scan bounds, ``HbasePartitionReader.scala:147``).
+
+Physical naming: ``write_table`` stores columns under ``cf:qualifier`` (and
+the rowkey under its logical name); ``load_table`` also accepts plain
+qualifier-named Parquet (``physical_naming="column"``) so external datasets
+(e.g. the driver's testdata) can be described by a catalog without rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.sources.catalog import (
+    TableCatalog,
+    parse_catalog,
+)
+
+
+def _physical_name(cat: TableCatalog, logical: str, naming: str) -> str:
+    col = cat.columns[logical]
+    if col.is_rowkey:
+        return logical if naming == "column" else col.column
+    if naming == "column":
+        return col.column
+    if naming == "cf:col":
+        return f"{col.column_family}:{col.column}"
+    raise ValueError(f"unknown physical_naming {naming!r}")
+
+
+def load_table(
+    spark: SparkSession,
+    catalog: str | dict | TableCatalog,
+    path: str,
+    physical_naming: str = "column",
+) -> DataFrame:
+    """Load a catalog-described Parquet dataset as a logical DataFrame.
+
+    Missing physical columns surface as NULL columns of the declared type —
+    the sparse-cell semantics of the reference (a row without the cell
+    decodes to NULL, ``HbasePartitionReader.scala:58``); a catalog may
+    declare columns never written (FIXTURES.md fixture 1, column ``c``).
+    """
+    cat = catalog if isinstance(catalog, TableCatalog) else parse_catalog(catalog)
+    raw = spark.read.parquet(path)
+    available = set(raw.columns)
+    projections = []
+    for name, col in cat.columns.items():
+        phys = _physical_name(cat, name, physical_naming)
+        typ = col.spark_type(name)
+        if phys in available:
+            expr = F.col(f"`{phys}`").cast(typ)
+        else:
+            expr = F.lit(None).cast(typ)
+        projections.append(
+            expr.alias(name, metadata={"columnFamily": col.column_family, "column": col.column})
+        )
+    return raw.select(*projections)
+
+
+def register(
+    spark: SparkSession,
+    catalog: str | dict | TableCatalog,
+    path: str,
+    view_name: str | None = None,
+    physical_naming: str = "column",
+) -> DataFrame:
+    """load_table + createOrReplaceTempView (the reference's SQL entry point,
+    ``ScalaDatasourceTest.scala:84-91``)."""
+    cat = catalog if isinstance(catalog, TableCatalog) else parse_catalog(catalog)
+    df = load_table(spark, cat, path, physical_naming)
+    df.createOrReplaceTempView(view_name or cat.table.name)
+    return df
+
+
+def write_table(
+    df: DataFrame,
+    catalog: str | dict | TableCatalog,
+    path: str,
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a logical DataFrame as a rowkey-sorted Parquet dataset.
+
+    Layout discipline for scale: ``repartitionByRange(rowkey)`` gives
+    non-overlapping rowkey ranges per file (the analogue of one HBase region
+    per partition, ``HbaseScan.scala:27-45``) and ``sortWithinPartitions``
+    makes Parquet row-group min/max statistics tight, so rowkey range
+    predicates skip whole files/row-groups at scan time.
+    """
+    cat = catalog if isinstance(catalog, TableCatalog) else parse_catalog(catalog)
+    out = df
+    renames = []
+    for name, col in cat.columns.items():
+        phys = name if col.is_rowkey else f"{col.column_family}:{col.column}"
+        renames.append(F.col(name).alias(phys))
+    out = out.select(*renames)
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, F.col(cat.rowkey))
+    else:
+        out = out.repartitionByRange(F.col(cat.rowkey))
+    out = out.sortWithinPartitions(cat.rowkey)
+    out.write.mode(mode).parquet(path)

@@ -1,0 +1,144 @@
+"""load_table / write_table / KV-fidelity layout over real Parquet."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_hbase_connector_spark.sources.catalog import parse_catalog
+from spark_hbase_connector_spark.sources.kv import from_kv, to_kv
+from spark_hbase_connector_spark.sources.table import load_table, register, write_table
+
+CUSTOMER_CATALOG = {
+    "table": "tpch:customer",
+    "rowkey": "c_custkey",
+    "columns": {
+        "c_custkey": {"cf": "rowkey", "col": "c_custkey", "type": "long"},
+        "c_name": {"cf": "info", "col": "c_name", "type": "string"},
+        "c_nationkey": {"cf": "info", "col": "c_nationkey", "type": "int"},
+        "c_acctbal": {"cf": "info", "col": "c_acctbal", "type": "double"},
+        "c_mktsegment": {"cf": "info", "col": "c_mktsegment", "type": "string"},
+        # declared-but-never-written column: sparse missing-cell -> NULL
+        "c_phantom": {"cf": "info", "col": "c_phantom", "type": "string"},
+    },
+}
+
+
+def test_load_table_schema_and_sparse_null(spark, sf_dir):
+    df = load_table(spark, CUSTOMER_CATALOG, f"{sf_dir}/customer.parquet")
+    fields = {f.name: f for f in df.schema.fields}
+    assert fields["c_custkey"].dataType == T.LongType()
+    assert fields["c_nationkey"].dataType == T.IntegerType()
+    assert fields["c_name"].metadata == {"columnFamily": "info", "column": "c_name"}
+    # phantom column exists, typed, all NULL (HbasePartitionReader.scala:58 parity)
+    assert fields["c_phantom"].dataType == T.StringType()
+    assert df.where(F.col("c_phantom").isNotNull()).count() == 0
+    assert df.count() > 0
+
+
+def test_flagship_query_shape(spark, sf_dir):
+    """The reference's own flagship query (ScalaDatasourceTest.scala:88-91):
+    SELECT ... WHERE id IN (...) OR name = '...'."""
+    register(spark, CUSTOMER_CATALOG, f"{sf_dir}/customer.parquet", "customer_v")
+    rows = spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal FROM customer_v
+        WHERE c_custkey IN (1,2,3,4,5) OR c_name = 'Customer#000000010'
+        ORDER BY c_custkey
+        """
+    ).collect()
+    keys = [r.c_custkey for r in rows]
+    assert set(keys) >= {1, 2, 3, 4, 5}
+
+
+def test_write_table_rowkey_sorted_roundtrip(spark, tmp_path):
+    cat = parse_catalog(
+        {
+            "table": "t:edge",
+            "rowkey": "k",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "k", "type": "long"},
+                "s": {"cf": "d", "col": "s", "type": "string"},
+                "v": {"cf": "d", "col": "v", "type": "double"},
+            },
+        }
+    )
+    src = spark.createDataFrame(
+        [Row(k=i, s=f"s{i}", v=float(i) / 3) for i in range(-50, 50)]
+    )
+    out = str(tmp_path / "edge")
+    write_table(src, cat, out, num_partitions=4)
+    back = load_table(spark, cat, out, physical_naming="cf:col")
+    assert back.count() == 100
+    # negative-rowkey range works with typed comparison (reference defect fixed)
+    assert back.where(F.col("k") < -40).count() == 10
+    got = {(r.k, r.s) for r in back.where(F.col("k").isin(-1, 0, 1)).collect()}
+    assert got == {(-1, "s-1"), (0, "s0"), (1, "s1")}
+
+
+def test_kv_fidelity_roundtrip(spark):
+    cat = parse_catalog(
+        {
+            "table": "t:people",
+            "rowkey": "id",
+            "columns": {
+                "id": {"cf": "rowkey", "col": "id", "type": "long"},
+                "name": {"cf": "i", "col": "name", "type": "string"},
+                "age": {"cf": "i", "col": "age", "type": "int"},
+                "height": {"cf": "i", "col": "height", "type": "double"},
+                "alive": {"cf": "i", "col": "alive", "type": "boolean"},
+                "born": {"cf": "i", "col": "born", "type": "date"},
+            },
+        }
+    )
+    rows = [
+        Row(id=1, name="a", age=10, height=1.5, alive=True, born=dt.date(2000, 1, 1)),
+        Row(id=2, name=None, age=20, height=2.5, alive=False, born=dt.date(1990, 5, 4)),
+        Row(id=3, name="c", age=None, height=None, alive=None, born=None),
+    ]
+    schema = cat.to_struct_type()
+    df = spark.createDataFrame(rows, schema=schema)
+    kv = to_kv(df, cat)
+    # NULLs produce no cell (sparse); row 3 has only name+rowkey
+    assert kv.where(F.col("rowkey") == bytes.fromhex("0000000000000003")).count() == 1
+    back = from_kv(kv, cat)
+    got = {tuple(r) for r in back.collect()}
+    want = {tuple(r) for r in df.collect()}
+    assert got == want
+
+
+def test_kv_cell_bytes_are_hbase_wire_format(spark):
+    cat = parse_catalog(
+        {
+            "table": "t:w",
+            "rowkey": "id",
+            "columns": {
+                "id": {"cf": "rowkey", "col": "id", "type": "long"},
+                "age": {"cf": "i", "col": "age", "type": "int"},
+            },
+        }
+    )
+    df = spark.createDataFrame([Row(id=5, age=-1)], schema=cat.to_struct_type())
+    cells = to_kv(df, cat).collect()
+    assert len(cells) == 1
+    cell = cells[0]
+    assert bytes(cell.rowkey) == b"\x00\x00\x00\x00\x00\x00\x00\x05"
+    assert bytes(cell.value) == b"\xff\xff\xff\xff"
+
+
+@pytest.mark.parametrize(
+    "col,fragment",
+    [("c_custkey", "c_custkey"), ("c_acctbal", "c_acctbal")],
+)
+def test_pushdown_reaches_scan(spark, sf_dir, col, fragment):
+    from spark_hbase_connector_spark.plans.audit import (
+        assert_columns_pruned,
+        assert_filter_pushed,
+    )
+
+    df = load_table(spark, CUSTOMER_CATALOG, f"{sf_dir}/customer.parquet")
+    q = df.where(F.col(col) > 10).select("c_custkey", "c_name")
+    assert_filter_pushed(q, fragment)
+    assert_columns_pruned(q, {"c_custkey", "c_name", col})
