@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Protocol (BASELINE.md): warm SparkSession, AQE on, median of 3 runs per
+query; each run fully materializes the result through the noop sink (count()
+would let Spark prune the plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_hbase_connector_spark import get_spark
+from spark_hbase_connector_spark.queries import REGISTRY
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    bench_specs = {n: s for n, s in REGISTRY.items() if s.bench}
+    # warm-up: JVM/codegen/files (flagship touches the catalog path)
+    materialize(bench_specs["scan_flagship"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_specs.items():
+        runs = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            materialize(spec.fn(spark, sf_dir))
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_median_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "spark_version": spark.version,
+                "runs_per_query": RUNS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

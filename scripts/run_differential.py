@@ -1,0 +1,49 @@
+"""Run the DuckDB differential per-query with timings. Usage:
+python scripts/run_differential.py [sf_dir] [name ...]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from spark_hbase_connector_spark import get_spark
+from spark_hbase_connector_spark.oracle import compare_frames, duckdb_connection
+from spark_hbase_connector_spark.queries import REGISTRY
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(REGISTRY)
+    spark = get_spark("diff", cpus=16)
+    con = duckdb_connection(sf_dir)
+    n_ok = 0
+    n_run = 0
+    for name in names:
+        spec = REGISTRY[name]
+        if spec.oracle is None:
+            print(f"SKIP  {name} (no oracle)", flush=True)
+            continue
+        n_run += 1
+        t0 = time.time()
+        try:
+            spark_pdf = spec.fn(spark, sf_dir).toPandas()
+            t1 = time.time()
+            oracle_pdf = con.execute(spec.oracle).df()
+            t2 = time.time()
+            r = compare_frames(name, spark_pdf, oracle_pdf)
+            status = "PASS " if r.ok else "FAIL "
+            n_ok += r.ok
+            print(
+                f"{status} {name}  spark={t1-t0:.1f}s oracle={t2-t1:.1f}s rows={len(spark_pdf)}"
+                + ("" if r.ok else f"\n      {r.detail[:400]}"),
+                flush=True,
+            )
+        except Exception as exc:
+            print(f"ERROR {name}  {time.time()-t0:.1f}s: {str(exc)[:400]}", flush=True)
+    print(f"== {n_ok}/{n_run} passed ==", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Catalog definitions for the driver's testdata tables + typed loaders.
+
+Every testdata table gets a catalog document (the engine's native table
+description, SURVEY.md §1.1) so the whole query surface exercises the
+catalog -> schema -> scan path, exactly like the reference's own tests did
+via the `catalog` option (``ScalaDatasourceTest.scala:78-82``).
+
+``load`` returns the logical DataFrame; ``register_all`` exposes each table
+as a temp view named like the file (the SQL entry point,
+``ScalaDatasourceTest.scala:84``).
+
+Quirk handled here once: ``events.ts`` is nanosecond-precision Parquet,
+which Spark cannot read natively; the session reads it as a raw int64
+(``spark.sql.legacy.parquet.nanosAsLong``) and this loader converts with
+``timestamp_micros(ts div 1000)`` — floor division, byte-identical to
+DuckDB's own ns->us conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.sources.table import load_table
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _cat(name: str, rowkey: str, cols: dict[str, str], cf: str = "d") -> dict:
+    columns = {}
+    for col, typ in cols.items():
+        columns[col] = {"cf": "rowkey" if col == rowkey else cf, "col": col, "type": typ}
+    return {"table": f"testdata:{name}", "rowkey": rowkey, "columns": columns}
+
+
+TESTDATA_CATALOGS: dict[str, dict] = {
+    "region": _cat("region", "r_regionkey", {"r_regionkey": "int", "r_name": "string"}),
+    "nation": _cat(
+        "nation",
+        "n_nationkey",
+        {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    ),
+    "customer": _cat(
+        "customer",
+        "c_custkey",
+        {
+            "c_custkey": "long",
+            "c_name": "string",
+            "c_nationkey": "int",
+            "c_acctbal": "double",
+            "c_mktsegment": "string",
+        },
+    ),
+    "supplier": _cat(
+        "supplier",
+        "s_suppkey",
+        {"s_suppkey": "long", "s_name": "string", "s_nationkey": "int", "s_acctbal": "double"},
+    ),
+    "part": _cat(
+        "part",
+        "p_partkey",
+        {
+            "p_partkey": "long",
+            "p_name": "string",
+            "p_brand": "string",
+            "p_type": "string",
+            "p_size": "int",
+            "p_retailprice": "double",
+        },
+    ),
+    "orders": _cat(
+        "orders",
+        "o_orderkey",
+        {
+            "o_orderkey": "long",
+            "o_custkey": "long",
+            "o_orderstatus": "string",
+            "o_totalprice": "double",
+            "o_orderdate": "timestamp",
+            "o_orderpriority": "string",
+        },
+    ),
+    "lineitem": _cat(
+        "lineitem",
+        "l_orderkey",
+        {
+            "l_orderkey": "long",
+            "l_partkey": "long",
+            "l_suppkey": "long",
+            "l_linenumber": "int",
+            "l_quantity": "double",
+            "l_extendedprice": "double",
+            "l_discount": "double",
+            "l_tax": "double",
+            "l_returnflag": "string",
+            "l_linestatus": "string",
+            "l_shipdate": "timestamp",
+        },
+    ),
+    "events": _cat(
+        "events",
+        "event_id",
+        {
+            "event_id": "long",
+            "ts": "bigint",  # raw nanos; converted to timestamp in load()
+            "user_id": "long",
+            "event_type": "string",
+            "value": "double",
+            "props": "string",
+        },
+    ),
+    "documents": _cat(
+        "documents",
+        "doc_id",
+        {
+            "doc_id": "long",
+            "text": "string",
+            "lang": "string",
+            "source": "string",
+            "n_chars": "long",
+        },
+    ),
+    "embeddings": _cat(
+        "embeddings",
+        "vec_id",
+        {"vec_id": "long", "embedding": "array<float>", "label": "int"},
+    ),
+}
+
+
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Make queries self-sufficient on ANY session (e.g. the driver's):
+    UTC timestamps (oracle comparability) and ns-parquet-as-long reads."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table through the catalog layer."""
+    _pin_session_confs(spark)
+    df = load_table(spark, TESTDATA_CATALOGS[name], f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; returns the DataFrames."""
+    out = {}
+    for name in TABLE_NAMES:
+        df = load(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,10 @@
+from spark_hbase_connector_spark.functions.text import (  # noqa: F401
+    tokens,
+    shingles,
+    canonical_fingerprint,
+)
+from spark_hbase_connector_spark.functions.vectors import (  # noqa: F401
+    dot,
+    norm,
+    cosine,
+)

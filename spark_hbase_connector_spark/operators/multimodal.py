@@ -1,0 +1,74 @@
+"""Multimodal (binary) columns: decode/feature plumbing (north-star §2.3).
+
+Model: media are opaque ``binary`` payload columns + a typed metadata
+struct. The Spark-side plumbing — schema, Arrow batch shape, partitioning —
+is real and tested; the actual image/audio decode is STUBBED behind an
+import-try (decode libraries are not in this container): when PIL/librosa
+are absent, ``extract_media_meta`` computes deterministic pseudo-metadata
+from the raw bytes, so the pipeline is end-to-end testable and replayable
+by a SQL oracle.
+
+Batch shape: ``mapInPandas`` with Arrow batches — payload bytes never pass
+through row-at-a-time Python. At 100 TB the payload column stays columnar
+(Parquet binary) and decode parallelism == partition count; set
+``spark.sql.files.maxPartitionBytes`` to bound per-task memory (payloads
+are large cells).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # decode libs absent in this container; keep the gate explicit
+    import PIL.Image  # type: ignore  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    _HAS_PIL = False
+
+META_SCHEMA = (
+    "id long, n_bytes int, width int, height int, content_hash string"
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Materialize a binary payload column (here: UTF-8 bytes of the text —
+    the testdata has no real media; real deployments read binary Parquet)."""
+    return df.select(
+        F.col(id_col).alias("id"), F.encode(F.col(text_col), "UTF-8").alias("payload")
+    )
+
+
+def extract_media_meta(assets: DataFrame) -> DataFrame:
+    """Decode payloads to typed metadata via Arrow-batched mapInPandas.
+
+    With a real decoder installed this would parse actual media headers;
+    without one it derives deterministic pseudo-dimensions from the byte
+    length (documented fake — NOT a real decode), keeping schema/batching/
+    partitioning real.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if _HAS_PIL:  # pragma: no cover - not available in this container
+                raise NotImplementedError("real media decode not wired yet")
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": n.astype("int32"),
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": ((n * 7) % 480 + 1).astype("int32"),
+                    "content_hash": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(decode_batches, schema=META_SCHEMA)

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (north-star, SURVEY.md §2.3).
+
+- ``brute_force_topk``: exact top-k cosine neighbors. The *query* side is
+  broadcast (queries are few); the corpus streams through one scan — no
+  shuffle of the corpus at all. The baseline every ANN variant is graded
+  against.
+- ``ivf_topk``: IVF-style approximate top-k: corpus vectors are assigned to
+  their nearest coarse centroid (one broadcast join), queries probe only
+  their own cell (``nprobe=1``) or the ``nprobe`` nearest cells. Cuts the
+  scanned fraction to ~nprobe/n_cells of the corpus at 100 TB while staying
+  fully deterministic (centroids are an explicit DataFrame, not trained
+  state).
+- ``cosine_pairs``: all pairs above a similarity threshold (exact,
+  block-nested via broadcast when one side is small).
+
+All scoring runs through ``functions.vectors.cosine_arrow`` — Arrow-batched
+numpy einsum in double precision (Spark's interpreted array lambdas are
+~100x slower across millions of pairs). A SQL oracle reproduces values to
+within float noise; outputs are rounded to 4dp before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.functions.vectors import cosine_arrow
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Output: (query_id, neighbor_id, score, rank), rank 1..k, deterministic
+    tiebreak on neighbor_id.
+    """
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"))
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("__cv"))
+    joined = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine_arrow("__qv", "__cv").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    v_id: str = "vec_id",
+    v_vec: str = "embedding",
+    cent_id: str = "cell_id",
+    cent_vec: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine.
+
+    Centroids are broadcast; one pass over the vectors, no shuffle of the
+    corpus (the window is per-vector, computed after an explode of at most
+    n_centroids candidates — partitioned by the vector id).
+    """
+    v = vectors.select(F.col(v_id).alias("__vid"), F.col(v_vec).alias("__vv"))
+    c = centroids.select(F.col(cent_id).alias("cell_id"), F.col(cent_vec).alias("__cv"))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "__vid", "cell_id", cosine_arrow("__vv", "__cv").alias("__sim")
+    )
+    w = Window.partitionBy("__vid").orderBy(F.col("__sim").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= nprobe)
+        .select(F.col("__vid").alias(v_id), "cell_id")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF approximate top-k: compare queries only against corpus vectors in
+    the query's ``nprobe`` nearest cells. Deterministic given a centroid set
+    (e.g. a fixed sample or k-means output stored as a table)."""
+    corpus_cells = assign_cells(corpus, centroids, c_id, c_vec, nprobe=1).withColumnRenamed(
+        c_id, "neighbor_id"
+    )
+    query_cells = assign_cells(queries, centroids, q_id, q_vec, nprobe=nprobe).withColumnRenamed(
+        q_id, "query_id"
+    )
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("__cv")).join(
+        corpus_cells, "neighbor_id"
+    )
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv")).join(
+        F.broadcast(query_cells), "query_id"
+    )
+    joined = c.join(F.broadcast(q), "cell_id")
+    if not include_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine_arrow("__qv", "__cv").alias("score")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (id1 < id2) pairs with cosine >= threshold. Exact. The pair join
+    broadcasts one side when small; at scale, pre-bucket by an LSH sketch
+    or IVF cell and run per-bucket (see ivf_topk) before exact verify."""
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))
+    return (
+        a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine_arrow("__v1", "__v2").alias("score"))
+        .where(F.col("score") >= threshold)
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate pair search: only pairs sharing an IVF cell (nprobe cells
+    per vector) are exact-verified. Recall < 1 by construction; use for the
+    100 TB path where exact all-pairs is infeasible."""
+    if centroids is None:
+        raise ValueError("centroids DataFrame required")
+    cells = assign_cells(df, centroids, id_col, vec_col, nprobe=nprobe)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")).join(
+        cells.withColumnRenamed(id_col, "id"), "id"
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.__v").alias("__v1"),
+            F.col("b.__v").alias("__v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return cand.select("id1", "id2", cosine_arrow("__v1", "__v2").alias("score")).where(
+        F.col("score") >= threshold
+    )

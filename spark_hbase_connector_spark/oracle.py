@@ -1,0 +1,125 @@
+"""Local DuckDB differential harness — mirrors the driver's correctness gate.
+
+For every registered query with an oracle: run the Spark implementation and
+the ANSI-SQL oracle on the same parquet tables, then compare row count,
+column-name set, and an order-insensitive canonical form of all values.
+Used by tests/test_oracle_differential.py; running it locally before the
+driver does is the whole point.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+
+from spark_hbase_connector_spark.catalogs import TABLE_NAMES
+
+FLOAT_REL_TOL = 1e-9
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canonicalize(pdf: pd.DataFrame) -> list[tuple]:
+    """Columns sorted by name; rows as sorted tuples of canonical scalars."""
+    cols = sorted(pdf.columns)
+    out = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        out.append(tuple(_canon_value(v) for v in row))
+    return sorted(out, key=repr)
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if isinstance(v, (pd.Timestamp,)):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_value(x) for x in v)
+    if pd.isna(v):
+        return None
+    return v
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+    if set(spark_pdf.columns) != set(oracle_pdf.columns):
+        return CompareResult(
+            name,
+            False,
+            f"column mismatch: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}",
+        )
+    if len(spark_pdf) != len(oracle_pdf):
+        return CompareResult(
+            name, False, f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+        )
+    a = canonicalize(spark_pdf)
+    b = canonicalize(oracle_pdf)
+    mismatches = []
+    for ra, rb in zip(a, b):
+        if not _rows_equal(ra, rb):
+            mismatches.append((ra, rb))
+            if len(mismatches) >= 3:
+                break
+    if mismatches:
+        return CompareResult(
+            name,
+            False,
+            "value mismatch (spark vs oracle), first diffs: "
+            + "; ".join(f"{x} != {y}" for x, y in mismatches),
+        )
+    return CompareResult(name, True)
+
+
+def _rows_equal(ra: tuple, rb: tuple) -> bool:
+    for va, vb in zip(ra, rb):
+        if isinstance(va, float) and isinstance(vb, float):
+            if not math.isclose(va, vb, rel_tol=FLOAT_REL_TOL, abs_tol=1e-9):
+                return False
+        elif va != vb:
+            return False
+    return True
+
+
+def run_differential(spark, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:
+    """Run every registered query with an oracle and compare."""
+    from spark_hbase_connector_spark.queries import REGISTRY
+
+    con = duckdb_connection(sf_dir)
+    results = []
+    for name, spec in REGISTRY.items():
+        if names and name not in names:
+            continue
+        if spec.oracle is None:
+            continue
+        try:
+            spark_pdf = spec.fn(spark, sf_dir).toPandas()
+            oracle_pdf = con.execute(spec.oracle).df()
+            results.append(compare_frames(name, spark_pdf, oracle_pdf))
+        except Exception as exc:  # noqa: BLE001
+            results.append(CompareResult(name, False, f"exception: {exc}"))
+    con.close()
+    return results

@@ -1,0 +1,402 @@
+"""North-star queries: dedup, similarity search, text analysis, multimodal
+(SURVEY.md §2.3 / BASELINE.json). Each oracle replays the exact contract:
+tokens = split on single space; shingles = word 3-grams; vector math =
+double-precision sequential folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.catalogs import load
+from spark_hbase_connector_spark.functions.text import canonical_fingerprint, tokens
+from spark_hbase_connector_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    shingle_jaccard_pairs,
+    simhash_pairs,
+)
+from spark_hbase_connector_spark.operators.multimodal import (
+    attach_payload,
+    extract_media_meta,
+)
+from spark_hbase_connector_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    ivf_topk,
+)
+from spark_hbase_connector_spark.queries.registry import query
+
+# ---------------------------------------------------------------- dedup ----
+
+# DuckDB fragment: distinct word-3-gram shingles per doc (1-based lists).
+_DUCK_SHINGLES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(l) - 1),
+                           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shs
+      FROM toks WHERE len(l) >= 3
+    )
+"""
+
+_DUCK_JACCARD_PAIRS = f"""
+    WITH {_DUCK_SHINGLES},
+    post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id1 = sa.doc_id
+    JOIN sizes sb ON id2 = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.85
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS copies
+    FROM documents GROUP BY text
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per identical text."""
+    d = load(spark, sf_dir, "documents")
+    return dedup_exact(d, F.col("text"), "doc_id")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint,
+           min(doc_id) AS doc_id, count(*) AS copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-fingerprint dedup: md5 over the sorted distinct token set
+    (order/duplication-insensitive document identity)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(canonical_fingerprint("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_DUCK_JACCARD_PAIRS,
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word-3-gram Jaccard >= 0.85 via inverted-index
+    self-join (never a cross join)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(d, "text", "doc_id", threshold=0.85)
+    return pairs.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_DUCK_JACCARD_PAIRS,
+    tags=("dedup", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified. With 64 hashes / 16 bands
+    the candidate recall at jaccard>=0.85 is ~1-1e-7, so the verified output
+    equals the exact oracle (same pairs, same jaccard values)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.85)
+    return pairs.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # bit-level simhash is not SQL-expressible; rows-only check
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming<=6 on 64-bit signatures). Verified in
+    tests against the exact Jaccard pair set instead of a SQL oracle."""
+    d = load(spark, sf_dir, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=6)
+
+
+# ----------------------------------------------------------- similarity ----
+
+# DuckDB fragment: embeddings in double precision + L2 norms.
+_DUCK_VECS = """
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+          FROM v)
+"""
+
+
+@query(
+    "embedding_cosine_pairs",
+    oracle=f"""
+    WITH {_DUCK_VECS}
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_sum(list_transform(range(1, len(a.e) + 1),
+                          i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS score
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+                   i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.4
+    """,
+    tags=("similarity", "dedup"),
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine >= 0.4 (exact)."""
+    e = load(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(e, threshold=0.4)
+    return pairs.select("id1", "id2", F.round("score", 4).alias("score"))
+
+
+@query(
+    "ann_topk_cosine",
+    oracle=f"""
+    WITH {_DUCK_VECS},
+    q AS (SELECT * FROM n WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.e) + 1),
+                      i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS score
+      FROM q JOIN n c ON c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(score, 4) AS score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "ann"),
+    bench=True,
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for the first 10 vectors.
+    Corpus is scanned once; queries are broadcast."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = brute_force_topk(q, e, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+@query(
+    "ann_topk_ivf",
+    oracle=f"""
+    WITH {_DUCK_VECS},
+    cent AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 16),
+    sims AS (
+      SELECT x.vec_id, cent.cell_id,
+             list_sum(list_transform(range(1, len(x.e) + 1),
+                      i -> x.e[i] * cent.ce[i])) / (x.nrm * cent.cnrm) AS sim
+      FROM n x CROSS JOIN cent
+    ),
+    asgn AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+        FROM sims) WHERE r = 1
+    ),
+    qasgn AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+        FROM sims WHERE vec_id < 10) WHERE r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+      FROM qasgn qa JOIN asgn ca ON qa.cell_id = ca.cell_id
+      WHERE qa.vec_id != ca.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list_transform(range(1, len(q.e) + 1),
+                      i -> q.e[i] * x.e[i])) / (q.nrm * x.nrm) AS score
+      FROM cand c JOIN n q ON q.vec_id = c.query_id
+                  JOIN n x ON x.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(score, 4) AS score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: coarse cells = vectors 0..15 as centroids,
+    corpus probes 1 cell, queries probe 2. The 100 TB scale path — scans
+    ~nprobe/n_cells of the corpus instead of all of it."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    centroids = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    out = ivf_topk(q, e, centroids, k=5, nprobe=2, include_self=False)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+# ------------------------------------------------------------------ text ----
+
+_EN_STOP = "'the','a','of','and','to','in','is','it'"
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+           round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                 / len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text",),
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, mean token length."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+        F.round((F.length("text") - (n - 1)) / n, 4).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           round(len(list_filter(string_split(text, ' '),
+                 t -> t IN ({_EN_STOP}))) * 1.0
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           CAST(len(list_filter(string_split(text, ' '),
+                 t -> length(t) <= 2)) AS INTEGER) AS n_short_tokens,
+           round(CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                 THEN 1.0 ELSE 0.0 END
+                 * (1.0 - len(list_filter(string_split(text, ' '),
+                      t -> length(t) <= 2)) * 1.0 / len(string_split(text, ' ')))
+                 , 4) AS quality_score
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, short-token ratio, and a
+    composite score gated on document length."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    stops = F.expr(f"size(filter(split(text, ' '), t -> t IN ({_EN_STOP})))")
+    shorts = F.expr("size(filter(split(text, ' '), t -> length(t) <= 2))")
+    len_ok = F.when((n >= 20) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.round(stops / n, 4).alias("stopword_ratio"),
+        shorts.cast("int").alias("n_short_tokens"),
+        F.round(len_ok * (1.0 - shorts / n), 4).alias("quality_score"),
+    )
+
+
+_LANG_STOPS = {
+    "en": "'the','a','of','and','to'",
+    "de": "'der','die','das','und','ist'",
+    "es": "'el','la','y','que','los'",
+    "fr": "'le','et','les','des','une'",
+}
+
+
+def _duck_langid() -> str:
+    scores = ",\n           ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({lits}))) AS INTEGER)"
+        f" AS score_{lang}"
+        for lang, lits in _LANG_STOPS.items()
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, lang, {scores} FROM documents)
+    SELECT doc_id, lang AS label, score_en, score_de, score_es, score_fr,
+           CASE
+             WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+             WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr'
+           END AS predicted
+    FROM s
+    """
+
+
+@query("text_langid", oracle=_duck_langid(), tags=("text", "langid"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic family): score each
+    language by stopword hits, argmax with a fixed tie order."""
+    d = load(spark, sf_dir, "documents")
+    score_cols = {
+        lang: F.expr(f"size(filter(split(text, ' '), t -> t IN ({lits})))").cast("int")
+        for lang, lits in _LANG_STOPS.items()
+    }
+    s = d.select("doc_id", F.col("lang").alias("label"), *[c.alias(f"score_{lang}") for lang, c in score_cols.items()])
+    en, de, es, fr = (F.col(f"score_{x}") for x in ("en", "de", "es", "fr"))
+    predicted = (
+        F.when((en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return s.select(
+        "doc_id", "label", "score_en", "score_de", "score_es", "score_fr",
+        predicted.alias("predicted"),
+    )
+
+
+# ------------------------------------------------------------ multimodal ----
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+           CAST((strlen(text) * 7) % 480 + 1 AS INTEGER) AS height,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction via Arrow-batched mapInPandas.
+    Decode is a documented deterministic stub (no media libs in container);
+    the payload/schema/batching plumbing is real."""
+    d = load(spark, sf_dir, "documents")
+    assets = attach_payload(d, "text", "doc_id")
+    return extract_media_meta(assets)

@@ -1,0 +1,220 @@
+"""Scan-side parity queries: the 11 pushdown filter shapes (SURVEY.md §2.1).
+
+The reference compiles these Spark filters into HBase server-side filters
+(``HbasePartitionReader.scala:145-175``, F1-F11); our engine expresses the
+same predicates declaratively and Catalyst pushes them into the Parquet scan
+(verified by ``tests/test_pushdown.py``). Unlike the reference, comparisons
+are *typed* — negative numbers order correctly (`scan_range_negative` below
+is exactly the case the reference silently gets wrong, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.catalogs import load
+from spark_hbase_connector_spark.queries.registry import query
+
+
+@query(
+    "scan_eq",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_linenumber = 3
+    """,
+    tags=("scan", "F1"),
+)
+def scan_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 EqualTo -> pushed as EqualTo (HbasePartitionReader.scala:148)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_linenumber") == 3)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "scan_prefix",
+    oracle="""
+    SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'red%'
+    """,
+    tags=("scan", "F2"),
+)
+def scan_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 StringStartsWith -> BinaryPrefixComparator (:150)."""
+    return (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("red"))
+        .select("p_partkey", "p_name")
+    )
+
+
+@query(
+    "scan_contains",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part WHERE p_name LIKE '%widget%'
+    """,
+    tags=("scan", "F3"),
+)
+def scan_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 StringContains -> SubstringComparator (:152)."""
+    return (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+@query(
+    "scan_in",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey IN (1, 2, 3, 4, 5, 999)
+    """,
+    tags=("scan", "F4"),
+)
+def scan_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 In -> FilterList(MUST_PASS_ONE) of equals (:154)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey").isin(1, 2, 3, 4, 5, 999))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "scan_isnull",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE nullif(c_mktsegment, 'BUILDING') IS NULL
+    """,
+    tags=("scan", "F5"),
+)
+def scan_isnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 IsNull — incl. the reference's missing-cell-passes semantics
+    (setFilterIfMissing(false), :156-160): NULL-producing expressions pass."""
+    return (
+        load(spark, sf_dir, "customer")
+        .where(F.expr("nullif(c_mktsegment, 'BUILDING')").isNull())
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@query(
+    "scan_isnotnull",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE nullif(c_acctbal, 0.0) IS NOT NULL AND c_acctbal < 100.0
+    """,
+    tags=("scan", "F6"),
+)
+def scan_isnotnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 IsNotNull (:162)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .where(F.expr("nullif(c_acctbal, 0.0)").isNotNull() & (F.col("c_acctbal") < 100.0))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@query(
+    "scan_range_negative",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0.0
+    """,
+    tags=("scan", "F7", "divergence"),
+)
+def scan_range_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 LessThan on NEGATIVE values — the case the reference's unsigned
+    byte-order comparison silently gets wrong (SURVEY.md §2.1 caveat); our
+    typed comparison matches SQL semantics."""
+    return (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < 0.0)
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@query(
+    "scan_range_bounds",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice >= 10000.0 AND o_totalprice <= 20000.0
+    """,
+    tags=("scan", "F8", "F9", "F10"),
+)
+def scan_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9/F10 LessThanOrEqual / GreaterThan / GreaterThanOrEqual (:166-170)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .where((F.col("o_totalprice") >= 10000.0) & (F.col("o_totalprice") <= 20000.0))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "scan_and_or",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    WHERE (c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0)
+       OR c_custkey IN (7, 8, 9)
+    """,
+    tags=("scan", "F11"),
+)
+def scan_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 And/Or -> FilterList recursion (:172-173)."""
+    df = load(spark, sf_dir, "customer")
+    cond = ((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000.0)) | (
+        F.col("c_custkey").isin(7, 8, 9)
+    )
+    return df.where(cond).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+@query(
+    "scan_flagship",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+    WHERE c_custkey IN (1, 2, 3, 4, 5) OR c_name = 'Customer#000000010'
+    """,
+    tags=("scan", "flagship"),
+    bench=True,
+)
+def scan_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own flagship query shape: rowkey IN (...) OR attr = v
+    (ScalaDatasourceTest.scala:88-91)."""
+    df = load(spark, sf_dir, "customer")
+    return df.where(
+        F.col("c_custkey").isin(1, 2, 3, 4, 5) | (F.col("c_name") == "Customer#000000010")
+    ).select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+@query(
+    "scan_rowkey_range_sort",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey <= 100 ORDER BY o_orderkey DESC
+    """,
+    tags=("scan", "rowkey-range"),
+)
+def scan_rowkey_range_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rowkey range + ORDER BY DESC (JavaDatasourceTest.java:40 shape).
+    The rowkey range prunes at Parquet row-group level when the dataset is
+    written via write_table (rowkey-sorted) — the reference's unfixed TODO."""
+    return (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_orderkey").desc())
+    )
+
+
+@query(
+    "scan_projection",
+    oracle="SELECT c_name FROM customer",
+    tags=("scan", "pruning"),
+)
+def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning parity (HbaseScanBuilder.scala:54-59): a 1-column
+    projection reads exactly one column from the file (audited in tests)."""
+    return load(spark, sf_dir, "customer").select("c_name")

@@ -1,0 +1,64 @@
+"""Streaming query entries — Structured Streaming driven to completion over
+the finite events table, hash-compared against batch SQL oracles (streaming
+results on a bounded input must equal the batch computation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_hbase_connector_spark.queries.registry import query
+from spark_hbase_connector_spark.streaming.events import (
+    events_stream,
+    run_stream_to_memory,
+    session_window_agg,
+    tumbling_window_agg,
+)
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling-window counts per event type, computed by a real
+    readStream -> groupBy(window) -> memory-sink pipeline. Epoch-aligned
+    windows == floor(epoch_us / 900e6) bucketing in the oracle."""
+    stream = events_stream(spark, sf_dir)
+    return run_stream_to_memory(tumbling_window_agg(stream, "15 minutes"), spark)
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    )
+    SELECT min(ts) AS session_start, user_id,
+           count(*) AS n_events, round(sum(value), 4) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "sessionize"),
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-minute gap) streaming aggregation; oracle is
+    the equivalent batch gap-chaining sessionization."""
+    stream = events_stream(spark, sf_dir)
+    return run_stream_to_memory(session_window_agg(stream, "30 minutes"), spark)

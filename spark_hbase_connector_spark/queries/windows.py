@@ -1,0 +1,194 @@
+"""Window-function suite + sessionization + as-of join (SURVEY.md §2.2/§2.3).
+
+All tiebreaks are explicit (ts, id) so results are deterministic and
+hash-comparable against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.catalogs import load
+from spark_hbase_connector_spark.operators.asof import asof_join
+from spark_hbase_connector_spark.queries.registry import query
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topn"),
+    bench=True,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the canonical top-k-per-group pattern."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per user over event time."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG: per-user change in value between consecutive events."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@query(
+    "window_rank_kinds",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(rank()       OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS drnk,
+           CAST(ntile(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS quartile
+    FROM supplier
+    """,
+    tags=("window",),
+)
+def window_rank_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile on one global window."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_id, value,
+             CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 4) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionize"),
+    bench=True,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap starts a new session
+    (lag + cumulative-sum pattern; single shuffle on user_id)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.sum(is_new).over(wsum).cast("bigint").alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           round((SELECT c.value FROM c
+                  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), 4) AS value_asof
+    FROM p
+    """,
+    tags=("join", "asof"),
+    bench=True,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the latest prior click value
+    for the same user. Single-shuffle union/carry-forward operator
+    (operators/asof.py) — no range-join explosion."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    clicks = e.where(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id", "user_id", F.round(F.col("value_asof"), 4).alias("value_asof")
+    )

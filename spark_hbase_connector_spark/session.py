@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata events.parquet stores ns-precision timestamps; read the raw
+        # int64 and convert with `timestamp_micros(ts div 1000)` (floor), which
+        # matches DuckDB's ns->us conversion exactly (verified empirically)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,103 @@
+"""Structured Streaming operators over the events table.
+
+The reference declares a spark-streaming dependency but contains zero
+streaming code (SURVEY.md §0); this module supplies the streaming surface a
+complete engine needs, Spark-first:
+
+- ``events_stream``: file-source stream with an explicit schema (the ns
+  timestamp is read as raw int64 and floor-converted to micros, identical
+  to the batch loader);
+- ``tumbling_window_agg``: epoch-aligned tumbling windows;
+- ``session_window_agg``: native session windows (gap-merged);
+- ``run_stream_to_memory``: drives a finite file stream synchronously into
+  a memory sink (processAllAvailable) — the local test harness; production
+  would writeStream to kafka/parquet with checkpointing.
+
+Watermarking note: these helpers run in *complete*/*update* modes for the
+finite-batch harness; a production append-mode deployment adds
+``withWatermark("ts", <delay>)`` so state is bounded — the operators
+themselves are watermark-agnostic.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the batch-identical ts
+    conversion (ns int64 -> floor micros)."""
+    from spark_hbase_connector_spark.catalogs import _pin_session_confs
+
+    _pin_session_confs(spark)
+    # the file stream source wants a directory; select just events.parquet
+    # out of the sf_dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_window_agg(stream: DataFrame, width: str = "15 minutes") -> DataFrame:
+    """Per-event-type counts/sums over epoch-aligned tumbling windows."""
+    return (
+        stream.groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_window_agg(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user (native session_window)."""
+    return (
+        stream.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame, spark: SparkSession, mode: str = "complete"
+) -> DataFrame:
+    """Drive a (finite file-source) streaming DataFrame to completion into a
+    memory sink; returns the materialized result as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

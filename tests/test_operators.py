@@ -1,0 +1,96 @@
+"""Unit tests for operators without a SQL oracle (plus asof edge cases)."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.catalogs import load
+from spark_hbase_connector_spark.operators.asof import asof_join
+from spark_hbase_connector_spark.operators.dedup import (
+    shingle_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", lts=_ts(10), lid=1),
+            Row(k="a", lts=_ts(30), lid=2),
+            Row(k="b", lts=_ts(5), lid=3),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts=_ts(0), v=1.0, rid=100),
+            Row(k="a", rts=_ts(10), v=2.0, rid=101),  # equal ts -> matches lid=1
+            Row(k="a", rts=_ts(20), v=3.0, rid=102),
+            Row(k="b", rts=_ts(9), v=9.0, rid=103),  # after left -> no match
+        ]
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", value_cols=["v"], tiebreak="rid"
+    )
+    got = {r.lid: r.v_asof for r in out.collect()}
+    assert got == {1: 2.0, 2: 3.0, 3: None}
+
+
+def test_asof_join_tiebreak_same_ts(spark):
+    left = spark.createDataFrame([Row(k="a", lts=_ts(10), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts=_ts(10), v=1.0, rid=1),
+            Row(k="a", rts=_ts(10), v=2.0, rid=2),  # higher tiebreak wins
+        ]
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", value_cols=["v"], tiebreak="rid"
+    )
+    assert out.collect()[0].v_asof == 2.0
+
+
+def test_simhash_banding_completeness(spark, sf_dir):
+    """The 4x16-bit pigeonhole banding must find EXACTLY the same pairs as a
+    brute-force all-pairs hamming filter at the guaranteed bound (ham<=3)."""
+    from pyspark.sql import functions as F
+
+    from spark_hbase_connector_spark.operators.dedup import (
+        shingle_postings,
+        with_simhash64,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    banded = {
+        (r.id1, r.id2, r.hamming)
+        for r in simhash_pairs(d, "text", "doc_id", max_hamming=3).collect()
+    }
+    h = with_simhash64(shingle_postings(d, "text", "doc_id", 3))
+    a = h.select(F.col("id").alias("id1"), F.col("h").alias("h1"))
+    b = h.select(F.col("id").alias("id2"), F.col("h").alias("h2"))
+    brute = {
+        (r.id1, r.id2, r.hamming)
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_dedup_exact_counts(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="x y z"), Row(id=2, t="x y z"), Row(id=3, t="q")]
+    )
+    from spark_hbase_connector_spark.operators.dedup import dedup_exact
+
+    got = {(r.id, r.copies) for r in dedup_exact(df, F.col("t"), "id").collect()}
+    assert got == {(1, 2), (3, 1)}
