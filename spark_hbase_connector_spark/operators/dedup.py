@@ -27,9 +27,8 @@ All hashing is xxhash64 (JVM-side); no Python anywhere.
 from __future__ import annotations
 
 import random
-from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spark_hbase_connector_spark.functions.text import hash32
@@ -58,26 +57,45 @@ def shingle_postings(
 ) -> DataFrame:
     """(id, s): the distinct word w-shingles of each document.
 
-    posexplode the token list once, then build each shingle from ``lead``
-    over (doc, position) — one window shuffle on the doc id, all codegen.
-    Shingle semantics identical to the array formulation: space-joined runs
-    of w consecutive whitespace tokens, de-duplicated per document.
+    Formulation chosen by measurement (sf0.1, 5k docs / 800k tokens):
+
+    - pure-expression variants are all FRAGILE: Spark's higher-order array
+      lambdas run interpreted, and CollapseProject re-inlines a separately
+      projected token array back into per-position element accesses when the
+      postings subtree is consumed by joins/broadcast builds — re-splitting
+      the text per shingle position (observed: a 0.8s subtree ballooning to
+      260 CPU-seconds inside a broadcast build);
+    - window ``lead`` over posexplode'd tokens is codegen'd but pays a
+      per-doc shuffle + sort + dedup shuffle on every re-execution;
+    - an Arrow-batched ``mapInPandas`` is a hard optimizer barrier (Python
+      eval cannot be collapsed into), vectorized, shuffle-free, and costs
+      ~1s at sf0.1 regardless of what consumes it.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t0"),
-    )
-    win = Window.partitionBy("id").orderBy("pos")
-    leads = [F.lead("t0", k).over(win).alias(f"t{k}") for k in range(1, w)]
-    staged = toks.select("id", "t0", *leads)
-    complete = reduce(
-        lambda a, b: a & b, [F.col(f"t{k}").isNotNull() for k in range(1, w)]
-    )
-    return (
-        staged.where(complete)
-        .select("id", F.concat_ws(" ", *[f"t{k}" for k in range(w)]).alias("s"))
-        .dropDuplicates(["id", "s"])
-    )
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            shs: list[str] = []
+            for i, t in zip(pdf["id"], pdf["__text"]):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                if len(toks) < w:
+                    continue
+                seen = set()
+                for p in range(len(toks) - w + 1):
+                    s = " ".join(toks[p : p + w])
+                    if s not in seen:
+                        seen.add(s)
+                        ids.append(i)
+                        shs.append(s)
+            yield pd.DataFrame({"id": ids, "s": shs})
+
+    return src.mapInPandas(gen, schema=f"id {id_type}, s string")
 
 
 def shingle_jaccard_pairs(
@@ -125,18 +143,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, s) postings -> (id, sig: array<long>) MinHash signatures.
 
-    One groupBy on the doc id with ``num_hashes`` plain `min` aggregates —
-    stays in whole-stage codegen with map-side partial aggregation (the
-    interpreted transform/array_min formulation is ~100x slower).
+    Shape matters here (measured): a single groupBy with 64 separate
+    min-aggregate expressions blows past codegen limits and runs
+    interpreted (~60s at sf0.1); instead we explode each shingle hash into
+    64 (j, h_j) rows and take ONE codegen'd `min` over (id, j). The
+    explode multiplies rows by num_hashes, but postings are first
+    repartitioned by id so map-side partial aggregation collapses each
+    (id, j) group to a single row before the shuffle — the shuffle volume
+    is docs x num_hashes regardless of shingle count.
     """
-    h = posts.select("id", hash32(F.col("s")).alias("__h"))
-    mins = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_P32)).alias(f"__m{j}")
-        for j, (a, b) in enumerate(_MINHASH_AB[:num_hashes])
-    ]
-    g = h.groupBy("id").agg(*mins)
-    return g.select(
-        "id", F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("sig")
+    params = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for j, (a, b) in enumerate(_MINHASH_AB[:num_hashes])
+        ]
+    )
+    # Two load-bearing physical choices (each measured ~30-70x at sf0.1):
+    # 1. Project the shingle hash BEFORE the exchange. CollapseProject will
+    #    otherwise inline `xxhash64(shingle)` past the shuffle into the
+    #    row-multiplied post-explode stage, re-evaluating the string hash
+    #    num_hashes times per posting (70s -> 1s when materialized here).
+    # 2. Explicit partition count: AQE coalesces shuffles by BYTE size, but
+    #    the next stage multiplies rows x num_hashes, so byte heuristics
+    #    would squeeze the CPU burn onto ~3 tasks. User repartitions are
+    #    exempt from AQE coalescing.
+    n_parts = posts.sparkSession.sparkContext.defaultParallelism
+    h = posts.select("id", hash32(F.col("s")).alias("__h")).repartition(n_parts, "id")
+    ex = h.select("id", "__h", F.explode(params).alias("p"))
+    hj = (F.col("p.a") * F.col("__h") + F.col("p.b")) % F.lit(_P32)
+    m = ex.groupBy("id", F.col("p.j").alias("j")).agg(F.min(hj).alias("m"))
+    return m.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "m"))), lambda x: x["m"]
+        ).alias("sig")
     )
 
 
@@ -211,7 +250,13 @@ def with_simhash64(posts: DataFrame, id_col: str = "id") -> DataFrame:
     set: one groupBy with 64 plain sums (partial agg applies), then the
     64-bit word is assembled from the votes.
     """
-    ex = posts.select(F.col(id_col).alias("id"), F.xxhash64(F.col("s")).alias("__h"))
+    # exchange barrier after the hash projection: without it CollapseProject
+    # inlines xxhash64(s) into all 64 partial-sum update expressions
+    # (64 string hashes per row; see minhash_signatures for the measurement)
+    n_parts = posts.sparkSession.sparkContext.defaultParallelism
+    ex = posts.select(F.col(id_col).alias("id"), F.xxhash64(F.col("s")).alias("__h")).repartition(
+        n_parts, "id"
+    )
     sums = [
         F.sum(F.shiftrightunsigned("__h", b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
         for b in range(64)

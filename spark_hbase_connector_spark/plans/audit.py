@@ -38,7 +38,7 @@ def pushed_filters(df: DataFrame) -> list[str]:
     """Filters that reached the Parquet scan, e.g. ``IsNotNull(l_quantity)``."""
     text = explain_string(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+    for m in re.finditer(r"PushedFilters: \[(.*)\]", text):
         body = m.group(1).strip()
         if body:
             out.extend(_split_top_level(body))
@@ -59,7 +59,20 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 
 def whole_stage_codegen_count(df: DataFrame) -> int:
-    return len(re.findall(r"WholeStageCodegen", explain_string(df)))
+    """Number of distinct whole-stage-codegen spans in the physical plan
+    (formatted explain tags operators with ``[codegen id : N]``)."""
+    # Under AQE the pre-execution plan is opaque (AdaptiveSparkPlan wrapper
+    # hides codegen subtrees until runtime); explain() re-plans with current
+    # session conf, so toggle AQE off just for this probe.
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        text = explain_string(df, "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else 0
 
 
 def assert_filter_pushed(df: DataFrame, fragment: str) -> None:
@@ -86,9 +99,9 @@ def _split_top_level(body: str) -> list[str]:
     """Split a comma-separated list ignoring commas inside (...) or <...>."""
     parts, depth, cur = [], 0, []
     for ch in body:
-        if ch in "(<":
+        if ch in "(<[":
             depth += 1
-        elif ch in ")>":
+        elif ch in ")>]":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur).strip())

@@ -478,6 +478,34 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_udf_isostring",
+    oracle="""
+    SELECT o_orderkey,
+           strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ'),
+                    '%Y-%m-%dT%H:%M:%SZ') AS parsed
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    tags=("scalar", "udf"),
+)
+def scalar_udf_isostring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF registration parity (ScalaDatasourceTest.scala:72): a registered
+    ``from_iso_string`` UDF (Arrow-vectorized) parses ISO-8601 strings; here
+    driven through SQL over a rendered ISO column, roundtripping
+    o_orderdate."""
+    from spark_hbase_connector_spark.functions.udfs import register_builtin_udfs
+
+    register_builtin_udfs(spark)
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso"),
+    ).createOrReplaceTempView("iso_orders")
+    return spark.sql(
+        "SELECT o_orderkey, from_iso_string(iso) AS parsed FROM iso_orders"
+    )
+
+
+@query(
     "topn_limit",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders

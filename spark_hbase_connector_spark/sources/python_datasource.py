@@ -1,0 +1,299 @@
+"""A real ``spark.read.format("hbasekv")`` source — Python Data Source API.
+
+Full structural parity with the reference connector, component by component:
+
+- S1 batch scan source  -> ``HbaseKVDataSource`` (``DefaultSource.scala:13``)
+- S2 schema derivation  -> ``schema()`` from the ``catalog`` option
+  (``DefaultSource.scala:20-31``)
+- S3 catalog parse      -> ``sources.catalog.parse_catalog``
+- S5 pushdown negotiation -> ``pushFilters`` accepting exactly the
+  reference's filter taxonomy (F1-F10; conjunctions are pre-split by Spark)
+  and returning the rest for Spark to evaluate
+  (``HbaseScanBuilder.scala:29-52``)
+- S7 partition planning -> one ``InputPartition`` per Parquet file of the
+  rowkey-sorted dataset: the file is the region analogue, its footer
+  min/max rowkey the region's [startKey, endKey) (``HbaseScan.scala:27-45``)
+- S8 range-restricted scan -> rowkey range filters *narrow the partition
+  list* before any file is opened — this fixes the reference's TODO where
+  rowkey ranges were evaluated row-by-row server-side
+  (``HbasePartitionReader.scala:147``)
+- S9/S10 predicate eval + decode -> pushed filters are compiled to pyarrow
+  compute expressions over *typed* values (so negative numerics compare
+  correctly — the reference's unsigned-byte-order defect, SURVEY.md §2.1,
+  is deliberately not reproduced); rows stream back as Arrow RecordBatches.
+
+This source demonstrates connector parity and remote-store ergonomics; the
+*performance* path for Parquet-resident data remains ``sources.table.
+load_table`` (native scan, whole-stage codegen). A real HBase deployment
+would swap the pyarrow file reader in ``read()`` for region-server RPCs —
+the planning/pushdown scaffolding stays identical.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    StringContains,
+    StringStartsWith,
+)
+from pyspark.sql.types import StructType
+
+from spark_hbase_connector_spark.sources.catalog import TableCatalog, parse_catalog
+
+_SUPPORTED = (
+    EqualTo,
+    In,
+    IsNull,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    GreaterThan,
+    GreaterThanOrEqual,
+    StringStartsWith,
+    StringContains,
+)
+
+
+@dataclass
+class FilePartition(InputPartition):
+    """One Parquet file = one 'region': (path, rowkey min, rowkey max)."""
+
+    path: str
+    rk_min: object = None
+    rk_max: object = None
+
+
+class HbaseKVDataSource(DataSource):
+    """Catalog-described table over a rowkey-sorted Parquet dataset."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "hbasekv"
+
+    def _catalog(self) -> TableCatalog:
+        if "catalog" not in self.options:
+            raise ValueError("option 'catalog' (JSON) is required")
+        return parse_catalog(self.options["catalog"])
+
+    def schema(self) -> StructType:
+        return self._catalog().to_struct_type()
+
+    def reader(self, schema: StructType) -> "HbaseKVReader":
+        if "path" not in self.options:
+            raise ValueError("option 'path' (dataset directory or file) is required")
+        return HbaseKVReader(
+            catalog=self._catalog(),
+            schema=schema,
+            path=self.options["path"],
+            physical_naming=self.options.get("physical_naming", "column"),
+        )
+
+
+class HbaseKVReader(DataSourceReader):
+    def __init__(
+        self,
+        catalog: TableCatalog,
+        schema: StructType,
+        path: str,
+        physical_naming: str,
+    ) -> None:
+        self.catalog = catalog
+        self.out_schema = schema
+        self.path = path
+        self.physical_naming = physical_naming
+        self.pushed: list[Filter] = []
+
+    # -- S5: pushdown negotiation ------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept the reference's taxonomy; yield back the rest.
+
+        Mirrors ``HbaseScanBuilder.pushFilters``: supported shapes are kept
+        (and later evaluated inside the scan); unsupported ones are returned
+        so Spark evaluates them post-scan. Unlike the reference we do not
+        claim correctness we don't have: everything accepted is evaluated
+        with typed comparisons.
+        """
+        for f in filters:
+            if isinstance(f, _SUPPORTED) and len(getattr(f, "attribute", ("x",))) == 1:
+                self.pushed.append(f)
+            else:
+                yield f
+
+    # -- S7/S8: partition planning with rowkey-range pruning ----------------
+    def partitions(self) -> list[FilePartition]:
+        import pyarrow.parquet as pq
+
+        rk = self.catalog.rowkey
+        phys_rk = self._phys(rk)
+        files = self._data_files()
+        parts: list[FilePartition] = []
+        lo, hi = self._rowkey_bounds()
+        for fp in files:
+            try:
+                meta = pq.ParquetFile(fp).metadata
+                names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+                rmin = rmax = None
+                if phys_rk in names:
+                    col_idx = names[phys_rk]
+                    mins, maxs = [], []
+                    for rg in range(meta.num_row_groups):
+                        st = meta.row_group(rg).column(col_idx).statistics
+                        if st is None or not st.has_min_max:
+                            mins, maxs = [], []
+                            break
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    if mins:
+                        rmin, rmax = min(mins), max(maxs)
+            except Exception:
+                rmin = rmax = None
+            # prune: skip files whose rowkey range cannot satisfy the pushed
+            # rowkey bounds (the reference's unfixed TODO, done properly)
+            if rmin is not None and rmax is not None:
+                if (hi is not None and rmin > hi) or (lo is not None and rmax < lo):
+                    continue
+            parts.append(FilePartition(path=fp, rk_min=rmin, rk_max=rmax))
+        return parts
+
+    # -- S9/S10: scan + typed predicate evaluation + decode ------------------
+    def read(self, partition: FilePartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        table = pads.dataset(partition.path, format="parquet").to_table()
+        # project to the catalog's logical columns (missing cell -> NULL)
+        arrays, fields = [], []
+        for field in self.out_schema.fields:
+            phys = self._phys(field.name)
+            target = _arrow_type(field.dataType)
+            if phys in table.column_names:
+                col = table.column(phys)
+                if target is not None and col.type != target:
+                    col = pc.cast(col, target)
+            else:
+                col = pa.nulls(table.num_rows, type=target or pa.string())
+            arrays.append(col)
+            fields.append(
+                pa.field(field.name, col.type if hasattr(col, "type") else target)
+            )
+        out = pa.table(dict(zip([f.name for f in fields], arrays)))
+        mask = self._compile_filters(out)
+        if mask is not None:
+            out = out.filter(mask)
+        yield from out.to_batches()
+
+    # ------------------------------------------------------------ helpers --
+    def _phys(self, logical: str) -> str:
+        col = self.catalog.columns[logical]
+        if col.is_rowkey or self.physical_naming == "column":
+            return col.column
+        return f"{col.column_family}:{col.column}"
+
+    def _data_files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".parquet")
+            )
+        return [self.path]
+
+    def _rowkey_bounds(self):
+        """(lo, hi) bounds implied by pushed rowkey range/equality filters."""
+        rk = self.catalog.rowkey
+        lo = hi = None
+        for f in self.pushed:
+            attr = getattr(f, "attribute", None)
+            if not attr or attr[0] != rk:
+                continue
+            if isinstance(f, EqualTo):
+                lo = f.value if lo is None else max(lo, f.value)
+                hi = f.value if hi is None else min(hi, f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                hi = f.value if hi is None else min(hi, f.value)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo = f.value if lo is None else max(lo, f.value)
+            elif isinstance(f, In):
+                vs = list(f.value)
+                lo = min(vs) if lo is None else max(lo, min(vs))
+                hi = max(vs) if hi is None else min(hi, max(vs))
+        return lo, hi
+
+    def _compile_filters(self, table):
+        """Pushed Filter objects -> one pyarrow boolean mask (AND-combined),
+        the analogue of the reference's FilterList(MUST_PASS_ALL)."""
+        import pyarrow.compute as pc
+
+        mask = None
+        for f in self.pushed:
+            attr = f.attribute[0]
+            col = table.column(attr)
+            if isinstance(f, EqualTo):
+                m = pc.equal(col, f.value)
+            elif isinstance(f, In):
+                import pyarrow as pa
+
+                m = pc.is_in(col, value_set=pa.array(list(f.value), type=col.type))
+            elif isinstance(f, IsNull):
+                m = pc.is_null(col)
+            elif isinstance(f, IsNotNull):
+                m = pc.is_valid(col)
+            elif isinstance(f, LessThan):
+                m = pc.less(col, f.value)
+            elif isinstance(f, LessThanOrEqual):
+                m = pc.less_equal(col, f.value)
+            elif isinstance(f, GreaterThan):
+                m = pc.greater(col, f.value)
+            elif isinstance(f, GreaterThanOrEqual):
+                m = pc.greater_equal(col, f.value)
+            elif isinstance(f, StringStartsWith):
+                m = pc.starts_with(col, f.value)
+            elif isinstance(f, StringContains):
+                m = pc.match_substring(col, f.value)
+            else:  # pragma: no cover - pushFilters only accepts the above
+                continue
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        return mask
+
+
+def _arrow_type(spark_type):
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    mapping = {
+        T.BooleanType(): pa.bool_(),
+        T.ByteType(): pa.int8(),
+        T.ShortType(): pa.int16(),
+        T.IntegerType(): pa.int32(),
+        T.LongType(): pa.int64(),
+        T.FloatType(): pa.float32(),
+        T.DoubleType(): pa.float64(),
+        T.StringType(): pa.string(),
+        T.BinaryType(): pa.binary(),
+        T.DateType(): pa.date32(),
+        T.TimestampType(): pa.timestamp("us"),
+    }
+    return mapping.get(spark_type)
+
+
+def register_hbasekv(spark) -> None:
+    """Register the source so ``spark.read.format('hbasekv')`` works."""
+    spark.dataSource.register(HbaseKVDataSource)
