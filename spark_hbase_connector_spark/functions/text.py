@@ -43,9 +43,3 @@ def canonical_fingerprint(text: Column | str) -> Column:
     distinct token set. Same expression is replayable in DuckDB
     (md5 + list_sort + list_distinct)."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
-
-
-def hash32(col: Column) -> Column:
-    """xxhash64 folded to unsigned 32-bit (headroom for overflow-free
-    64-bit affine permutations in MinHash)."""
-    return F.xxhash64(col).bitwiseAND(F.lit(4294967295))

@@ -17,11 +17,14 @@ Four strategies, all pure-DataFrame (no collect, no driver-side state):
 Performance architecture (measured, not guessed): Spark's higher-order
 array lambdas (transform/aggregate) are *interpreted* — and nested lambdas
 re-evaluate subexpressions (a per-position ``element_at(split(text))``
-re-splits the text every call). So everything here runs on an exploded
-*postings* relation (doc_id, shingle) built with posexplode + window
-``lead`` — whole-stage-codegen'd, split() evaluated once per token — and
-signatures are plain groupBy aggregates (map-side partial agg applies).
-All hashing is xxhash64 (JVM-side); no Python anywhere.
+re-splits the text every call). So shingling runs as ONE Arrow
+``mapInPandas`` pass producing a *postings* relation (doc_id, shingle),
+persisted whenever it has multiple consumers (Spark re-executes Python
+stages per consumer otherwise — measured 4x re-shingling, 110s -> ~5s at
+sf0.1). MinHash signatures + LSH band keys are likewise one Arrow pass
+over the documents (vectorized numpy, zero shuffle, zero explode); only
+the bucket self-join and the exact-Jaccard verification shuffle, and both
+touch candidate pairs only.
 """
 
 from __future__ import annotations
@@ -30,8 +33,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from spark_hbase_connector_spark.functions.text import hash32
+from pyspark.storagelevel import StorageLevel
 
 # MinHash affine permutations h_j(x) = (a_j * x + b_j) mod P32 over 32-bit
 # hashes; constants are deterministic (seed 42) so every run and the test
@@ -116,7 +118,12 @@ def shingle_jaccard_pairs(
 
     Output columns: (id1, id2, jaccard).
     """
-    posts = shingle_postings(df, text_col, id_col, w)
+    # The postings subtree is an Arrow mapInPandas stage consumed by three
+    # relations (sizes + both sides of the self-join); without a persist
+    # Spark re-executes the Python shingler per consumer.
+    posts = shingle_postings(df, text_col, id_col, w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     if max_df is not None:
         hot = posts.groupBy("s").count().where(F.col("count") > max_df).select("s")
@@ -138,45 +145,67 @@ def shingle_jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    posts: DataFrame, num_hashes: int = 64
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    w: int = 3,
 ) -> DataFrame:
-    """(id, s) postings -> (id, sig: array<long>) MinHash signatures.
+    """(id, band, bkey): LSH band bucket keys straight from the documents.
 
-    Shape matters here (measured): a single groupBy with 64 separate
-    min-aggregate expressions blows past codegen limits and runs
-    interpreted (~60s at sf0.1); instead we explode each shingle hash into
-    64 (j, h_j) rows and take ONE codegen'd `min` over (id, j). The
-    explode multiplies rows by num_hashes, but postings are first
-    repartitioned by id so map-side partial aggregation collapses each
-    (id, j) group to a single row before the shuffle — the shuffle volume
-    is docs x num_hashes regardless of shingle count.
+    One Arrow ``mapInPandas`` pass computes, per document and fully in
+    numpy: distinct shingles -> crc32 shingle hashes -> the whole MinHash
+    signature (affine permutations, vectorized (num_hashes x n_shingles)
+    min) -> one crc32 bucket key per band. Zero shuffles and zero row
+    explosion before the bucket join — the JVM alternative (explode each
+    shingle hash x num_hashes, groupBy min) moves docs x num_hashes rows
+    through two shuffles and re-executes upstream Python stages per
+    consumer. Signatures are internal (candidates are exact-verified), so
+    the hash only needs determinism; crc32 is stable across runs.
     """
-    params = F.array(
-        *[
-            F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for j, (a, b) in enumerate(_MINHASH_AB[:num_hashes])
-        ]
-    )
-    # Two load-bearing physical choices (each measured ~30-70x at sf0.1):
-    # 1. Project the shingle hash BEFORE the exchange. CollapseProject will
-    #    otherwise inline `xxhash64(shingle)` past the shuffle into the
-    #    row-multiplied post-explode stage, re-evaluating the string hash
-    #    num_hashes times per posting (70s -> 1s when materialized here).
-    # 2. Explicit partition count: AQE coalesces shuffles by BYTE size, but
-    #    the next stage multiplies rows x num_hashes, so byte heuristics
-    #    would squeeze the CPU burn onto ~3 tasks. User repartitions are
-    #    exempt from AQE coalescing.
-    n_parts = posts.sparkSession.sparkContext.defaultParallelism
-    h = posts.select("id", hash32(F.col("s")).alias("__h")).repartition(n_parts, "id")
-    ex = h.select("id", "__h", F.explode(params).alias("p"))
-    hj = (F.col("p.a") * F.col("__h") + F.col("p.b")) % F.lit(_P32)
-    m = ex.groupBy("id", F.col("p.j").alias("j")).agg(F.min(hj).alias("m"))
-    return m.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "m"))), lambda x: x["m"]
-        ).alias("sig")
-    )
+    import numpy as np
+    import pandas as pd
+    import zlib
+
+    rows = num_hashes // bands
+    A = np.array([a for a, _ in _MINHASH_AB[:num_hashes]], dtype=np.uint64)[:, None]
+    B = np.array([b for _, b in _MINHASH_AB[:num_hashes]], dtype=np.uint64)[:, None]
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            bnd: list[int] = []
+            key: list[int] = []
+            for i, t in zip(pdf["id"], pdf["__text"]):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                if len(toks) < w:
+                    continue
+                shs = {" ".join(toks[p : p + w]) for p in range(len(toks) - w + 1)}
+                h = np.fromiter(
+                    (zlib.crc32(s.encode()) for s in shs),
+                    dtype=np.uint64,
+                    count=len(shs),
+                )
+                sig = ((A * h[None, :] + B) % _P32).min(axis=1)
+                for j in range(bands):
+                    ids.append(i)
+                    bnd.append(j)
+                    key.append(zlib.crc32(sig[j * rows : (j + 1) * rows].tobytes()))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "band": pd.array(bnd, dtype="int32"),
+                    "bkey": pd.array(key, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(gen, schema=f"id {id_type}, band int, bkey long")
 
 
 def minhash_lsh_pairs(
@@ -190,28 +219,26 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
 
-    Pipeline: postings -> signatures -> ``bands`` band keys (xxhash of each
-    signature row-group) -> explode -> self-join per band bucket -> distinct
-    candidate pairs -> verify exact Jaccard by re-joining the postings.
-    With (64, 16) the LSH s-curve threshold is (1/16)^(1/4) = 0.5: a
-    0.9-similar pair is missed with p < 1e-7, and everything reported is
-    exact-verified, so at these parameters the output equals the exact
-    ``shingle_jaccard_pairs`` result with near-certainty while only ever
-    comparing candidate pairs.
+    Pipeline: band bucket keys (single Arrow pass, no shuffle — see
+    ``minhash_band_buckets``) -> self-join per band bucket -> distinct
+    candidate pairs -> verify exact Jaccard against the (persisted)
+    postings. With (64, 16) the LSH s-curve threshold is (1/16)^(1/4) =
+    0.5: a 0.9-similar pair is missed with p < 1e-7, and everything
+    reported is exact-verified, so at these parameters the output equals
+    the exact ``shingle_jaccard_pairs`` result with near-certainty while
+    only ever comparing candidate pairs.
 
     Output columns: (id1, id2, jaccard).
     """
-    rows = num_hashes // bands
-    posts = shingle_postings(df, text_col, id_col, w)
-    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    sig = minhash_signatures(posts, num_hashes)
-    band_cols = F.array(
-        *[
-            F.xxhash64(F.lit(j), F.concat_ws(",", F.slice("sig", j * rows + 1, rows)))
-            for j in range(bands)
-        ]
+    # persisted: consumed by sizes and both verification sides (3x)
+    posts = shingle_postings(df, text_col, id_col, w).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    buckets = sig.select("id", F.posexplode(band_cols).alias("band", "bkey"))
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # persisted: the bucket relation is self-joined (both sides)
+    buckets = minhash_band_buckets(df, text_col, id_col, num_hashes, bands, w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -288,7 +315,11 @@ def simhash_pairs(
 
     Output columns: (id1, id2, hamming).
     """
-    base = with_simhash64(shingle_postings(df, text_col, id_col, w))
+    # persisted: the bucket relation below is self-joined, which would
+    # otherwise re-execute the whole shingle+simhash pipeline per side
+    base = with_simhash64(shingle_postings(df, text_col, id_col, w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("h"), 16 * j).bitwiseAND(F.lit(0xFFFF))
