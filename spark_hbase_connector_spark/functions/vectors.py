@@ -43,13 +43,24 @@ def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     Spark's higher-order array lambdas (``aggregate``/``zip_with``) run
     interpreted — fine per-row, ~100x too slow across millions of pairs.
     This batches pairs through Arrow into one numpy einsum per batch.
-    Double precision; zero vectors -> NULL.
+    Double precision. NULL inputs and zero vectors -> SQL NULL (emitted
+    through pandas' nullable Float64 so Arrow carries a real null mask,
+    not a NaN that would pass ``IS NOT NULL``).
     """
-    A = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
-    B = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
-    dots = np.einsum("ij,ij->i", A, B)
-    na = np.sqrt(np.einsum("ij,ij->i", A, A))
-    nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-    denom = na * nb
-    out = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), np.nan)
-    return pd.Series(out)
+    n = len(a)
+    out = np.full(n, np.nan)
+    valid = np.array(
+        [x is not None and y is not None for x, y in zip(a, b)], dtype=bool
+    )
+    if valid.any():
+        idx = np.flatnonzero(valid)
+        A = np.vstack([np.asarray(a.iloc[i], dtype=np.float64) for i in idx])
+        B = np.vstack([np.asarray(b.iloc[i], dtype=np.float64) for i in idx])
+        dots = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        denom = na * nb
+        ok = denom > 0
+        out[idx] = np.where(ok, dots / np.where(ok, denom, 1.0), np.nan)
+    # pd.array maps NaN -> <NA>, which Arrow transports as a true null
+    return pd.Series(pd.array(out, dtype="Float64"))

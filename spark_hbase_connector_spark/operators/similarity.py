@@ -39,16 +39,86 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
+    Scale shape: the query matrix (queries are few by contract) is
+    L2-normalized on the driver and broadcast to every executor; the corpus
+    streams through ONE ``mapInPandas`` scan that does a single numpy
+    matmul per Arrow batch and keeps only the per-batch top-k candidates
+    per query. The final window ranks ~``n_batches x |Q| x k`` candidate
+    rows — never the full |corpus| x |Q| score matrix. (The previous shape
+    — per-pair scoring through a pandas UDF after a broadcast cross join —
+    shipped every corpus vector |Q| times across the Arrow boundary:
+    12.0s at sf0.1 vs ~1s for this one.)
+
+    Per-batch top-k uses the same total order as the final window (score
+    desc, neighbor_id asc), so the global top-k is always contained in the
+    union of batch top-ks — exact, not approximate. Zero-norm or NULL
+    vectors never become candidates (documented NULL-cosine semantics).
+
     Output: (query_id, neighbor_id, score, rank), rank 1..k, deterministic
     tiebreak on neighbor_id.
     """
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"))
-    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("__cv"))
-    joined = c.crossJoin(F.broadcast(q))
-    if not include_self:
-        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.select(
-        "query_id", "neighbor_id", cosine_arrow("__qv", "__cv").alias("score")
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(q_id, q_vec).collect()  # small side by contract
+    qids = [r[0] for r in q_rows]
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    keep = qn > 0
+    kept_qids = [i for i, ok in zip(qids, keep) if ok]
+    sc = corpus.sparkSession.sparkContext
+    # dot/(|a||b|) (not pre-normalized rows) to match the oracle formula
+    bq = sc.broadcast((kept_qids, Q[keep], qn[keep]))
+
+    q_type = queries.schema[q_id].dataType.simpleString()
+    c_type = corpus.schema[c_id].dataType.simpleString()
+    src = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("__cv"))
+
+    def gen(batches):
+        b_qids, b_Q, b_qn = bq.value
+        m = len(b_qids)
+        if m == 0:
+            return
+        for pdf in batches:
+            cids_all = pdf["neighbor_id"]
+            vecs = pdf["__cv"]
+            rows = [i for i in range(len(pdf)) if vecs.iloc[i] is not None]
+            if not rows:
+                continue
+            C = np.vstack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in rows])
+            cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+            ok = cn > 0
+            if not ok.any():
+                continue
+            C = C[ok]
+            cids = [cids_all.iloc[rows[i]] for i in np.flatnonzero(ok)]
+            S = (C @ b_Q.T) / (cn[ok][:, None] * b_qn[None, :])  # (n_batch, m)
+            out_q: list = []
+            out_c: list = []
+            out_s: list = []
+            for j in range(m):
+                s = S[:, j]
+                if not include_self:
+                    mask = np.array([c != b_qids[j] for c in cids])
+                    cand = np.flatnonzero(mask)
+                else:
+                    cand = np.arange(len(cids))
+                if len(cand) == 0:
+                    continue
+                # total order identical to the final window: score desc,
+                # neighbor_id asc — batch top-k therefore contains every
+                # global top-k row for this query
+                order = sorted(cand, key=lambda i: (-s[i], cids[i]))[:k]
+                for i in order:
+                    out_q.append(b_qids[j])
+                    out_c.append(cids[i])
+                    out_s.append(s[i])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_c, "score": out_s}
+            )
+
+    scored = src.mapInPandas(
+        gen, schema=f"query_id {q_type}, neighbor_id {c_type}, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
