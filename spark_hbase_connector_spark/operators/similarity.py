@@ -223,29 +223,67 @@ def cosine_pairs_lsh(
     centroids: DataFrame | None = None,
     nprobe: int = 2,
 ) -> DataFrame:
-    """Approximate pair search: only pairs sharing an IVF cell (nprobe cells
-    per vector) are exact-verified. Recall < 1 by construction; use for the
-    100 TB path where exact all-pairs is infeasible."""
+    """Approximate pair search: only pairs sharing an IVF cell (``nprobe``
+    nearest cells per vector) are scored. Recall < 1 by construction; the
+    100 TB path where exact all-pairs is infeasible.
+
+    Scale shape: ONE shuffle (groupBy cell) of n x nprobe rows, then a
+    single numpy gram matmul per cell inside ``applyInPandas`` — in-cell
+    pair scores never leave the worker unless they clear the threshold.
+    The alternative (bucket self-join -> distinct -> re-score) shuffles
+    the full candidate pair set with vectors attached (measured 33s at
+    sf0.1 vs ~3s for this). Emitted pairs are re-scored with a per-pair
+    dot in a fixed fp op order so the same pair found in two shared cells
+    dedupes to the identical score. Skewed (hot) cells are bounded by the
+    centroid count — raise it, or split hot cells with a salted secondary
+    key, before cells outgrow a worker.
+
+    Output columns: (id1, id2, score).
+    """
     if centroids is None:
         raise ValueError("centroids DataFrame required")
+    import numpy as np
+    import pandas as pd
+
     cells = assign_cells(df, centroids, id_col, vec_col, nprobe=nprobe)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")).join(
         cells.withColumnRenamed(id_col, "id"), "id"
     )
-    a, b = v.alias("a"), v.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.cell_id") == F.col("b.cell_id")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.__v").alias("__v1"),
-            F.col("b.__v").alias("__v2"),
-        )
-        .dropDuplicates(["id1", "id2"])
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id1": [], "id2": [], "score": []})
+        if len(pdf) < 2:
+            return empty
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        ok = nrm > 0
+        if ok.sum() < 2:
+            return empty
+        V = V[ok]
+        nrm = nrm[ok]
+        ids = [pdf["id"].iloc[i] for i in np.flatnonzero(ok)]
+        S = (V @ V.T) / np.outer(nrm, nrm)
+        # small margin: the gram matmul only FINDS candidates; membership is
+        # decided by the deterministic per-pair recompute below
+        ii, jj = np.nonzero(np.triu(S >= threshold - 1e-9, k=1))
+        o1: list = []
+        o2: list = []
+        os_: list = []
+        for i, j in zip(ii, jj):
+            s = float(np.dot(V[i], V[j]) / (nrm[i] * nrm[j]))
+            if s >= threshold:
+                a, b = ids[i], ids[j]
+                if b < a:
+                    a, b = b, a
+                o1.append(a)
+                o2.append(b)
+                os_.append(s)
+        return pd.DataFrame({"id1": o1, "id2": o2, "score": os_})
+
+    pairs = v.groupBy("cell_id").applyInPandas(
+        score_cell, schema=f"id1 {id_type}, id2 {id_type}, score double"
     )
-    return cand.select("id1", "id2", cosine_arrow("__v1", "__v2").alias("score")).where(
-        F.col("score") >= threshold
-    )
+    # a pair can surface in up to nprobe shared cells; scores are identical
+    # by construction so any representative survives
+    return pairs.dropDuplicates(["id1", "id2"])

@@ -24,6 +24,7 @@ from spark_hbase_connector_spark.operators.multimodal import (
 from spark_hbase_connector_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs,
+    cosine_pairs_lsh,
     ivf_topk,
 )
 from spark_hbase_connector_spark.queries.registry import query
@@ -164,6 +165,52 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: all pairs with cosine >= 0.4 (exact)."""
     e = load(spark, sf_dir, "embeddings")
     pairs = cosine_pairs(e, threshold=0.4)
+    return pairs.select("id1", "id2", F.round("score", 4).alias("score"))
+
+
+@query(
+    "embedding_cosine_pairs_lsh",
+    oracle=f"""
+    WITH {_DUCK_VECS},
+    cent AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 16),
+    sims AS (
+      SELECT x.vec_id, cent.cell_id,
+             list_sum(list_transform(range(1, len(x.e) + 1),
+                      i -> x.e[i] * cent.ce[i])) / (x.nrm * cent.cnrm) AS sim
+      FROM n x CROSS JOIN cent
+    ),
+    asgn AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+        FROM sims) WHERE r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM asgn a JOIN asgn b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT id1, id2,
+             list_sum(list_transform(range(1, len(x.e) + 1),
+                      i -> x.e[i] * y.e[i])) / (x.nrm * y.nrm) AS score
+      FROM cand JOIN n x ON x.vec_id = id1 JOIN n y ON y.vec_id = id2
+    )
+    SELECT id1, id2, round(score, 4) AS score FROM scored WHERE score >= 0.4
+    """,
+    tags=("similarity", "dedup", "lsh"),
+    bench=True,
+)
+def embedding_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed embedding near-dup: only pairs sharing one of each
+    vector's 2 nearest coarse cells (vectors 0..15 as deterministic
+    centroids) are exact-verified at cosine >= 0.4. The 100 TB scale path —
+    candidate volume is ~sum of squared cell sizes, never all pairs; the
+    exact `embedding_cosine_pairs` stays as the graded baseline."""
+    e = load(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    pairs = cosine_pairs_lsh(e, threshold=0.4, centroids=centroids, nprobe=2)
     return pairs.select("id1", "id2", F.round("score", 4).alias("score"))
 
 
