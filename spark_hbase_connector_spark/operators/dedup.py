@@ -270,32 +270,58 @@ def minhash_lsh_pairs(
     )
 
 
-def with_simhash64(posts: DataFrame, id_col: str = "id") -> DataFrame:
-    """(id, s) postings -> (id, h: long) 64-bit SimHash.
+def simhash_words(
+    df: DataFrame, text_col: str, id_col: str, w: int = 3
+) -> DataFrame:
+    """(id, h: long): 64-bit SimHash word per document, one Arrow pass.
 
-    Bit b of the result is 1 iff the majority of shingle hashes have bit b
-    set: one groupBy with 64 plain sums (partial agg applies), then the
-    64-bit word is assembled from the votes.
+    Bit b of the result is 1 iff the majority of the document's distinct
+    shingle hashes have bit b set. Shingle hash = first 8 bytes of md5,
+    big-endian — exactly replayable in DuckDB as
+    ``('0x' || substr(md5(s),1,16))::UBIGINT``, which is what makes SimHash
+    driver-checkable end-to-end. Everything (shingling, hashing, the 64
+    majority votes, word assembly) happens in one vectorized ``mapInPandas``
+    pass — the JVM alternative (a groupBy with 64 sum aggregates plus a
+    64-term word expression) costs ~4s of Catalyst/Janino compile per run
+    before touching a row, and an extra shuffle.
     """
-    # exchange barrier after the hash projection: without it CollapseProject
-    # inlines xxhash64(s) into all 64 partial-sum update expressions
-    # (64 string hashes per row; see minhash_signatures for the measurement)
-    n_parts = posts.sparkSession.sparkContext.defaultParallelism
-    ex = posts.select(F.col(id_col).alias("id"), F.xxhash64(F.col("s")).alias("__h")).repartition(
-        n_parts, "id"
-    )
-    sums = [
-        F.sum(F.shiftrightunsigned("__h", b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
-        for b in range(64)
-    ] + [F.count(F.lit(1)).alias("__n")]
-    g = ex.groupBy("id").agg(*sums)
-    word = F.lit(0).cast("long")
-    for b in range(64):
-        bit_set = (F.col(f"__b{b}") * 2) > F.col("__n")  # majority vote
-        word = word + F.when(bit_set, F.lit(-(2**63) if b == 63 else 2**b)).otherwise(
-            F.lit(0)
-        )
-    return g.select("id", word.alias("h"))
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    id_type = df.schema[id_col].dataType.simpleString()
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            words: list[int] = []
+            for i, t in zip(pdf["id"], pdf["__text"]):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                if len(toks) < w:
+                    continue
+                shs = {" ".join(toks[p : p + w]) for p in range(len(toks) - w + 1)}
+                h = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                        for s in shs
+                    ),
+                    dtype=np.uint64,
+                    count=len(shs),
+                )
+                votes = ((h[:, None] >> shifts) & 1).sum(axis=0)
+                word = int(((votes * 2 > len(h)).astype(np.uint64) << shifts[0]).sum())
+                if word >= 2**63:
+                    word -= 2**64
+                ids.append(i)
+                words.append(word)
+            yield pd.DataFrame({"id": ids, "h": pd.array(words, dtype="int64")})
+
+    return src.mapInPandas(gen, schema=f"id {id_type}, h long")
 
 
 def simhash_pairs(
@@ -316,8 +342,8 @@ def simhash_pairs(
     Output columns: (id1, id2, hamming).
     """
     # persisted: the bucket relation below is self-joined, which would
-    # otherwise re-execute the whole shingle+simhash pipeline per side
-    base = with_simhash64(shingle_postings(df, text_col, id_col, w)).persist(
+    # otherwise re-execute the whole shingle+simhash Arrow pass per side
+    base = simhash_words(df, text_col, id_col, w).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     chunks = F.array(

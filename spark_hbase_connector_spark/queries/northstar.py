@@ -124,16 +124,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
 
 
+# SimHash words, bit-exact in DuckDB: md5-derived 64-bit shingle hashes
+# (same bits as operators.dedup.hash64_md5), 64 majority-vote sums, word
+# assembled from per-bit UBIGINT constants.
+_DUCK_SIMHASH_SUMS = ", ".join(f"sum(((h >> {b}) & 1)) AS b{b}" for b in range(64))
+_DUCK_SIMHASH_WORD = " + ".join(
+    f"CASE WHEN 2 * b{b} > n THEN {2**b}::UBIGINT ELSE 0::UBIGINT END"
+    for b in range(64)
+)
+
+
 @query(
     "dedup_simhash",
-    oracle=None,  # bit-level simhash is not SQL-expressible; rows-only check
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    hashed AS (SELECT doc_id,
+                      ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h
+               FROM post),
+    votes AS (SELECT doc_id, count(*) AS n, {_DUCK_SIMHASH_SUMS}
+              FROM hashed GROUP BY doc_id),
+    words AS (SELECT doc_id, ({_DUCK_SIMHASH_WORD}) AS w FROM votes)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.w, b.w)) AS INTEGER) AS hamming
+    FROM words a JOIN words b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.w, b.w)) <= 3
+    """,
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming<=6 on 64-bit signatures). Verified in
-    tests against the exact Jaccard pair set instead of a SQL oracle."""
+    """SimHash near-dup pairs (hamming<=3 on 64-bit signatures). At this
+    bound the 4x16-bit pigeonhole banding has GUARANTEED recall (any pair
+    within hamming 3 agrees on >=1 chunk), so the banded plan equals the
+    oracle's brute-force all-pairs scan exactly — checkable, not just
+    asserted (tests/test_operators.py proves banded == brute force)."""
     d = load(spark, sf_dir, "documents")
-    return simhash_pairs(d, "text", "doc_id", max_hamming=6)
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3)
 
 
 # ----------------------------------------------------------- similarity ----

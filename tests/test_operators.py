@@ -59,17 +59,14 @@ def test_simhash_banding_completeness(spark, sf_dir):
     brute-force all-pairs hamming filter at the guaranteed bound (ham<=3)."""
     from pyspark.sql import functions as F
 
-    from spark_hbase_connector_spark.operators.dedup import (
-        shingle_postings,
-        with_simhash64,
-    )
+    from spark_hbase_connector_spark.operators.dedup import simhash_words
 
     d = load(spark, sf_dir, "documents")
     banded = {
         (r.id1, r.id2, r.hamming)
         for r in simhash_pairs(d, "text", "doc_id", max_hamming=3).collect()
     }
-    h = with_simhash64(shingle_postings(d, "text", "doc_id", 3))
+    h = simhash_words(d, "text", "doc_id", 3)
     a = h.select(F.col("id").alias("id1"), F.col("h").alias("h1"))
     b = h.select(F.col("id").alias("id2"), F.col("h").alias("h2"))
     brute = {
