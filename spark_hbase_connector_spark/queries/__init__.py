@@ -19,4 +19,5 @@ from spark_hbase_connector_spark.queries import (  # noqa: F401,E402
     windows,
     northstar,
     streaming_queries,
+    fixtures,
 )

@@ -20,8 +20,10 @@ Catalyst + Parquet already do natively. So the PySpark-native equivalent is
   own TODO (rowkey ranges were evaluated row-by-row server-side instead of
   narrowing scan bounds, ``HbasePartitionReader.scala:147``).
 
-Physical naming: ``write_table`` stores columns under ``cf:qualifier`` (and
-the rowkey under its logical name); ``load_table`` also accepts plain
+Physical naming: ``write_table`` stores columns under ``cf:qualifier`` and
+the rowkey under its catalog ``col`` qualifier (one convention shared with
+``_physical_name`` and the DS reader, so rowkeys whose ``col`` differs from
+the logical name round-trip); ``load_table`` also accepts plain
 qualifier-named Parquet (``physical_naming="column"``) so external datasets
 (e.g. the driver's testdata) can be described by a catalog without rewrite.
 """
@@ -38,9 +40,13 @@ from spark_hbase_connector_spark.sources.catalog import (
 
 
 def _physical_name(cat: TableCatalog, logical: str, naming: str) -> str:
+    # ONE convention everywhere: the rowkey lives under ``col.column`` in
+    # both naming modes (write_table stores it there too). A catalog may
+    # declare a rowkey whose ``col`` differs from the logical name; mixing
+    # conventions made that round-trip read an all-NULL rowkey.
     col = cat.columns[logical]
     if col.is_rowkey:
-        return logical if naming == "column" else col.column
+        return col.column
     if naming == "column":
         return col.column
     if naming == "cf:col":
@@ -111,13 +117,17 @@ def write_table(
     cat = catalog if isinstance(catalog, TableCatalog) else parse_catalog(catalog)
     out = df
     renames = []
+    rowkey_phys = None
     for name, col in cat.columns.items():
-        phys = name if col.is_rowkey else f"{col.column_family}:{col.column}"
+        # rowkey stored under col.column — same convention as _physical_name
+        phys = col.column if col.is_rowkey else f"{col.column_family}:{col.column}"
+        if col.is_rowkey:
+            rowkey_phys = phys
         renames.append(F.col(name).alias(phys))
     out = out.select(*renames)
     if num_partitions:
-        out = out.repartitionByRange(num_partitions, F.col(cat.rowkey))
+        out = out.repartitionByRange(num_partitions, F.col(f"`{rowkey_phys}`"))
     else:
-        out = out.repartitionByRange(F.col(cat.rowkey))
-    out = out.sortWithinPartitions(cat.rowkey)
+        out = out.repartitionByRange(F.col(f"`{rowkey_phys}`"))
+    out = out.sortWithinPartitions(f"`{rowkey_phys}`")
     out.write.mode(mode).parquet(path)

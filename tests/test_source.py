@@ -78,6 +78,30 @@ def test_write_table_rowkey_sorted_roundtrip(spark, tmp_path):
     assert got == {(-1, "s-1"), (0, "s0"), (1, "s1")}
 
 
+def test_write_table_rowkey_phys_differs_from_logical(spark, tmp_path):
+    """A catalog may declare a rowkey whose physical qualifier differs from
+    the logical name; write->read must resolve BOTH through one convention
+    (regression: mixed conventions read an all-NULL rowkey)."""
+    cat = parse_catalog(
+        {
+            "table": "t:alias",
+            "rowkey": "id",
+            "columns": {
+                "id": {"cf": "rowkey", "col": "rk", "type": "long"},
+                "s": {"cf": "d", "col": "s", "type": "string"},
+            },
+        }
+    )
+    src = spark.createDataFrame([Row(id=i, s=f"s{i}") for i in range(10)])
+    out = str(tmp_path / "alias")
+    write_table(src, cat, out, num_partitions=2)
+    back = load_table(spark, cat, out, physical_naming="cf:col")
+    assert back.where(F.col("id").isNull()).count() == 0
+    assert {(r.id, r.s) for r in back.collect()} == {(i, f"s{i}") for i in range(10)}
+    # rowkey predicates still prune (non-NULL, typed)
+    assert back.where(F.col("id") >= 8).count() == 2
+
+
 def test_kv_fidelity_roundtrip(spark):
     cat = parse_catalog(
         {
