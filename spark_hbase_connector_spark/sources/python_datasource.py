@@ -174,9 +174,8 @@ class HbaseKVReader(DataSourceReader):
     def read(self, partition: FilePartition):
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.dataset as pads
 
-        table = pads.dataset(partition.path, format="parquet").to_table()
+        table, rest = self._scan(partition)
         # project to the catalog's logical columns (missing cell -> NULL)
         arrays, fields = [], []
         for field in self.out_schema.fields:
@@ -193,10 +192,76 @@ class HbaseKVReader(DataSourceReader):
                 pa.field(field.name, col.type if hasattr(col, "type") else target)
             )
         out = pa.table(dict(zip([f.name for f in fields], arrays)))
-        mask = self._compile_filters(out)
+        # only filters over ABSENT physical columns (phantom cells) remain;
+        # they are evaluated over the NULL-filled logical projection
+        mask = self._compile_filters(out, rest)
         if mask is not None:
             out = out.filter(mask)
         yield from out.to_batches()
+
+    def _scan(self, partition: FilePartition):
+        """Open one file with projection and predicates INSIDE the pyarrow
+        Parquet reader: ``columns=`` prunes to the catalog's physical
+        columns (the Python DS API exposes no narrower per-query column
+        set), ``filter=`` pushes every compilable pushed filter down to the
+        scan, where Parquet row-group statistics prune within the file —
+        the row-group-granular analogue of the partition-level rowkey
+        pruning in ``partitions()``. Returns (table, leftover_filters) —
+        leftovers are filters naming physical columns absent from the file.
+        """
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(partition.path, format="parquet")
+        present = set(ds.schema.names)
+        columns = [
+            self._phys(f.name)
+            for f in self.out_schema.fields
+            if self._phys(f.name) in present
+        ]
+        expr, rest = self._ds_filter_expr(present)
+        return ds.to_table(columns=columns, filter=expr), rest
+
+    def _ds_filter_expr(self, present: set[str]):
+        """AND of pushed filters as ONE pyarrow dataset expression over
+        physical column names; filters naming absent columns are returned
+        for post-projection evaluation (a missing cell decodes to NULL, so
+        e.g. IsNull over a phantom column is all-True)."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        expr = None
+        rest: list[Filter] = []
+        for f in self.pushed:
+            phys = self._phys(f.attribute[0])
+            if phys not in present:
+                rest.append(f)
+                continue
+            fld = pads.field(phys)
+            if isinstance(f, EqualTo):
+                e = fld == f.value
+            elif isinstance(f, In):
+                e = fld.isin(list(f.value))
+            elif isinstance(f, IsNull):
+                e = fld.is_null()
+            elif isinstance(f, IsNotNull):
+                e = fld.is_valid()
+            elif isinstance(f, LessThan):
+                e = fld < f.value
+            elif isinstance(f, LessThanOrEqual):
+                e = fld <= f.value
+            elif isinstance(f, GreaterThan):
+                e = fld > f.value
+            elif isinstance(f, GreaterThanOrEqual):
+                e = fld >= f.value
+            elif isinstance(f, StringStartsWith):
+                e = pc.starts_with(fld, f.value)
+            elif isinstance(f, StringContains):
+                e = pc.match_substring(fld, f.value)
+            else:  # pragma: no cover - pushFilters only accepts the above
+                rest.append(f)
+                continue
+            expr = e if expr is None else expr & e
+        return expr, rest
 
     # ------------------------------------------------------------ helpers --
     def _phys(self, logical: str) -> str:
@@ -235,13 +300,15 @@ class HbaseKVReader(DataSourceReader):
                 hi = max(vs) if hi is None else min(hi, max(vs))
         return lo, hi
 
-    def _compile_filters(self, table):
-        """Pushed Filter objects -> one pyarrow boolean mask (AND-combined),
-        the analogue of the reference's FilterList(MUST_PASS_ALL)."""
+    def _compile_filters(self, table, filters: list[Filter] | None = None):
+        """Filter objects -> one pyarrow boolean mask (AND-combined) over the
+        logical projection, the analogue of the reference's
+        FilterList(MUST_PASS_ALL). Defaults to every pushed filter; the scan
+        path passes only the leftovers the dataset reader couldn't take."""
         import pyarrow.compute as pc
 
         mask = None
-        for f in self.pushed:
+        for f in self.pushed if filters is None else filters:
             attr = f.attribute[0]
             col = table.column(attr)
             if isinstance(f, EqualTo):

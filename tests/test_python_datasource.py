@@ -91,6 +91,39 @@ def test_typed_negative_comparison(registered, sf_dir):
     assert got == expect > 0
 
 
+def test_scan_pushes_columns_and_filter_into_reader(spark, sf_dir):
+    """The pyarrow scan itself must receive the pruned column list and the
+    compiled predicate: the returned table has exactly the catalog's present
+    physical columns (file columns outside the catalog never materialize)
+    and is already filtered (only absent-column filters remain)."""
+    from pyspark.sql.datasource import GreaterThan, IsNull
+
+    cat = parse_catalog({**CATALOG, "columns": {k: dict(v) for k, v in CATALOG["columns"].items()}})
+    reader = HbaseKVReader(
+        catalog=cat,
+        schema=cat.to_struct_type(),
+        path=f"{sf_dir}/customer.parquet",
+        physical_naming="column",
+    )
+    leftover = list(reader.pushFilters([GreaterThan(("c_custkey",), 100), IsNull(("c_phantom",))]))
+    assert leftover == []
+    [part] = reader.partitions()
+    table, rest = reader._scan(part)
+    # projection pruned INSIDE the reader: catalog columns only (the file
+    # has more: c_nationkey, c_mktsegment, ...), phantom column absent
+    assert set(table.column_names) == {"c_custkey", "c_name", "c_acctbal"}
+    # predicate applied INSIDE the reader (custkeys are 0..149 -> 49 rows)
+    assert table.num_rows == 49
+    import pyarrow.compute as pc
+
+    assert pc.min(table.column("c_custkey")).as_py() > 100
+    # only the absent-column filter is left for post-projection evaluation
+    assert [type(f).__name__ for f in rest] == ["IsNull"]
+    # and end-to-end rows still come out right (phantom IS NULL -> all pass)
+    batches = list(reader.read(part))
+    assert sum(b.num_rows for b in batches) == 49
+
+
 def test_partition_pruning_by_rowkey_range(spark, tmp_path):
     """S8 parity done right: rowkey range bounds prune whole files before
     any read (the reference's unfixed TODO)."""
