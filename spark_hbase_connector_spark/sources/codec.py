@@ -114,10 +114,16 @@ def decode_date(b: bytes) -> dt.date:
 
 
 def encode_timestamp(v: dt.datetime) -> bytes:
-    """Timestamp -> epoch-millis long; naive datetimes are taken as UTC."""
+    """Timestamp -> epoch-millis long; naive datetimes are taken as UTC.
+
+    Exact integer arithmetic (timedelta floor-div): float64 epoch seconds
+    only carry ~5e-7 s precision, so ``int(v.timestamp() * 1000)`` can be
+    1 ms off for microsecond-precision inputs — breaking byte-level parity
+    with the reference's ``Bytes.toBytes(getTime)``.
+    """
     if v.tzinfo is None:
         v = v.replace(tzinfo=dt.timezone.utc)
-    millis = int(v.timestamp() * 1000)
+    millis = (v - _EPOCH_DT) // dt.timedelta(milliseconds=1)
     return encode_long(millis)
 
 
