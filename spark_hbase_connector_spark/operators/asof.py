@@ -64,12 +64,18 @@ def asof_join(
         .orderBy("__ts", "__side", "__tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+    # Carry ONE struct per right row (NULL on left rows), not the value
+    # columns individually: backward as-of attaches the latest right ROW
+    # even when an individual value in it is NULL (pd.merge_asof
+    # semantics). Per-column last(value, ignorenulls=True) would skip over
+    # a NULL in the newest row and resurrect an older value.
+    row_struct = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(f"__v_{c}") for c in value_cols])
     )
-    out_cols = [c for c in left_cols] + [f"{c}{suffix}" for c in value_cols]
+    carried = unioned.select(
+        "*", F.last(row_struct, ignorenulls=True).over(w).alias("__asof_row")
+    )
+    out_cols = [c for c in left_cols] + [
+        F.col(f"__asof_row.__v_{c}").alias(f"{c}{suffix}") for c in value_cols
+    ]
     return carried.where(F.col("__side") == 1).select(*out_cols)

@@ -13,6 +13,7 @@ from spark_hbase_connector_spark.streaming.events import (
     run_stream_to_memory,
     session_window_agg,
     tumbling_window_agg,
+    tumbling_window_agg_watermarked,
 )
 
 
@@ -34,10 +35,38 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_tumbling_watermarked",
+    oracle="""
+    WITH agg AS (
+      SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start,
+             event_type, count(*) AS n, round(sum(value), 4) AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT agg.* FROM agg, wm WHERE window_start + INTERVAL 15 MINUTE <= w
+    """,
+    tags=("streaming", "watermark"),
+)
+def streaming_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked tumbling windows — the bounded-state
+    production shape: a window is emitted exactly once, when the event-time
+    watermark (max event time - 10 minutes) passes its end, and its state
+    is dropped. The batch oracle replays the emission rule: only windows
+    whose end <= final watermark appear (still-open trailing windows are
+    never emitted on a finite input)."""
+    stream = events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        tumbling_window_agg_watermarked(stream, "15 minutes", "10 minutes"),
+        spark,
+        mode="append",
+    )
+
+
+@query(
     "streaming_session_windows",
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
@@ -46,7 +75,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM gaps
@@ -59,6 +88,10 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (30-minute gap) streaming aggregation; oracle is
-    the equivalent batch gap-chaining sessionization."""
+    the equivalent batch gap-chaining sessionization. Boundary semantics
+    verified empirically: Spark MERGES an event at exactly prev_ts + gap
+    into the running session, so the oracle's new-session predicate is the
+    strict ``ts - lag(ts) > gap``; equal-timestamp ordering is pinned with
+    an event_id tiebreak in both window clauses."""
     stream = events_stream(spark, sf_dir)
     return run_stream_to_memory(session_window_agg(stream, "30 minutes"), spark)

@@ -13,10 +13,10 @@ complete engine needs, Spark-first:
   a memory sink (processAllAvailable) — the local test harness; production
   would writeStream to kafka/parquet with checkpointing.
 
-Watermarking note: these helpers run in *complete*/*update* modes for the
-finite-batch harness; a production append-mode deployment adds
-``withWatermark("ts", <delay>)`` so state is bounded — the operators
-themselves are watermark-agnostic.
+Watermarking: ``tumbling_window_agg_watermarked`` is the append-mode
+bounded-state deployment shape (withWatermark + one-shot window emission);
+the unwatermarked helpers run in *complete*/*update* modes for the
+finite-batch harness.
 """
 
 from __future__ import annotations
@@ -60,6 +60,28 @@ def tumbling_window_agg(stream: DataFrame, width: str = "15 minutes") -> DataFra
     """Per-event-type counts/sums over epoch-aligned tumbling windows."""
     return (
         stream.groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def tumbling_window_agg_watermarked(
+    stream: DataFrame, width: str = "15 minutes", delay: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling windows for APPEND-mode deployment: state for a
+    window is finalized and emitted once the event-time watermark
+    (max event time - ``delay``) passes the window end, then dropped — the
+    bounded-state production shape (complete/update modes keep all windows
+    in state forever). Windows still open when the input ends are never
+    emitted; a batch oracle must exclude them the same way."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", width), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),

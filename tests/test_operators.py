@@ -40,6 +40,23 @@ def test_asof_join_basic(spark):
     assert got == {1: 2.0, 2: 3.0, 3: None}
 
 
+def test_asof_join_latest_row_wins_even_if_value_null(spark):
+    """Backward as-of attaches the latest right ROW; a NULL value in it must
+    come through as NULL, not resurrect an older non-NULL value
+    (pd.merge_asof semantics)."""
+    left = spark.createDataFrame([Row(k="a", lts=_ts(30), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts=_ts(0), v=1.0, rid=100),
+            Row(k="a", rts=_ts(20), v=None, rid=101),  # latest row, NULL value
+        ]
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", value_cols=["v"], tiebreak="rid"
+    )
+    assert out.collect()[0].v_asof is None
+
+
 def test_asof_join_tiebreak_same_ts(spark):
     left = spark.createDataFrame([Row(k="a", lts=_ts(10), lid=1)])
     right = spark.createDataFrame(
