@@ -58,19 +58,49 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     return cols
 
 
+def _replan_without_aqe(df: DataFrame) -> DataFrame | None:
+    """Re-plan the same logical plan in a CLONED session with AQE off.
+
+    Cloned sessions share the SparkContext/cache but have independent conf,
+    so the probe never mutates (or races with) the user's session state."""
+    spark = df.sparkSession
+    try:
+        probe = spark.newSession()
+        probe.conf.set("spark.sql.adaptive.enabled", "false")
+        jvm = spark.sparkContext._jvm
+        for cls in (
+            "org.apache.spark.sql.classic.Dataset",
+            "org.apache.spark.sql.Dataset",
+        ):
+            try:
+                jdf = getattr(jvm, cls).ofRows(
+                    probe._jsparkSession, df._jdf.logicalPlan()
+                )
+                return DataFrame(jdf, probe)
+            except Exception:
+                continue
+    except Exception:
+        pass
+    return None
+
+
 def whole_stage_codegen_count(df: DataFrame) -> int:
     """Number of distinct whole-stage-codegen spans in the physical plan
     (formatted explain tags operators with ``[codegen id : N]``)."""
     # Under AQE the pre-execution plan is opaque (AdaptiveSparkPlan wrapper
-    # hides codegen subtrees until runtime); explain() re-plans with current
-    # session conf, so toggle AQE off just for this probe.
-    spark = df.sparkSession
-    old = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        text = explain_string(df, "codegen")
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old)
+    # hides codegen subtrees until runtime); explain() re-plans with session
+    # conf, so probe through a cloned session with AQE off.
+    probe_df = _replan_without_aqe(df)
+    if probe_df is not None:
+        text = explain_string(probe_df, "codegen")
+    else:  # fallback (e.g. Spark Connect): toggle-and-restore on the session
+        spark = df.sparkSession
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            text = explain_string(df, "codegen")
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old)
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
     return int(m.group(1)) if m else 0
 
