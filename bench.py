@@ -40,6 +40,11 @@ def main() -> None:
     for name, spec in bench_specs.items():
         runs = []
         for _ in range(RUNS):
+            # drop persisted relations so every run pays its operator's own
+            # intermediate materialization (CacheManager would otherwise
+            # serve run 2+ from run 1's persisted postings — warm-session
+            # timing is the protocol, cross-run result reuse is not)
+            spark.catalog.clearCache()
             t0 = time.time()
             materialize(spec.fn(spark, sf_dir))
             runs.append(time.time() - t0)
