@@ -17,6 +17,7 @@ from spark_hbase_connector_spark.operators.dedup import (
     shingle_jaccard_pairs,
     simhash_pairs,
 )
+from spark_hbase_connector_spark.operators.graph import connected_components
 from spark_hbase_connector_spark.operators.multimodal import (
     attach_payload,
     extract_media_meta,
@@ -160,6 +161,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted (tests/test_operators.py proves banded == brute force)."""
     d = load(spark, sf_dir, "documents")
     return simhash_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes sa ON id1 = sa.doc_id
+      JOIN sizes sb ON id2 = sb.doc_id
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.85
+    ),
+    edges AS (SELECT id1 AS a, id2 AS b FROM prs
+              UNION ALL SELECT id2, id1 FROM prs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """,
+    tags=("dedup", "graph"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components (min-label
+    propagation over DataFrame joins) on the exact Jaccard>=0.85 near-dup
+    pair graph; component id = smallest doc_id in the cluster. The oracle
+    replays the pairs plus a recursive-CTE reachability closure."""
+    d = load(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(d, "text", "doc_id", threshold=0.85)
+    comp = connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
 # ----------------------------------------------------------- similarity ----
