@@ -72,3 +72,40 @@ def extract_media_meta(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(decode_batches, schema=META_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, frame_size: int = 256, stride: int = 4
+) -> DataFrame:
+    """Frame-sample a binary payload: split into fixed-size byte frames,
+    keep every ``stride``-th full frame, emit its content hash — the video
+    keyframe-extraction shape (real decoders would seek keyframes; the
+    byte-window slicing, fan-out row multiplication, and Arrow batching are
+    the part Spark owns either way). Payload bytes are sliced in-worker;
+    only (id, frame_index, frame_hash) rows leave the task, so output size
+    is decoupled from payload size — at 100 TB the payload column never
+    shuffles.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids: list = []
+            idxs: list[int] = []
+            hs: list[str] = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                for k in range(0, len(b) // frame_size, stride):
+                    ids.append(i)
+                    idxs.append(k)
+                    hs.append(
+                        hashlib.md5(b[k * frame_size : (k + 1) * frame_size]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"id": ids, "frame_index": pd.array(idxs, dtype="int32"), "frame_hash": hs}
+            )
+
+    return assets.mapInPandas(gen, schema="id long, frame_index int, frame_hash string")

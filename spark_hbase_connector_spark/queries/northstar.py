@@ -21,6 +21,7 @@ from spark_hbase_connector_spark.operators.graph import connected_components
 from spark_hbase_connector_spark.operators.multimodal import (
     attach_payload,
     extract_media_meta,
+    sample_frames,
 )
 from spark_hbase_connector_spark.operators.similarity import (
     brute_force_topk,
@@ -442,6 +443,81 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rabin-Karp-style rolling hash parameters: token hash = first 7 md5 hex
+# chars (< 2^28, replayable in DuckDB), Horner fold with B=31 mod the
+# Mersenne prime 2^31-1. acc*31 + th < 2^36 — exact in int64 on both sides.
+_RH_P = 2_147_483_647
+_RH_B = 31
+
+
+@query(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             [0::BIGINT] || list_transform(string_split(text, ' '),
+                            t -> ('0x' || substr(md5(t), 1, 7))::BIGINT),
+             (acc, th) -> (acc * {_RH_B} + th) % {_RH_P}
+           ) AS rolling_fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-SENSITIVE document fingerprint: polynomial rolling hash over
+    the token stream (Horner fold, exact int64 arithmetic) — complements the
+    order-insensitive ``dedup_fingerprint``. Token hashes are md5-derived so
+    the DuckDB oracle replays the exact same integers."""
+    d = load(spark, sf_dir, "documents")
+    th = "CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT)"
+    fold = (
+        f"aggregate(split(text, ' '), CAST(0 AS BIGINT),"
+        f" (acc, t) -> (acc * {_RH_B} + {th}) % {_RH_P})"
+    )
+    return d.select("doc_id", F.expr(fold).alias("rolling_fp"))
+
+
+# BPE-ish pre-tokenization: runs of letters | runs of digits | runs of
+# other non-space chars — the classic byte-level BPE split shape. The
+# alternatives are disjoint character classes, so Java-regex (Spark) and
+# RE2 (DuckDB) agree exactly.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@query(
+    "text_regex_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS n_pieces,
+           CAST(len(list_filter(regexp_extract_all(text, '{_BPE_RE}'),
+                p -> regexp_matches(p, '^[A-Za-z]+$'))) AS INTEGER) AS n_alpha,
+           CAST(len(list_filter(regexp_extract_all(text, '{_BPE_RE}'),
+                p -> regexp_matches(p, '^[0-9]+$'))) AS INTEGER) AS n_num
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letter runs / digit runs / punctuation
+    runs), alongside the whitespace counts of ``text_token_stats``."""
+    d = load(spark, sf_dir, "documents")
+    pieces = F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")
+    n_alpha = F.expr(
+        f"size(filter(regexp_extract_all(text, '{_BPE_RE}', 0),"
+        f" p -> p rlike '^[A-Za-z]+$'))"
+    )
+    n_num = F.expr(
+        f"size(filter(regexp_extract_all(text, '{_BPE_RE}', 0),"
+        f" p -> p rlike '^[0-9]+$'))"
+    )
+    return d.select(
+        "doc_id",
+        F.size(pieces).cast("int").alias("n_pieces"),
+        n_alpha.cast("int").alias("n_alpha"),
+        n_num.cast("int").alias("n_num"),
+    )
+
+
 _LANG_STOPS = {
     "en": "'the','a','of','and','to'",
     "de": "'der','die','das','und','ist'",
@@ -514,3 +590,30 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     assets = attach_payload(d, "text", "doc_id")
     return extract_media_meta(assets)
+
+
+@query(
+    "multimodal_framesample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text, length(text) // 256 AS n_frames FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, n_frames, 4)) AS i
+      FROM f WHERE n_frames > 0
+    )
+    SELECT doc_id AS id, CAST(i AS INTEGER) AS frame_index,
+           md5(substr(text, i * 256 + 1, 256)) AS frame_hash
+    FROM idx
+    """,
+    tags=("multimodal",),
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-style sampling over binary payloads: 256-byte frames, every
+    4th kept, hashed in-worker (only hashes leave the task). Payloads are
+    the UTF-8 text bytes (all-ASCII testdata, verified), so the oracle can
+    replay the byte windows with string slicing."""
+    d = load(spark, sf_dir, "documents")
+    assets = attach_payload(d, "text", "doc_id")
+    return sample_frames(assets, frame_size=256, stride=4)
