@@ -146,6 +146,35 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*) AS n,
+           round(sum(l.l_extendedprice), 4) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim equi-join (operators.skew.salted_join): each fact key
+    is spread over 8 salt sub-keys and the orders side replicated 8x, so a
+    hot orderkey lands on 8 reducers instead of one. Semantics are provably
+    identical to the plain join — the oracle IS the plain join."""
+    from spark_hbase_connector_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, o, on="l_orderkey", salt=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+    )
+
+
+@query(
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
