@@ -54,21 +54,49 @@ def _physical_name(cat: TableCatalog, logical: str, naming: str) -> str:
     raise ValueError(f"unknown physical_naming {naming!r}")
 
 
+def _physical_schema(cat: TableCatalog, naming: str):
+    """StructType over physical column names — csv/json have no embedded
+    schema, so the catalog supplies one (typed reads, no inference pass)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField(_physical_name(cat, name, naming), col.spark_type(name))
+            for name, col in cat.columns.items()
+        ]
+    )
+
+
 def load_table(
     spark: SparkSession,
     catalog: str | dict | TableCatalog,
     path: str,
     physical_naming: str = "column",
+    data_format: str = "parquet",
 ) -> DataFrame:
-    """Load a catalog-described Parquet dataset as a logical DataFrame.
+    """Load a catalog-described dataset as a logical DataFrame.
 
     Missing physical columns surface as NULL columns of the declared type —
     the sparse-cell semantics of the reference (a row without the cell
     decodes to NULL, ``HbasePartitionReader.scala:58``); a catalog may
     declare columns never written (FIXTURES.md fixture 1, column ``c``).
+
+    ``data_format``: parquet (default; full pushdown + row-group pruning),
+    csv, or json. Text formats read with the catalog-derived schema (no
+    inference scan); predicate pushdown still prunes partitions/rows where
+    the format supports it, but only parquet carries column statistics.
     """
     cat = catalog if isinstance(catalog, TableCatalog) else parse_catalog(catalog)
-    raw = spark.read.parquet(path)
+    if data_format == "parquet":
+        raw = spark.read.parquet(path)
+    elif data_format == "csv":
+        raw = spark.read.schema(_physical_schema(cat, physical_naming)).csv(
+            path, header=True
+        )
+    elif data_format == "json":
+        raw = spark.read.schema(_physical_schema(cat, physical_naming)).json(path)
+    else:
+        raise ValueError(f"unknown data_format {data_format!r}")
     available = set(raw.columns)
     projections = []
     for name, col in cat.columns.items():
@@ -105,6 +133,7 @@ def write_table(
     path: str,
     num_partitions: int | None = None,
     mode: str = "overwrite",
+    data_format: str = "parquet",
 ) -> None:
     """Write a logical DataFrame as a rowkey-sorted Parquet dataset.
 
@@ -130,4 +159,14 @@ def write_table(
     else:
         out = out.repartitionByRange(F.col(f"`{rowkey_phys}`"))
     out = out.sortWithinPartitions(f"`{rowkey_phys}`")
-    out.write.mode(mode).parquet(path)
+    writer = out.write.mode(mode)
+    if data_format == "parquet":
+        writer.parquet(path)
+    elif data_format == "csv":
+        # same range-partitioned sorted layout; no column stats in csv, so
+        # rowkey pruning falls back to full scans — use parquet at scale
+        writer.option("header", True).csv(path)
+    elif data_format == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unknown data_format {data_format!r}")

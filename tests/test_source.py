@@ -102,6 +102,34 @@ def test_write_table_rowkey_phys_differs_from_logical(spark, tmp_path):
     assert back.where(F.col("id") >= 8).count() == 2
 
 
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_write_load_text_formats_roundtrip(spark, tmp_path, fmt):
+    """CSV/JSON source paths: catalog-typed read (no inference), cf:col
+    physical naming, same rowkey-sorted layout discipline."""
+    cat = parse_catalog(
+        {
+            "table": f"t:{fmt}",
+            "rowkey": "k",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "k", "type": "long"},
+                "s": {"cf": "d", "col": "s", "type": "string"},
+                "v": {"cf": "d", "col": "v", "type": "double"},
+                "flag": {"cf": "d", "col": "flag", "type": "boolean"},
+            },
+        }
+    )
+    src = spark.createDataFrame(
+        [Row(k=i, s=f"s{i}", v=float(i) / 4, flag=i % 2 == 0) for i in range(-20, 20)]
+    )
+    out = str(tmp_path / fmt)
+    write_table(src, cat, out, num_partitions=3, data_format=fmt)
+    back = load_table(spark, cat, out, physical_naming="cf:col", data_format=fmt)
+    assert [f.name for f in back.schema.fields] == ["k", "s", "v", "flag"]
+    assert back.count() == 40
+    got = {(r.k, r.s, r.v, r.flag) for r in back.where(F.col("k").between(-2, 1)).collect()}
+    assert got == {(i, f"s{i}", i / 4, i % 2 == 0) for i in range(-2, 2)}
+
+
 def test_kv_fidelity_roundtrip(spark):
     cat = parse_catalog(
         {
