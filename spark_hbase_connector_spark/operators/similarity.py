@@ -139,21 +139,62 @@ def assign_cells(
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by cosine.
 
-    Centroids are broadcast; one pass over the vectors, no shuffle of the
-    corpus (the window is per-vector, computed after an explode of at most
-    n_centroids candidates — partitioned by the vector id).
+    The centroid matrix (small by construction) is collected, L2-handled
+    and broadcast to workers; assignment is ONE ``mapInPandas`` scan of the
+    vectors with a single numpy matmul per Arrow batch and an in-worker
+    top-``nprobe`` selection — zero shuffle, zero row explosion. (The
+    previous shape — a vectors x centroids cross join scored by a per-pair
+    pandas UDF, then a per-vector window — shipped every vector
+    n_centroids times through Arrow and paid a full shuffle for the
+    window.) Ties broken on cell_id ascending, matching the SQL oracles.
     """
-    v = vectors.select(F.col(v_id).alias("__vid"), F.col(v_vec).alias("__vv"))
-    c = centroids.select(F.col(cent_id).alias("cell_id"), F.col(cent_vec).alias("__cv"))
-    scored = v.crossJoin(F.broadcast(c)).select(
-        "__vid", "cell_id", cosine_arrow("__vv", "__cv").alias("__sim")
-    )
-    w = Window.partitionBy("__vid").orderBy(F.col("__sim").desc(), F.col("cell_id"))
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= nprobe)
-        .select(F.col("__vid").alias(v_id), "cell_id")
-    )
+    import numpy as np
+    import pandas as pd
+
+    c_rows = centroids.select(cent_id, cent_vec).collect()  # small side
+    cids = [r[0] for r in c_rows]
+    C = np.vstack([np.asarray(r[1], dtype=np.float64) for r in c_rows])
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+    keep = cn > 0
+    cids = [i for i, ok in zip(cids, keep) if ok]
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((cids, C[keep], cn[keep]))
+
+    v_type = vectors.schema[v_id].dataType.simpleString()
+    cell_type = centroids.schema[cent_id].dataType.simpleString()
+    src = vectors.select(F.col(v_id).alias("__vid"), F.col(v_vec).alias("__vv"))
+
+    def gen(batches):
+        b_cids, b_C, b_cn = bc.value
+        m = len(b_cids)
+        if m == 0:
+            return
+        for pdf in batches:
+            rows = [i for i in range(len(pdf)) if pdf["__vv"].iloc[i] is not None]
+            if not rows:
+                continue
+            V = np.vstack(
+                [np.asarray(pdf["__vv"].iloc[i], dtype=np.float64) for i in rows]
+            )
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            ok = vn > 0
+            if not ok.any():
+                continue
+            V = V[ok]
+            vids = [pdf["__vid"].iloc[rows[i]] for i in np.flatnonzero(ok)]
+            S = (V @ b_C.T) / (vn[ok][:, None] * b_cn[None, :])
+            out_v: list = []
+            out_c: list = []
+            for r in range(S.shape[0]):
+                s = S[r]
+                # total order: sim desc, cell_id asc — same as the window
+                top = sorted(range(m), key=lambda j: (-s[j], b_cids[j]))[:nprobe]
+                for j in top:
+                    out_v.append(vids[r])
+                    out_c.append(b_cids[j])
+            yield pd.DataFrame({v_id: out_v, "cell_id": out_c})
+
+    return src.mapInPandas(gen, schema=f"{v_id} {v_type}, cell_id {cell_type}")
 
 
 def ivf_topk(
