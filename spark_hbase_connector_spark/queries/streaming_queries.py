@@ -63,6 +63,24 @@ def streaming_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "streaming_dedup_distinct",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming deduplication: dropDuplicates over the stream
+    keeps per-key state across micro-batches and emits each (user_id,
+    event_type) exactly once (append mode) — the streaming half of the
+    dedup story; on a finite input it equals batch DISTINCT. Production
+    bounds the state with withWatermark + the event-time column in the key."""
+    stream = events_stream(spark, sf_dir)
+    dedup = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_stream_to_memory(dedup, spark, mode="append")
+
+
+@query(
     "streaming_session_windows",
     oracle="""
     WITH gaps AS (

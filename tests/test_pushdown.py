@@ -95,3 +95,35 @@ def test_aggregation_stays_in_codegen(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
     assert whole_stage_codegen_count(q) >= 1
+
+
+def test_q6_all_predicates_reach_scan(spark, sf_dir):
+    """Q6 is the pushdown-or-die query: every one of its predicates must be
+    a PushedFilter, and the scan must read only the 4 referenced columns."""
+    from spark_hbase_connector_spark.queries.relational import q6_forecast_revenue
+
+    q = q6_forecast_revenue(spark, sf_dir)
+    s = _pushed(q)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in s, f"{frag} not in {s}"
+    assert_columns_pruned(
+        q, {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    )
+
+
+def test_q10_broadcasts_dims_and_takes_ordered(spark, sf_dir):
+    """Q10's plan shape: customer and nation joined via broadcast (no
+    shuffle of the fact side for dims), top-20 via TakeOrderedAndProject
+    (never a global sort)."""
+    from spark_hbase_connector_spark.plans.audit import explain_string
+    from spark_hbase_connector_spark.queries.relational import q10_returned_items
+
+    text = explain_string(q10_returned_items(spark, sf_dir))
+    assert text.count("BroadcastHashJoin") >= 2, text
+    assert "TakeOrderedAndProject" in text, text
