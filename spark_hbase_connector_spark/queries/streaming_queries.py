@@ -11,6 +11,7 @@ from spark_hbase_connector_spark.queries.registry import query
 from spark_hbase_connector_spark.streaming.events import (
     events_stream,
     run_stream_to_memory,
+    running_totals_stateful,
     session_window_agg,
     tumbling_window_agg,
     tumbling_window_agg_watermarked,
@@ -78,6 +79,25 @@ def streaming_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     return run_stream_to_memory(dedup, spark, mode="append")
+
+
+@query(
+    "streaming_running_totals",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_value
+    FROM events
+    """,
+    tags=("streaming", "stateful"),
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals, state carried across micro-batches; oracle is the batch
+    cumulative-sum window (same sequential fp summation order)."""
+    stream = events_stream(spark, sf_dir)
+    return run_stream_to_memory(running_totals_stateful(stream), spark, mode="append")
 
 
 @query(

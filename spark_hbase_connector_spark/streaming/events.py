@@ -106,6 +106,49 @@ def session_window_agg(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def running_totals_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running value totals. State = one double per user carried across
+    micro-batches; within a batch the group's rows are ordered by
+    (ts, event_id) and emitted with their cumulative sum — deterministic,
+    so a batch window-function oracle replays it exactly. This is the
+    escape hatch for stateful semantics Spark's built-in streaming
+    operators can't express (custom session logic, CDC merge, online
+    feature updates); state is per-key and partitioned, so it scales like
+    any keyed aggregation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        carried = state.get[0] if state.exists else 0.0
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        rows = pd.concat(parts)
+        rows = rows.sort_values(["ts", "event_id"])
+        running = carried + rows["value"].cumsum()
+        state.update((float(running.iloc[-1]),))
+        yield pd.DataFrame(
+            {
+                "user_id": rows["user_id"],
+                "event_id": rows["event_id"],
+                "running_value": running.round(4),
+            }
+        )
+
+    return (
+        stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, event_id long, running_value double",
+            stateStructType="total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     result: DataFrame, spark: SparkSession, mode: str = "complete"
 ) -> DataFrame:
