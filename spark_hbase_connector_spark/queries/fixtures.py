@@ -89,6 +89,158 @@ _PEOPLE_ORACLE_SRC = f"""
 """
 
 
+ATM_CATALOG = {
+    "table": "fixtures:atm",
+    "rowkey": "key",
+    "columns": {
+        "key": {"cf": "rowkey", "col": "key", "type": "string"},
+        "chinese_name": {"cf": "info", "col": "cn", "type": "string"},
+    },
+}
+
+# bank names as in the reference's t_atm_info shape (CJK — exercises
+# non-ASCII UTF-8 through write/read and string comparison)
+_ATM_NAMES = ["工商银行", "建设银行", "农业银行", "中国银行", "交通银行"]
+
+
+def atm_df(spark: SparkSession) -> DataFrame:
+    """Fixture 2: 1000 rows, 32-hex-uppercase string rowkey (md5-derived,
+    deterministic), CJK attribute strings (FIXTURES.md fixture 2)."""
+    return spark.range(1, 1001).select(
+        F.upper(F.md5(F.concat(F.lit("atm"), F.col("id")))).alias("key"),
+        F.element_at(
+            F.array(*[F.lit(n) for n in _ATM_NAMES]),
+            (F.col("id") % len(_ATM_NAMES) + 1).cast("int"),
+        ).alias("chinese_name"),
+    )
+
+
+_ATM_ORACLE_SRC = f"""
+    atm AS (
+      SELECT upper(md5('atm' || i)) AS key,
+             (['{_ATM_NAMES[0]}', '{_ATM_NAMES[1]}', '{_ATM_NAMES[2]}',
+               '{_ATM_NAMES[3]}', '{_ATM_NAMES[4]}'])[(i % 5 + 1)::INTEGER]
+               AS chinese_name
+      FROM range(1, 1001) t(i)
+    )
+"""
+
+
+@query(
+    "atm_key_range_desc",
+    oracle=f"""
+    WITH {_ATM_ORACLE_SRC}
+    SELECT key, chinese_name FROM atm
+    WHERE key <= '88888888888888888888888888888888'
+    ORDER BY key DESC
+    """,
+    tags=("fixture", "scan", "utf8"),
+)
+def atm_key_range_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference fixture 2 (JavaDatasourceTest.java:40): STRING-rowkey range
+    + global DESC sort over a write_table round-trip — string rowkey range
+    pruning, UTF-8 (CJK) values, lexicographic ordering parity."""
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        "spark_hbase_connector_fixtures",
+        "atm",
+    )
+    write_table(atm_df(spark), ATM_CATALOG, path, num_partitions=4)
+    atm = load_table(spark, ATM_CATALOG, path, physical_naming="cf:col")
+    return (
+        atm.where(F.col("key") <= "88888888888888888888888888888888")
+        .orderBy(F.col("key").desc())
+        .select("key", "chinese_name")
+    )
+
+
+EDGE_CATALOG = {
+    "table": "fixtures:edge",
+    "rowkey": "k",
+    "columns": {
+        "k": {"cf": "rowkey", "col": "k", "type": "long"},
+        "sint": {"cf": "d", "col": "sint", "type": "int"},
+        "sfloat": {"cf": "d", "col": "sfloat", "type": "double"},
+        "dec": {"cf": "d", "col": "dec", "type": "decimal(12,2)"},
+        "s": {"cf": "d", "col": "s", "type": "string"},
+        "bin": {"cf": "d", "col": "bin", "type": "binary"},
+    },
+}
+
+
+def edge_df(spark: SparkSession) -> DataFrame:
+    """Fixture 3 (FIXTURES.md): negative rowkeys, signed ints, ±0.0
+    doubles, decimal(12,2) (a type the reference lacks), empty-vs-NULL
+    strings, raw binary."""
+    i = F.col("id")
+    return spark.range(-100, 100).select(
+        i.alias("k"),
+        (i * 3).cast("int").alias("sint"),
+        F.when(i % 7 == 0, F.lit(-0.0)).otherwise(i / 8).alias("sfloat"),
+        ((i * 37 % 100000) / 100).cast("decimal(12,2)").alias("dec"),
+        F.when(i % 5 == 0, F.lit(None).cast("string"))
+        .when(i % 5 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("edge"), i))
+        .alias("s"),
+        F.encode(F.concat(F.lit("b"), i), "UTF-8").alias("bin"),
+    )
+
+
+_EDGE_ORACLE_SRC = """
+    edge AS (
+      SELECT i AS k,
+             (i * 3)::INTEGER AS sint,
+             CASE WHEN i % 7 = 0 THEN -0.0 ELSE i / 8.0 END AS sfloat,
+             CAST((i * 37 % 100000) / 100.0 AS DECIMAL(12,2)) AS dec,
+             CASE WHEN i % 5 = 0 THEN NULL
+                  WHEN i % 5 = 1 THEN ''
+                  ELSE 'edge' || i END AS s,
+             'b' || i AS bin_str
+      FROM range(-100, 100) t(i)
+    )
+"""
+
+
+@query(
+    "edge_typed_predicates",
+    oracle=f"""
+    WITH {_EDGE_ORACLE_SRC}
+    SELECT k, sint, round(sfloat, 4) AS sfloat,
+           CAST(dec AS DOUBLE) AS dec_d,
+           coalesce(s, '<NULL>') AS s_display,
+           md5(bin_str) AS bin_md5
+    FROM edge
+    WHERE k < -40 OR (sint >= -15 AND sint <= 15) OR s = ''
+    """,
+    tags=("fixture", "codec", "scan"),
+)
+def edge_typed_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture 3: typed predicate semantics the reference gets wrong
+    (negative numbers under unsigned byte-order comparison) plus
+    decimal(12,2) and binary columns the reference cannot express — all
+    through a write_table/load_table round-trip. Output normalizes decimal
+    to double and binary to md5 so both engines compare identically;
+    NULL-vs-empty-string distinction is asserted via the coalesce marker."""
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        "spark_hbase_connector_fixtures",
+        "edge",
+    )
+    write_table(edge_df(spark), EDGE_CATALOG, path, num_partitions=4)
+    edge = load_table(spark, EDGE_CATALOG, path, physical_naming="cf:col")
+    mod = (F.col("k") < -40) | (
+        (F.col("sint") >= -15) & (F.col("sint") <= 15)
+    ) | (F.col("s") == "")
+    return edge.where(mod).select(
+        "k",
+        "sint",
+        F.round("sfloat", 4).alias("sfloat"),
+        F.col("dec").cast("double").alias("dec_d"),
+        F.coalesce(F.col("s"), F.lit("<NULL>")).alias("s_display"),
+        F.md5(F.col("bin")).alias("bin_md5"),
+    )
+
+
 @query(
     "people_flagship",
     oracle=f"""
