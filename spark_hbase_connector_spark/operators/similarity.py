@@ -238,6 +238,82 @@ def ivf_topk(
     )
 
 
+def train_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    v_id: str = "vec_id",
+    v_vec: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means (cosine assignment, mean update) to train IVF coarse
+    centroids. Deterministic: init = the k vectors with smallest ids.
+
+    Scale shape: each iteration is ONE ``mapInPandas`` scan emitting k
+    partial (sum, count) rows per Arrow batch — the map-side-combine
+    pattern — so the driver only ever reduces ``k x n_batches`` small rows,
+    never touches vectors. No shuffle at any point; the corpus is read
+    ``iters`` times (cache it upstream if iterating many times).
+    Returns (cell_id: int, embedding: array<double>), ready for
+    ``ivf_topk`` / ``cosine_pairs_lsh``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    init = vectors.orderBy(v_id).limit(k).select(v_vec).collect()
+    C = np.vstack([np.asarray(r[0], dtype=np.float64) for r in init])
+    sc = vectors.sparkSession.sparkContext
+    src = vectors.select(F.col(v_vec).alias("__v"))
+
+    for _ in range(iters):
+        bC = sc.broadcast(C)
+
+        def gen(batches):
+            Cl = bC.value
+            kk = Cl.shape[0]
+            cn = np.sqrt(np.einsum("ij,ij->i", Cl, Cl))
+            cn[cn == 0] = 1.0
+            Cn = Cl / cn[:, None]
+            sums = np.zeros_like(Cl)
+            counts = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                vals = [v for v in pdf["__v"] if v is not None]
+                if not vals:
+                    continue
+                V = np.vstack([np.asarray(v, dtype=np.float64) for v in vals])
+                vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+                ok = vn > 0
+                if not ok.any():
+                    continue
+                V = V[ok]
+                a = np.argmax((V / vn[ok][:, None]) @ Cn.T, axis=1)
+                np.add.at(sums, a, V)
+                counts += np.bincount(a, minlength=kk)
+            yield pd.DataFrame(
+                {
+                    "cell": pd.array(range(kk), dtype="int32"),
+                    "cnt": pd.array(counts, dtype="int64"),
+                    "vsum": [row.tolist() for row in sums],
+                }
+            )
+
+        parts = src.mapInPandas(
+            gen, schema="cell int, cnt long, vsum array<double>"
+        ).toPandas()
+        sums = np.zeros_like(C)
+        counts = np.zeros(C.shape[0], dtype=np.int64)
+        for _, r in parts.iterrows():
+            sums[r["cell"]] += np.asarray(r["vsum"])
+            counts[r["cell"]] += r["cnt"]
+        nonempty = counts > 0
+        C = np.where(nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C)
+
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(C.shape[0])],
+        "cell_id int, embedding array<double>",
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

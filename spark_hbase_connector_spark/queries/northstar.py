@@ -377,6 +377,99 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_recall_ivf",
+    oracle=f"""
+    WITH {_DUCK_VECS},
+    q AS (SELECT * FROM n WHERE vec_id < 10),
+    bscored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.e) + 1),
+                      i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS score
+      FROM q JOIN n c ON c.vec_id != q.vec_id
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rank
+        FROM bscored) WHERE rank <= 5
+    ),
+    cent AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 16),
+    sims AS (
+      SELECT x.vec_id, cent.cell_id,
+             list_sum(list_transform(range(1, len(x.e) + 1),
+                      i -> x.e[i] * cent.ce[i])) / (x.nrm * cent.cnrm) AS sim
+      FROM n x CROSS JOIN cent
+    ),
+    asgn AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+        FROM sims) WHERE r = 1
+    ),
+    qasgn AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+        FROM sims WHERE vec_id < 10) WHERE r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+      FROM qasgn qa JOIN asgn ca ON qa.cell_id = ca.cell_id
+      WHERE qa.vec_id != ca.vec_id
+    ),
+    iscored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list_transform(range(1, len(qq.e) + 1),
+                      i -> qq.e[i] * x.e[i])) / (qq.nrm * x.nrm) AS score
+      FROM cand c JOIN n qq ON qq.vec_id = c.query_id
+                  JOIN n x ON x.vec_id = c.neighbor_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rank
+        FROM iscored) WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           round(count(i.neighbor_id) * 1.0 / count(*), 4) AS recall_at_5
+    FROM brute b
+    LEFT JOIN ivf i ON b.query_id = i.query_id
+                   AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    """,
+    tags=("similarity", "ann", "eval"),
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the IVF approximate index
+    against the exact brute-force ground truth, per query — the QA gate a
+    production pipeline runs before trusting an approximate index. Both
+    sides are deterministic, so the recall values themselves are
+    oracle-checkable."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    centroids = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    brute = brute_force_topk(q, e, k=5).select("query_id", "neighbor_id")
+    ivf = ivf_topk(q, e, centroids, k=5, nprobe=2).select(
+        F.col("query_id").alias("iq"), F.col("neighbor_id").alias("inb")
+    )
+    return (
+        brute.join(
+            ivf,
+            (F.col("query_id") == F.col("iq")) & (F.col("neighbor_id") == F.col("inb")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.round(F.count("inb") / F.count(F.lit(1)), 4).alias("recall_at_5")
+        )
+    )
+
+
 # ------------------------------------------------------------------ text ----
 
 _EN_STOP = "'the','a','of','and','to','in','is','it'"

@@ -100,6 +100,40 @@ def test_simhash_banding_completeness(spark, sf_dir):
     assert banded == brute
 
 
+def test_train_centroids_recovers_blobs(spark):
+    """k-means (map-side-combine partials, no shuffle) must separate three
+    well-spaced synthetic blobs and be deterministic across runs."""
+    import numpy as np
+
+    from spark_hbase_connector_spark.operators.similarity import (
+        assign_cells,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0]])
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.3, 3)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_centroids(df, k=3, iters=4)
+    got = {tuple(r) for r in cents.select("cell_id").collect()}
+    assert got == {(0,), (1,), (2,)}
+    # every blob maps to exactly one cell and cells separate the blobs
+    asg = assign_cells(df, cents, nprobe=1).collect()
+    by_blob = {}
+    for r in asg:
+        by_blob.setdefault(r.vec_id % 3, set()).add(r.cell_id)
+    assert all(len(cells) == 1 for cells in by_blob.values())
+    assert len(set.union(*by_blob.values())) == 3
+    # deterministic
+    again = train_centroids(df, k=3, iters=4).collect()
+    first = cents.collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+
+
 def test_dedup_exact_counts(spark):
     df = spark.createDataFrame(
         [Row(id=1, t="x y z"), Row(id=2, t="x y z"), Row(id=3, t="q")]
