@@ -211,25 +211,91 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: compare queries only against corpus vectors in
     the query's ``nprobe`` nearest cells. Deterministic given a centroid set
-    (e.g. a fixed sample or k-means output stored as a table)."""
-    corpus_cells = assign_cells(corpus, centroids, c_id, c_vec, nprobe=1).withColumnRenamed(
-        c_id, "neighbor_id"
+    (a fixed sample, or ``train_centroids`` output stored as a table).
+
+    Scale shape: queries land on their probed cells via broadcast (the
+    query side is small by contract); the corpus is scanned once to attach
+    its cell and the per-cell scoring is one numpy matmul inside
+    ``mapInPandas`` with an in-batch top-k per (query, cell) — the corpus
+    vector never crosses the Arrow boundary more than once per probed
+    cell, and only candidate top-k rows (<= n_batches x |Q| x k) reach the
+    final window. A pair can surface via at most one cell (corpus cells
+    are nprobe=1), so no dedup pass is needed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # query-side: probed cells, collected + broadcast (small by contract)
+    query_cells = assign_cells(queries, centroids, q_id, q_vec, nprobe=nprobe)
+    qmap: dict = {}
+    q_rows = (
+        queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qv"))
+        .join(F.broadcast(query_cells.withColumnRenamed(q_id, "qid")), "qid")
+        .collect()
     )
-    query_cells = assign_cells(queries, centroids, q_id, q_vec, nprobe=nprobe).withColumnRenamed(
-        q_id, "query_id"
+    for r in q_rows:
+        v = np.asarray(r["qv"], dtype=np.float64)
+        n = float(np.sqrt(v @ v))
+        if n > 0:
+            qmap.setdefault(r["cell_id"], []).append((r["qid"], v, n))
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast(qmap)
+
+    q_type = queries.schema[q_id].dataType.simpleString()
+    c_type = corpus.schema[c_id].dataType.simpleString()
+    corpus_cells = assign_cells(corpus, centroids, c_id, c_vec, nprobe=1)
+    src = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("__cv")).join(
+        corpus_cells.withColumnRenamed(c_id, "neighbor_id"), "neighbor_id"
     )
-    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("__cv")).join(
-        corpus_cells, "neighbor_id"
+
+    def gen(batches):
+        cells = bq.value
+        if not cells:
+            return
+        for pdf in batches:
+            out_q: list = []
+            out_c: list = []
+            out_s: list = []
+            for cell_id, grp in pdf.groupby("cell_id"):
+                probes = cells.get(cell_id)
+                if not probes:
+                    continue
+                rows = [i for i in range(len(grp)) if grp["__cv"].iloc[i] is not None]
+                if not rows:
+                    continue
+                V = np.vstack(
+                    [np.asarray(grp["__cv"].iloc[i], dtype=np.float64) for i in rows]
+                )
+                vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+                ok = vn > 0
+                if not ok.any():
+                    continue
+                V = V[ok]
+                vns = vn[ok]
+                nids = [grp["neighbor_id"].iloc[rows[i]] for i in np.flatnonzero(ok)]
+                Q = np.vstack([p[1] for p in probes])
+                qn = np.array([p[2] for p in probes])
+                S = (V @ Q.T) / (vns[:, None] * qn[None, :])
+                for j, (qid, _, _) in enumerate(probes):
+                    s = S[:, j]
+                    if include_self:
+                        cand = np.arange(len(nids))
+                    else:
+                        cand = np.flatnonzero(np.array([c != qid for c in nids]))
+                    if len(cand) == 0:
+                        continue
+                    top = sorted(cand, key=lambda i: (-s[i], nids[i]))[:k]
+                    for i in top:
+                        out_q.append(qid)
+                        out_c.append(nids[i])
+                        out_s.append(s[i])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_c, "score": out_s}
+            )
+
+    scored = src.mapInPandas(
+        gen, schema=f"query_id {q_type}, neighbor_id {c_type}, score double"
     )
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv")).join(
-        F.broadcast(query_cells), "query_id"
-    )
-    joined = c.join(F.broadcast(q), "cell_id")
-    if not include_self:
-        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.select(
-        "query_id", "neighbor_id", cosine_arrow("__qv", "__cv").alias("score")
-    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

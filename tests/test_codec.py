@@ -84,3 +84,76 @@ def test_reference_unsigned_byte_order_defect_documented():
 def test_float_types_roundtrip_specials(t):
     for v in [0.0, -0.0, 1.5, -2.25]:
         assert codec.decode(t, codec.encode(t, v)) == v
+
+
+# ---- vectorized KV codec paths agree with the scalar codec, per value ----
+
+_VEC_INT_TYPES = ["byte", "short", "int", "long"]
+_VEC_RANGES = {"byte": 2**7, "short": 2**15, "int": 2**31, "long": 2**63}
+
+
+@given(st.data())
+def test_vectorized_encode_matches_scalar(data):
+    import pandas as pd
+
+    from spark_hbase_connector_spark.sources.kv import _encode_fixed_vec
+
+    t = data.draw(st.sampled_from(_VEC_INT_TYPES))
+    lim = _VEC_RANGES[t]
+    vals = data.draw(
+        st.lists(
+            st.one_of(st.none(), st.integers(min_value=-lim, max_value=lim - 1)),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    got = _encode_fixed_vec(t, pd.Series(vals, dtype=object))
+    want = [None if v is None else codec.encode(t, v) for v in vals]
+    assert list(got) == want
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_vectorized_double_roundtrip(vals):
+    import pandas as pd
+
+    from spark_hbase_connector_spark.sources.kv import (
+        _decode_fixed_vec,
+        _encode_fixed_vec,
+    )
+
+    enc = _encode_fixed_vec("double", pd.Series(vals, dtype=object))
+    assert list(enc) == [None if v is None else codec.encode("double", v) for v in vals]
+    dec = _decode_fixed_vec("double", enc)
+    for got, v in zip(dec, vals):
+        if v is None:
+            assert got is None or got is pd.NA
+        else:
+            assert got == v
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.datetimes(
+                min_value=dt.datetime(1900, 1, 1), max_value=dt.datetime(2100, 1, 1)
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_vectorized_timestamp_matches_scalar(vals):
+    import pandas as pd
+
+    from spark_hbase_connector_spark.sources.kv import _encode_fixed_vec
+
+    got = _encode_fixed_vec("timestamp", pd.Series(vals, dtype=object))
+    want = [None if v is None else codec.encode("timestamp", v) for v in vals]
+    assert list(got) == want
