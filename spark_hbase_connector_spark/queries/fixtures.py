@@ -89,6 +89,48 @@ _PEOPLE_ORACLE_SRC = f"""
 """
 
 
+@query(
+    "people_upsert_overlay",
+    oracle=f"""
+    WITH {_PEOPLE_ORACLE_SRC},
+    updates AS (
+      SELECT i::BIGINT AS id,
+             CASE WHEN i % 2 = 0 THEN 'renamed' || i ELSE NULL END AS name,
+             CAST(i % 97 AS INTEGER) AS age
+      FROM range(900, 1101) t(i)
+    ),
+    merged AS (
+      SELECT coalesce(u.id, p.id) AS id,
+             coalesce(u.name, p.name) AS name,
+             coalesce(u.age, p.age) AS age,
+             p.alive
+      FROM people p FULL OUTER JOIN updates u ON p.id = u.id
+    )
+    SELECT id, name, age, alive FROM merged
+    WHERE id >= 890 AND id <= 1110
+    """,
+    tags=("fixture", "upsert"),
+)
+def people_upsert_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase put semantics on immutable storage: a batch of sparse puts
+    (ids 900..1100; every odd put has no `name` cell) overlaid on the
+    people table. Update cells win, absent cells keep base values, new
+    rowkeys (1001..1100) are inserted with NULLs for never-put columns —
+    exactly a region server's view after the puts."""
+    from spark_hbase_connector_spark.operators.upsert import overlay_cells
+
+    base = people_df(spark).select("id", "name", "age", "alive")
+    i = F.col("id")
+    updates = spark.range(900, 1101).select(
+        i.cast("long").alias("id"),
+        F.when(i % 2 == 0, F.concat(F.lit("renamed"), i)).alias("name"),
+        (i % 97).cast("int").alias("age"),
+        F.lit(None).cast("boolean").alias("alive"),
+    )
+    merged = overlay_cells(base, updates, "id")
+    return merged.where((F.col("id") >= 890) & (F.col("id") <= 1110))
+
+
 ATM_CATALOG = {
     "table": "fixtures:atm",
     "rowkey": "key",

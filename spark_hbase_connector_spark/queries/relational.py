@@ -219,6 +219,36 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "correlated_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("subquery",),
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (complements the EXISTS coverage): orders
+    priced >1.5x their customer's average. Catalyst de-correlates this into
+    an aggregate + join — no per-row re-execution."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_csq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 4) AS totalprice
+        FROM orders_csq o
+        WHERE o.o_totalprice > 1.5 * (
+          SELECT avg(o2.o_totalprice) FROM orders_csq o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
     "join_salted_skew",
     oracle="""
     SELECT o.o_orderstatus,
