@@ -661,6 +661,61 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+    dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tfc.doc_id, tfc.term,
+             tfc.tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS score
+      FROM tfc JOIN dfc USING (term) CROSS JOIN ndocs
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term) AS r
+      FROM scored
+    )
+    SELECT doc_id, term, round(score, 4) AS score,
+           CAST(r AS INTEGER) AS rank
+    FROM ranked WHERE r <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (smoothed idf = ln((N+1)/(df+1))+1).
+    All JVM-side: one explode + two partial-aggregated groupBys; the
+    document-frequency relation joins back via broadcast (vocabulary <<
+    corpus at scale after a min-df cut); top-3 via window."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.count()
+    scored = tf.join(F.broadcast(df_rel), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * (F.log((n + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("score", 4).alias("score"), "rank")
+    )
+
+
 # ------------------------------------------------------------ multimodal ----
 
 

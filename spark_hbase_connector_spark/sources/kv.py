@@ -208,13 +208,23 @@ def to_kv(df: DataFrame, catalog: str | dict | TableCatalog) -> DataFrame:
     return out
 
 
-def from_kv(kv: DataFrame, catalog: str | dict | TableCatalog) -> DataFrame:
+def from_kv(
+    kv: DataFrame,
+    catalog: str | dict | TableCatalog,
+    ts_col: str | None = None,
+) -> DataFrame:
     """Re-assemble logical rows from cells (one shuffle on rowkey).
 
     Equivalent to the reference's per-Result decode loop
     (``HbasePartitionReader.scala:35-81``) but expressed as a pivot-style
     aggregation: for each declared column, take the value of the matching
     (cf, qualifier) cell if present, else NULL.
+
+    ``ts_col`` enables HBase cell-version semantics: when the cell relation
+    carries a timestamp column (HBase ``Cell.getTimestamp``), the
+    HIGHEST-timestamp cell per (rowkey, cf, qualifier) wins — the region
+    server's read view with VERSIONS=1. Expressed as ``max_by(value, ts)``
+    so it stays one partial-aggregated shuffle.
     """
     cat = catalog if isinstance(catalog, TableCatalog) else parse_catalog(catalog)
     aggs = []
@@ -222,9 +232,13 @@ def from_kv(kv: DataFrame, catalog: str | dict | TableCatalog) -> DataFrame:
         if col.is_rowkey:
             continue
         match = (F.col("cf") == col.column_family) & (F.col("qualifier") == col.column)
-        aggs.append(
-            F.first(F.when(match, F.col("value")), ignorenulls=True).alias(f"__raw_{name}")
-        )
+        if ts_col is None:
+            agg = F.first(F.when(match, F.col("value")), ignorenulls=True)
+        else:
+            agg = F.max_by(
+                F.when(match, F.col("value")), F.when(match, F.col(ts_col))
+            )
+        aggs.append(agg.alias(f"__raw_{name}"))
     grouped = kv.groupBy("rowkey").agg(*aggs)
     rk = cat.columns[cat.rowkey]
     projections = []

@@ -161,6 +161,40 @@ def test_kv_fidelity_roundtrip(spark):
     assert got == want
 
 
+def test_kv_versioned_latest_cell_wins(spark):
+    """HBase cell versions: with a timestamp column, from_kv must return
+    the highest-timestamp cell per (rowkey, cf, qualifier) — the region
+    server's VERSIONS=1 read view — and still NULL for missing cells."""
+    cat = parse_catalog(
+        {
+            "table": "t:v",
+            "rowkey": "id",
+            "columns": {
+                "id": {"cf": "rowkey", "col": "id", "type": "long"},
+                "name": {"cf": "i", "col": "name", "type": "string"},
+                "age": {"cf": "i", "col": "age", "type": "int"},
+            },
+        }
+    )
+    from spark_hbase_connector_spark.sources import codec
+
+    def cell(rk, cf, q, val, ts):
+        return Row(rowkey=codec.encode("long", rk), cf=cf, qualifier=q, value=val, ts=ts)
+
+    kv = spark.createDataFrame(
+        [
+            cell(1, "i", "name", codec.encode("string", "old"), 100),
+            cell(1, "i", "name", codec.encode("string", "new"), 200),
+            cell(1, "i", "age", codec.encode("int", 30), 100),
+            # row 2: only an older name version, no age cell at all
+            cell(2, "i", "name", codec.encode("string", "solo"), 50),
+        ],
+        "rowkey binary, cf string, qualifier string, value binary, ts long",
+    )
+    got = {r.id: (r.name, r.age) for r in from_kv(kv, cat, ts_col="ts").collect()}
+    assert got == {1: ("new", 30), 2: ("solo", None)}
+
+
 def test_kv_cell_bytes_are_hbase_wire_format(spark):
     cat = parse_catalog(
         {
