@@ -283,6 +283,32 @@ def embedding_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH {_DUCK_VECS}
+    SELECT vec_id, CAST(len(e) AS INTEGER) AS dim, round(nrm, 4) AS l2_norm,
+           round(list_sum(e) / len(e), 4) AS mean_component
+    FROM n
+    """,
+    tags=("similarity", "stats"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene stats (dim, L2 norm, mean component) — the sanity
+    pass a pipeline runs before indexing; sequential-fold array aggregates
+    so the DuckDB oracle replays the exact summation order."""
+    e = load(spark, sf_dir, "embeddings")
+    d = F.col("embedding").cast("array<double>")
+    sq = F.aggregate(d, F.lit(0.0), lambda a, x: a + x * x)
+    s = F.aggregate(d, F.lit(0.0), lambda a, x: a + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.sqrt(sq), 4).alias("l2_norm"),
+        F.round(s / F.size("embedding"), 4).alias("mean_component"),
+    )
+
+
+@query(
     "ann_topk_cosine",
     oracle=f"""
     WITH {_DUCK_VECS},

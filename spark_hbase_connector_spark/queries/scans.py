@@ -190,6 +190,49 @@ def scan_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_hbasekv_flagship",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey IN (1, 2, 3, 4, 5) OR c_name = 'Customer#000000010'
+    """,
+    tags=("scan", "flagship", "datasource"),
+)
+def scan_hbasekv_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship shape through the ``hbasekv`` Python Data Source API —
+    the reference's exact entry point (spark.read.format(...).option(
+    'catalog', json).load()), with pushFilters negotiation, columns+
+    predicates pushed into the pyarrow scan, and rowkey-range partition
+    pruning. Same rows as the native-path `scan_flagship`."""
+    import json
+
+    from spark_hbase_connector_spark.sources.python_datasource import (
+        register_hbasekv,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_hbasekv(spark)
+    catalog = {
+        "table": "tpch:customer",
+        "rowkey": "c_custkey",
+        "columns": {
+            "c_custkey": {"cf": "rowkey", "col": "c_custkey", "type": "long"},
+            "c_name": {"cf": "info", "col": "c_name", "type": "string"},
+            "c_acctbal": {"cf": "info", "col": "c_acctbal", "type": "double"},
+        },
+    }
+    df = (
+        spark.read.format("hbasekv")
+        .option("catalog", json.dumps(catalog))
+        .option("path", f"{sf_dir}/customer.parquet")
+        .load()
+    )
+    return df.where(
+        F.col("c_custkey").isin(1, 2, 3, 4, 5)
+        | (F.col("c_name") == "Customer#000000010")
+    )
+
+
+@query(
     "scan_rowkey_range_sort",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
