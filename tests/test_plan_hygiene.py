@@ -1,0 +1,50 @@
+"""Registry-wide physical-plan hygiene gate.
+
+Every batch query in the registry is explain-audited for the anti-patterns
+that kill 100 TB runs:
+
+- ``CartesianProduct`` — an unconstrained n x m join (never acceptable);
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan (Arrow
+  paths show up as ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas
+  instead and are fine);
+- ``BroadcastNestedLoopJoin`` — allowed ONLY where a bounded broadcast
+  side makes it intentional (the exact all-pairs baselines, where the
+  whole point is comparing against the quadratic reference semantics).
+
+Streaming and fixture entries are exercised elsewhere (their query
+functions execute work on invocation); everything else is planned, not
+run, so this stays fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_hbase_connector_spark.plans.audit import explain_string
+from spark_hbase_connector_spark.queries import REGISTRY
+
+# exact all-pairs baselines: the broadcast-bounded nested loop IS the
+# declared semantics (their scale paths are the _lsh / ivf variants)
+_BNLJ_ALLOWED = {"embedding_cosine_pairs"}
+
+_SKIP_TAGS = {"streaming", "fixture"}
+
+
+def _batch_specs():
+    return [
+        (name, spec)
+        for name, spec in REGISTRY.items()
+        if not (_SKIP_TAGS & set(spec.tags))
+    ]
+
+
+@pytest.mark.parametrize("name", [n for n, _ in _batch_specs()])
+def test_no_plan_antipatterns(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    plan = explain_string(spec.fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF\n{plan}"
+    if name not in _BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected broadcast nested loop\n{plan}"
+        )
