@@ -104,6 +104,10 @@ def load_table(
         typ = col.spark_type(name)
         if phys in available:
             expr = F.col(f"`{phys}`").cast(typ)
+        elif col.column in available:
+            # qualifier fallback: hive-partition columns are directory-
+            # encoded under the bare qualifier (write_table partition_by)
+            expr = F.col(f"`{col.column}`").cast(typ)
         else:
             expr = F.lit(None).cast(typ)
         projections.append(
@@ -134,6 +138,7 @@ def write_table(
     num_partitions: int | None = None,
     mode: str = "overwrite",
     data_format: str = "parquet",
+    partition_by: str | list[str] | None = None,
 ) -> None:
     """Write a logical DataFrame as a rowkey-sorted Parquet dataset.
 
@@ -144,22 +149,39 @@ def write_table(
     predicates skip whole files/row-groups at scan time.
     """
     cat = catalog if isinstance(catalog, TableCatalog) else parse_catalog(catalog)
+    part_cols = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    )
     out = df
     renames = []
     rowkey_phys = None
+    part_phys: list[str] = []
     for name, col in cat.columns.items():
-        # rowkey stored under col.column — same convention as _physical_name
-        phys = col.column if col.is_rowkey else f"{col.column_family}:{col.column}"
+        # rowkey stored under col.column — same convention as _physical_name.
+        # Partition columns are directory-encoded, so they also use the bare
+        # qualifier (':' in a 'cf:col' directory name is not portable);
+        # load_table resolves them via its qualifier fallback.
+        if col.is_rowkey or name in part_cols:
+            phys = col.column
+        else:
+            phys = f"{col.column_family}:{col.column}"
         if col.is_rowkey:
             rowkey_phys = phys
+        if name in part_cols:
+            part_phys.append(phys)
         renames.append(F.col(name).alias(phys))
     out = out.select(*renames)
+    # range-partition/sort on the rowkey WITHIN each output task; with
+    # hive partitioning the writer splits each task's rows by directory,
+    # so files stay rowkey-sorted per partition directory
     if num_partitions:
         out = out.repartitionByRange(num_partitions, F.col(f"`{rowkey_phys}`"))
     else:
         out = out.repartitionByRange(F.col(f"`{rowkey_phys}`"))
     out = out.sortWithinPartitions(f"`{rowkey_phys}`")
     writer = out.write.mode(mode)
+    if part_phys:
+        writer = writer.partitionBy(*part_phys)
     if data_format == "parquet":
         writer.parquet(path)
     elif data_format == "csv":

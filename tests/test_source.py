@@ -161,6 +161,36 @@ def test_kv_fidelity_roundtrip(spark):
     assert got == want
 
 
+def test_write_table_hive_partitioned_prunes(spark, tmp_path):
+    """partition_by writes hive-layout directories (qualifier-named);
+    a filter on the partition column must prune at the DIRECTORY level —
+    the plan's PartitionFilters, the time-partitioned-ingest shape."""
+    cat = parse_catalog(
+        {
+            "table": "t:pt",
+            "rowkey": "k",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "k", "type": "long"},
+                "dt": {"cf": "d", "col": "dt", "type": "string"},
+                "v": {"cf": "d", "col": "v", "type": "double"},
+            },
+        }
+    )
+    src = spark.createDataFrame(
+        [Row(k=i, dt=f"2024-01-{i % 4 + 1:02d}", v=i / 2.0) for i in range(200)]
+    )
+    out = str(tmp_path / "pt")
+    write_table(src, cat, out, num_partitions=2, partition_by="dt")
+    back = load_table(spark, cat, out, physical_naming="cf:col")
+    assert back.count() == 200
+    q = back.where(F.col("dt") == "2024-01-02")
+    assert q.count() == 50
+    from spark_hbase_connector_spark.plans.audit import explain_string
+
+    plan = explain_string(q)
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+
 def test_kv_versioned_latest_cell_wins(spark):
     """HBase cell versions: with a timestamp column, from_kv must return
     the highest-timestamp cell per (rowkey, cf, qualifier) — the region
