@@ -116,6 +116,37 @@ def load_table(
     return raw.select(*projections)
 
 
+def write_bucketed(
+    df: DataFrame,
+    catalog: str | dict | TableCatalog,
+    table_name: str,
+    buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a BUCKETED managed table, hash-bucketed + sorted on the
+    rowkey. Joins and aggregations between tables bucketed the same way on
+    the same key run WITHOUT a shuffle — the pre-partitioning strategy for
+    fact-fact joins repeated across a pipeline, where even one avoided
+    shuffle of a 100 TB fact table pays for the write. (Plain ``write_table``
+    + range partitioning covers scan pruning; bucketing covers join
+    co-location — complementary layouts.)
+    """
+    cat = catalog if isinstance(catalog, TableCatalog) else parse_catalog(catalog)
+    rk = cat.columns[cat.rowkey].column
+    renames = []
+    for name, col in cat.columns.items():
+        phys = col.column if col.is_rowkey else f"{col.column_family}:{col.column}"
+        renames.append(F.col(name).alias(phys))
+    (
+        df.select(*renames)
+        .write.mode(mode)
+        .bucketBy(buckets, rk)
+        .sortBy(rk)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def register(
     spark: SparkSession,
     catalog: str | dict | TableCatalog,

@@ -161,6 +161,58 @@ def test_kv_fidelity_roundtrip(spark):
     assert got == want
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two tables bucketed the same way on the join key must sort-merge
+    join with NO exchange on either side (the co-located fact-fact join)."""
+    from spark_hbase_connector_spark.plans.audit import explain_string
+    from spark_hbase_connector_spark.sources.table import write_bucketed
+
+    cat_a = parse_catalog(
+        {
+            "table": "t:ba",
+            "rowkey": "k",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "k", "type": "long"},
+                "a": {"cf": "d", "col": "a", "type": "double"},
+            },
+        }
+    )
+    cat_b = parse_catalog(
+        {
+            "table": "t:bb",
+            "rowkey": "k",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "k", "type": "long"},
+                "b": {"cf": "d", "col": "b", "type": "string"},
+            },
+        }
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    write_bucketed(
+        spark.createDataFrame([Row(k=i, a=i / 3.0) for i in range(500)]),
+        cat_a,
+        "bkt_a",
+        buckets=4,
+    )
+    write_bucketed(
+        spark.createDataFrame([Row(k=i, b=f"b{i}") for i in range(0, 500, 2)]),
+        cat_b,
+        "bkt_b",
+        buckets=4,
+    )
+    # disable broadcast so the join strategy question is real
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = explain_string(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == 250
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_write_table_hive_partitioned_prunes(spark, tmp_path):
     """partition_by writes hive-layout directories (qualifier-named);
     a filter on the partition column must prune at the DIRECTORY level —
