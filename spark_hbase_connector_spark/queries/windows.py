@@ -192,3 +192,38 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", F.round(F.col("value_asof"), 4).alias("value_asof")
     )
+
+
+@query(
+    "hypertable_rollup_merge",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS chunk, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("rollup", "timeseries"),
+)
+def hypertable_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate read (operators/rollup.py): daily rollup for
+    complete days is MATERIALIZED to chunk-partitioned Parquet; only the
+    newest (incomplete) day aggregates from raw events at query time; the
+    union equals a direct aggregation — which is what the oracle checks.
+    At 100 TB the query scans chunk_count x dims rollup rows plus one day
+    of raw data instead of all history."""
+    import os
+
+    from spark_hbase_connector_spark.operators.rollup import (
+        materialize_rollup,
+        rollup_with_tail,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        "spark_hbase_connector_fixtures",
+        "events_rollup",
+    )
+    cutoff = materialize_rollup(ev, path, ts_col="ts", dims=["event_type"])
+    return rollup_with_tail(
+        spark, ev, path, cutoff, ts_col="ts", dims=["event_type"]
+    )
