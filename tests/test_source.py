@@ -187,8 +187,15 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
             },
         }
     )
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS bkt_a")
     spark.sql("DROP TABLE IF EXISTS bkt_b")
+    # a previous session may have left the managed-table directories behind
+    # (DROP in a fresh catalog doesn't know them)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_a", "bkt_b"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     write_bucketed(
         spark.createDataFrame([Row(k=i, a=i / 3.0) for i in range(500)]),
         cat_a,
