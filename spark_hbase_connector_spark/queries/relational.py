@@ -219,6 +219,32 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "quantile"),
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-identical) + exact distinct
+    count. At 100 TB swap percentile -> approx_percentile and
+    count(DISTINCT) -> approx_count_distinct (HLL): sketches merge
+    map-side, one pass, bounded memory — the exact forms here are the
+    oracle-checkable reference output."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
     "correlated_scalar_subquery",
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 4) AS totalprice
