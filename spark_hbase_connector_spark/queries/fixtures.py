@@ -27,6 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_hbase_connector_spark.catalogs import _pin_session_confs
 from spark_hbase_connector_spark.queries.registry import query
 from spark_hbase_connector_spark.sources.table import load_table, write_table
 
@@ -55,6 +56,10 @@ _BASE_TS = "2023-01-01 00:00:00"
 
 def people_df(spark: SparkSession) -> DataFrame:
     """The deterministic 1000-row people dataset (FIXTURES.md fixture 1)."""
+    # timestamp literals parse in the session TZ: pin UTC so the dataset is
+    # identical on ANY session (e.g. the driver's), matching the oracle's
+    # TZ-naive timestamps
+    _pin_session_confs(spark)
     bdt = F.expr(f"timestampadd(DAY, id, timestamp'{_BASE_TS}')")
     return spark.range(1, 1001).select(
         F.col("id").cast("long").alias("id"),
