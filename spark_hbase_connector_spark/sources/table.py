@@ -30,6 +30,8 @@ qualifier-named Parquet (``physical_naming="column"``) so external datasets
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -114,6 +116,33 @@ def load_table(
             expr.alias(name, metadata={"columnFamily": col.column_family, "column": col.column})
         )
     return raw.select(*projections)
+
+
+def compact_table(
+    spark: SparkSession,
+    catalog: str | dict | TableCatalog,
+    path: str,
+    num_partitions: int,
+    physical_naming: str = "cf:col",
+) -> None:
+    """Rewrite a table into ``num_partitions`` rowkey-sorted files — the
+    small-file compaction every long-lived ingest needs (a stream or
+    micro-batch writer leaves thousands of tiny files; scan cost and
+    row-group pruning both degrade). Reads through the catalog, rewrites
+    with the same layout discipline to a sibling temp dir, then swaps —
+    the input path is never read and written concurrently. On object
+    storage, swap via a manifest/rename of the prefix instead."""
+    import shutil
+
+    cat = catalog if isinstance(catalog, TableCatalog) else parse_catalog(catalog)
+    df = load_table(spark, cat, path, physical_naming)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    write_table(df, cat, tmp, num_partitions=num_partitions)
+    old = path.rstrip("/") + ".__compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def write_bucketed(

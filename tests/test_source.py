@@ -250,6 +250,36 @@ def test_write_table_hive_partitioned_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters", 1)[1][:200], plan
 
 
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    import glob
+
+    from spark_hbase_connector_spark.sources.table import compact_table
+
+    cat = parse_catalog(
+        {
+            "table": "t:cmp",
+            "rowkey": "k",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "k", "type": "long"},
+                "v": {"cf": "d", "col": "v", "type": "double"},
+            },
+        }
+    )
+    out = str(tmp_path / "cmp")
+    src = spark.createDataFrame([Row(k=i, v=i / 7.0) for i in range(1000)])
+    write_table(src, cat, out, num_partitions=16)  # many small files
+    before = len(glob.glob(f"{out}/*.parquet"))
+    assert before == 16
+    compact_table(spark, cat, out, num_partitions=2)
+    after = len(glob.glob(f"{out}/*.parquet"))
+    assert after == 2
+    back = load_table(spark, cat, out, physical_naming="cf:col")
+    assert back.count() == 1000
+    assert {(r.k, r.v) for r in back.where(F.col("k") < 3).collect()} == {
+        (0, 0.0), (1, 1 / 7.0), (2, 2 / 7.0)
+    }
+
+
 def test_kv_versioned_latest_cell_wins(spark):
     """HBase cell versions: with a timestamp column, from_kv must return
     the highest-timestamp cell per (rowkey, cf, qualifier) — the region
