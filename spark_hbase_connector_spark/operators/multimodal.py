@@ -74,6 +74,35 @@ def extract_media_meta(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(decode_batches, schema=META_SCHEMA)
 
 
+def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
+    """Binary payload -> dense feature vector (array<double>), the
+    feature-extraction stage that bridges multimodal data into the
+    similarity/dedup operators (ANN, cosine pairs, IVF). A real deployment
+    would run an image/audio encoder here (absent in this container); the
+    stub derives a deterministic ``dim``-dimensional vector from the md5
+    digest of the payload — stable, SQL-replayable, and shaped exactly
+    like a real embedding so the downstream plumbing is fully exercised.
+    One Arrow pass; payload bytes never leave the worker."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids: list = []
+            vecs: list[list[float]] = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                digest = hashlib.md5(bytes(payload)).digest()
+                vecs.append(
+                    [round(digest[j] / 255.0, 6) for j in range(dim)]
+                )
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "feature": vecs})
+
+    return assets.mapInPandas(gen, schema="id long, feature array<double>")
+
+
 def sample_frames(
     assets: DataFrame, frame_size: int = 256, stride: int = 4
 ) -> DataFrame:

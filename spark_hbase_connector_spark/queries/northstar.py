@@ -20,6 +20,7 @@ from spark_hbase_connector_spark.operators.dedup import (
 from spark_hbase_connector_spark.operators.graph import connected_components
 from spark_hbase_connector_spark.operators.multimodal import (
     attach_payload,
+    extract_features,
     extract_media_meta,
     sample_frames,
 )
@@ -739,6 +740,58 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 3)
         .select("doc_id", "term", F.round("score", 4).alias("score"), "rank")
+    )
+
+
+# 8 md5-digest bytes as doubles in [0,1], 6dp — the deterministic stand-in
+# feature vector (see operators.multimodal.extract_features)
+_DUCK_FEAT_TERMS = ", ".join(
+    f"round(('0x' || substr(md5(text), {2 * j + 1}, 2))::BIGINT / 255.0, 6)"
+    for j in range(8)
+)
+
+
+@query(
+    "multimodal_feature_ann",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, [{_DUCK_FEAT_TERMS}] AS e FROM documents
+    ),
+    n AS (SELECT doc_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+          FROM feat),
+    q AS (SELECT * FROM n WHERE doc_id < 5),
+    scored AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             list_sum(list_transform(range(1, 9),
+                      i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS score
+      FROM q JOIN n c ON c.doc_id != q.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(score, 4) AS score, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    tags=("multimodal", "similarity"),
+)
+def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal -> embedding -> ANN pipeline: binary payloads ->
+    feature vectors (extract_features, deterministic encoder stub) ->
+    exact top-3 cosine neighbors of the first 5 docs via the broadcast
+    matmul operator. Proves the multimodal output plugs straight into the
+    similarity surface."""
+    d = load(spark, sf_dir, "documents")
+    feats = extract_features(attach_payload(d, "text", "doc_id"))
+    q = feats.where(F.col("id") < 5)
+    out = brute_force_topk(
+        q, feats, k=3, q_id="id", q_vec="feature", c_id="id", c_vec="feature"
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
     )
 
 
