@@ -195,6 +195,48 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_windows",
+    oracle="""
+    WITH win AS (
+      SELECT i AS window_id,
+             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 48) HOUR AS w_start,
+             TIMESTAMP '2024-01-01 06:00:00' + INTERVAL (i * 48) HOUR AS w_end
+      FROM range(0, 15) t(i)
+    )
+    SELECT w.window_id, count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.window_id
+    """,
+    tags=("join", "range"),
+)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via the chunked equi-join operator
+    (operators/rangejoin.py): events matched to 6-hour maintenance windows
+    (every 48h) with zero nested-loop compares — points join on their
+    single time chunk, intervals explode to covered chunks only. The
+    oracle is the plain inequality join."""
+    from spark_hbase_connector_spark.operators.rangejoin import range_join
+
+    ev = load(spark, sf_dir, "events")
+    i = F.col("id")
+    win = spark.range(0, 15).select(
+        i.cast("long").alias("window_id"),
+        F.expr("timestampadd(HOUR, id * 48, timestamp'2024-01-01 00:00:00')").alias(
+            "w_start"
+        ),
+        F.expr("timestampadd(HOUR, id * 48 + 6, timestamp'2024-01-01 00:00:00')").alias(
+            "w_end"
+        ),
+    )
+    joined = range_join(ev, win, "ts", "w_start", "w_end", chunk_seconds=21_600)
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@query(
     "hypertable_rollup_merge",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS chunk, event_type,
