@@ -795,6 +795,73 @@ def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_curation",
+    oracle=f"""
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, string_split(d.text, ' ') AS toks
+      FROM documents d JOIN reps USING (doc_id)
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             len(list_filter(toks, t -> length(t) <= 2)) * 1.0 / len(toks)
+               AS short_ratio
+      FROM kept
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM scored
+    WHERE n_tokens BETWEEN 20 AND 1000 AND short_ratio < 0.4
+    GROUP BY lang
+    """,
+    tags=("pipeline", "dedup", "text"),
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline in one plan: fingerprint
+    dedup (keep min-id representative) -> quality gate (length window +
+    short-token ratio) -> per-language corpus stats. Everything fuses into
+    two aggregations and one semi-join; at 100 TB this whole flow is the
+    nightly curation job, and each stage is individually oracle-verified
+    elsewhere — this entry proves they compose."""
+    d = load(spark, sf_dir, "documents")
+    reps = (
+        d.select(canonical_fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = d.join(reps, "doc_id", "left_semi")
+    toks = tokens("text")
+    n = F.size(toks)
+    shorts = F.expr("size(filter(split(text, ' '), t -> length(t) <= 2))")
+    scored = kept.select(
+        "lang",
+        n.cast("int").alias("n_tokens"),
+        (shorts / n).alias("short_ratio"),
+    )
+    return (
+        scored.where(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_tokens") <= 1000)
+            & (F.col("short_ratio") < 0.4)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
 # ------------------------------------------------------------ multimodal ----
 
 
