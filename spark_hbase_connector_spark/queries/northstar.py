@@ -795,6 +795,116 @@ def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic per-row hash in [0, 100): first 8 md5 hex chars of a
+# salted doc key — identical integer arithmetic in Spark and DuckDB
+_SPARK_H100 = (
+    "CAST(conv(substring(md5(concat('{salt}', doc_id)), 1, 8), 16, 10) AS BIGINT) % 100"
+)
+_DUCK_H100 = "(('0x' || substr(md5('{salt}' || doc_id), 1, 8))::BIGINT % 100)"
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT lang, doc_id
+    FROM documents
+    WHERE {_DUCK_H100.format(salt='smp:')} < 20
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample: membership is a pure function of the
+    document id (salted md5 bucket), so the sample is reproducible across
+    runs/clusters, composable with any filter, and needs no shuffle or
+    state — unlike rand()-based sampling, which changes under retries and
+    task reordering. Stratification is implicit: a uniform hash samples
+    every stratum at the same rate."""
+    d = load(spark, sf_dir, "documents")
+    return d.where(F.expr(_SPARK_H100.format(salt="smp:")) < 20).select(
+        "lang", "doc_id"
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {_DUCK_H100.format(salt='split:')} < 80 THEN 'train'
+                  WHEN {_DUCK_H100.format(salt='split:')} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+    tags=("pipeline", "sampling"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from a salted hash
+    bucket — a different salt than the sampler so the two partitions are
+    independent. Per-language counts verify the split is uniform."""
+    d = load(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_H100.format(salt="split:"))
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return d.select("lang", split.alias("split")).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "pack_token_bins",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) // 4096 AS bin
+      FROM t
+    )
+    SELECT lang, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY lang, bin
+    """,
+    tags=("pipeline", "packing"),
+)
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: documents are packed (per
+    language, in stable doc_id order) into ~4096-token bins by cumulative
+    token count — bin id = tokens-before-this-doc div budget. One window
+    per stratum; integer arithmetic, so the packing is bit-reproducible
+    anywhere. Output: per-bin document and token counts."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n = F.size(tokens("text")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "lang", n.alias("n_tokens"))
+    packed = t.select(
+        "lang",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 4096)
+        .cast("long")
+        .alias("bin"),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
 @query(
     "pipeline_curation",
     oracle=f"""
