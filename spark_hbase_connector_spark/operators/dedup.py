@@ -324,6 +324,41 @@ def simhash_words(
     return src.mapInPandas(gen, schema=f"id {id_type}, h long")
 
 
+def edit_distance_pairs(
+    strings: DataFrame,
+    col: str = "s",
+    max_dist: int = 2,
+) -> DataFrame:
+    """(s1, s2, dist): distinct string pairs with Levenshtein <= max_dist.
+
+    Length filtering as an EQUI-join (the prefix/length-filter family of
+    string-similarity joins): |len(a)-len(b)| <= d is necessary for
+    edit distance <= d, so one side explodes each string to the lengths it
+    could match (len-d .. len+d, 2d+1 rows) and joins the other side on
+    its single length — never an all-pairs compare. Verification is the
+    built-in JVM ``levenshtein``. For longer strings / bigger corpora add
+    a q-gram count filter before verification (same join shape).
+
+    Output is ordered pairs s1 < s2.
+    """
+    s = strings.select(F.col(col).alias("s")).where(F.col("s").isNotNull()).distinct()
+    a = s.select("s", F.length("s").alias("__len"))
+    offsets = F.array(*[F.lit(i) for i in range(-max_dist, max_dist + 1)])
+    b = (
+        s.select(F.col("s").alias("s2"), F.explode(offsets).alias("__off"))
+        .select("s2", (F.col("__off") + F.length("s2")).alias("__len"))
+    )
+    cand = a.join(b, "__len").where(F.col("s") < F.col("s2"))
+    return (
+        cand.select(
+            F.col("s").alias("s1"),
+            "s2",
+            F.levenshtein("s", "s2").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,

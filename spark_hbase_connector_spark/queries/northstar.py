@@ -13,6 +13,7 @@ from spark_hbase_connector_spark.catalogs import load
 from spark_hbase_connector_spark.functions.text import canonical_fingerprint, tokens
 from spark_hbase_connector_spark.operators.dedup import (
     dedup_exact,
+    edit_distance_pairs,
     minhash_lsh_pairs,
     shingle_jaccard_pairs,
     simhash_pairs,
@@ -203,6 +204,34 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = shingle_jaccard_pairs(d, "text", "doc_id", threshold=0.85)
     comp = connected_components(pairs)
     return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    WITH titles AS (
+      SELECT DISTINCT array_to_string(string_split(text, ' ')[1:3], ' ') AS t
+      FROM documents
+    )
+    SELECT a.t AS s1, b.t AS s2,
+           CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+    FROM titles a JOIN titles b
+      ON abs(length(a.t) - length(b.t)) <= 2 AND a.t < b.t
+    WHERE levenshtein(a.t, b.t) <= 2
+    """,
+    tags=("dedup", "string-similarity"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join over document title prefixes (first 3
+    tokens): length filtering as an equi-join (each string explodes to the
+    2d+1 lengths it can match) + built-in levenshtein verification — the
+    prefix/length-filter string-join family, never all-pairs."""
+    d = load(spark, sf_dir, "documents")
+    titles = d.select(
+        F.concat_ws(" ", F.slice(tokens("text"), 1, 3)).alias("t")
+    )
+    pairs = edit_distance_pairs(titles, "t", max_dist=2)
+    return pairs.select("s1", "s2", F.col("dist").cast("int").alias("dist"))
 
 
 # ----------------------------------------------------------- similarity ----
