@@ -111,7 +111,9 @@ _PEOPLE_ORACLE_SRC = f"""
              p.alive
       FROM people p FULL OUTER JOIN updates u ON p.id = u.id
     )
-    SELECT id, name, age, alive FROM merged
+    SELECT id, name, age,
+           coalesce(CAST(alive AS VARCHAR), '<NULL>') AS alive_display
+    FROM merged
     WHERE id >= 890 AND id <= 1110
     """,
     tags=("fixture", "upsert"),
@@ -133,7 +135,16 @@ def people_upsert_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("alive"),
     )
     merged = overlay_cells(base, updates, "id")
-    return merged.where((F.col("id") >= 890) & (F.col("id") <= 1110))
+    # NULL booleans canonicalize differently across engines (None vs NaN);
+    # project through an explicit marker so the comparison is unambiguous
+    return merged.where((F.col("id") >= 890) & (F.col("id") <= 1110)).select(
+        "id",
+        "name",
+        "age",
+        F.coalesce(F.col("alive").cast("string"), F.lit("<NULL>")).alias(
+            "alive_display"
+        ),
+    )
 
 
 ATM_CATALOG = {
