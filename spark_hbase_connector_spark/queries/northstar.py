@@ -155,6 +155,7 @@ _DUCK_SIMHASH_WORD = " + ".join(
     WHERE bit_count(xor(a.w, b.w)) <= 3
     """,
     tags=("dedup", "simhash"),
+    bench=True,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming<=3 on 64-bit signatures). At this
@@ -194,6 +195,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
     """,
     tags=("dedup", "graph"),
+    bench=True,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components (min-label
@@ -743,6 +745,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE r <= 3
     """,
     tags=("text", "tfidf"),
+    bench=True,
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document (smoothed idf = ln((N+1)/(df+1))+1).
@@ -962,6 +965,7 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY lang
     """,
     tags=("pipeline", "dedup", "text"),
+    bench=True,
 )
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation pipeline in one plan: fingerprint

@@ -116,6 +116,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("join", "agg", "topn"),
+    bench=True,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: 3-way fact join + broadcast dim + top-N by revenue.
@@ -191,6 +192,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l.l_quantity >= 10 AND l.l_quantity <= 40)
     """,
     tags=("join", "agg", "pushdown"),
+    bench=True,
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst

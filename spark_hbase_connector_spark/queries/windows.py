@@ -209,6 +209,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY w.window_id
     """,
     tags=("join", "range"),
+    bench=True,
 )
 def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join via the chunked equi-join operator
