@@ -18,6 +18,7 @@ from spark_hbase_connector_spark.queries import (  # noqa: F401,E402
     relational,
     windows,
     northstar,
+    quality,
     streaming_queries,
     fixtures,
 )

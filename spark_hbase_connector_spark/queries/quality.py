@@ -1,0 +1,248 @@
+"""Corpus-quality / curation queries for the LLM-pipeline surface.
+
+The reference connector has no analogue — these are the north-star
+"training-data pipeline" operators (BASELINE.json): repetition-based
+quality signals (Gopher-style), PII redaction, per-domain caps,
+benchmark-contamination detection, and domain mixture reweighting.
+
+Everything is a single JVM-expression pass or one shuffle; the only
+Python stage is the shared Arrow shingler (`shingle_postings`), reused
+for contamination postings exactly as the dedup family uses it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.catalogs import load
+from spark_hbase_connector_spark.functions.text import shingles, tokens
+from spark_hbase_connector_spark.operators.dedup import shingle_postings
+from spark_hbase_connector_spark.queries.registry import query
+
+# ------------------------------------------------------- repetition ----
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    SELECT doc_id,
+           round(list_max(list_transform(list_distinct(l),
+                     t -> len(list_filter(l, x -> x = t)))) * 1.0 / len(l),
+                 4) AS top_unigram_frac,
+           round(CASE WHEN len(l) >= 2
+                 THEN 1.0 - len(list_distinct(list_transform(range(1, len(l)),
+                          i -> l[i] || ' ' || l[i+1]))) * 1.0 / (len(l) - 1)
+                 ELSE 0.0 END, 4) AS dup_bigram_frac,
+           (list_max(list_transform(list_distinct(l),
+                     t -> len(list_filter(l, x -> x = t)))) * 1.0 / len(l) > 0.12
+            OR CASE WHEN len(l) >= 2
+               THEN 1.0 - len(list_distinct(list_transform(range(1, len(l)),
+                        i -> l[i] || ' ' || l[i+1]))) * 1.0 / (len(l) - 1)
+               ELSE 0.0 END > 0.5) AS repetitive
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: most-frequent-unigram fraction and
+    duplicate-bigram fraction, plus the boolean gate a curation pipeline
+    would filter on. All JVM higher-order array expressions — per-document
+    work, no shuffle, scales linearly with corpus bytes."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(split(text, ' ')),"
+        " t -> size(filter(split(text, ' '), x -> x = t))))"
+    )
+    top_frac = top_cnt / n
+    dup_bi = F.when(
+        n >= 2, 1.0 - F.size(shingles("text", 2)) / (n - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.round(top_frac, 4).alias("top_unigram_frac"),
+        F.round(dup_bi, 4).alias("dup_bigram_frac"),
+        ((top_frac > 0.12) | (dup_bi > 0.5)).alias("repetitive"),
+    )
+
+
+# -------------------------------------------------------- PII scrub ----
+
+# character classes only — Java regex (Spark) and RE2 (DuckDB) agree
+_EMAIL_RE = "[A-Za-z0-9#.]+@[A-Za-z.]+"
+_NUM_RE = "[0-9]+"
+
+
+@query(
+    "pii_scrub_customers",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_name,
+             lower(c_name) || '.' || c_custkey || '@mail.example' AS contact
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(c_name, '{_NUM_RE}', '<NUM>', 'g') AS redacted_name,
+           regexp_replace(contact, '{_EMAIL_RE}', '<EMAIL>', 'g') AS redacted_contact,
+           CAST(length(c_name) -
+                length(regexp_replace(c_name, '[0-9]', '', 'g')) AS INTEGER)
+             AS n_masked_chars
+    FROM c
+    """,
+    tags=("text", "quality", "pii"),
+)
+def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as a pure JVM regexp pass: mask digit runs in names
+    and synthesized contact emails, count masked characters. No shuffle;
+    at 100 TB this is a map-only transform that fuses into whatever scan
+    precedes it (Spark's regexp_replace replaces all matches, so the
+    oracle uses the 'g' flag)."""
+    c = load(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.lower(F.col("c_name")), F.lit("."), F.col("c_custkey"), F.lit("@mail.example")
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", _NUM_RE, "<NUM>").alias("redacted_name"),
+        F.regexp_replace(contact, F.lit(_EMAIL_RE), F.lit("<EMAIL>")).alias(
+            "redacted_contact"
+        ),
+        (
+            F.length("c_name") - F.length(F.regexp_replace("c_name", "[0-9]", ""))
+        )
+        .cast("int")
+        .alias("n_masked_chars"),
+    )
+
+
+# --------------------------------------------------- per-domain caps ----
+
+
+@query(
+    "docs_cap_per_source",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                  AS INTEGER) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_source_total
+      FROM documents
+    )
+    SELECT source, doc_id, rn, n_source_total FROM r WHERE rn <= 10
+    """,
+    tags=("quality", "window", "pipeline"),
+)
+def docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (keep the first 10 docs per source by stable id
+    order) — the dedup-adjacent curation step that stops one crawl domain
+    from dominating the mixture. Both window functions share one
+    partitioning, so this is a single shuffle on `source`; at scale a
+    skewed source is handled by AQE skew-split since rank and count both
+    stream within the partition."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("source"))
+            .alias("n_source_total"),
+        )
+        .where(F.col("rn") <= 10)
+    )
+
+
+# ----------------------------------------------- contamination check ----
+
+
+@query(
+    "contamination_ngram",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(l) - 3),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                    l[i+3] || ' ' || l[i+4])) AS shs
+      FROM t WHERE len(l) >= 5
+    ),
+    post AS (SELECT doc_id, source, unnest(shs) AS s FROM sh),
+    ev AS (SELECT doc_id AS eval_id, s FROM post WHERE source = 'src0'),
+    tr AS (SELECT doc_id AS train_id, s FROM post WHERE source != 'src0')
+    SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (s)
+    GROUP BY train_id, eval_id
+    HAVING count(*) >= 3
+    """,
+    tags=("quality", "dedup", "pipeline"),
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: training docs sharing >= 3
+    distinct word 5-grams with any eval-set doc (here: source `src0`
+    stands in for the benchmark). The eval side's postings are tiny by
+    construction, so they BROADCAST — the 100 TB train corpus is scanned
+    once, shingled once (one Arrow pass), and never shuffled; each side's
+    shingler feeds exactly one consumer, so no persist is needed."""
+    d = load(spark, sf_dir, "documents")
+    ev = shingle_postings(
+        d.where(F.col("source") == "src0"), "text", "doc_id", w=5
+    ).withColumnRenamed("id", "eval_id")
+    tr = shingle_postings(
+        d.where(F.col("source") != "src0"), "text", "doc_id", w=5
+    ).withColumnRenamed("id", "train_id")
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+
+
+# ------------------------------------------------- mixture weighting ----
+
+
+@query(
+    "domain_mixture_weights",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           round(total_tokens * 1.0 / sum(total_tokens) OVER (), 4) AS token_share,
+           round((1.0 / count(*) OVER ()) /
+                 (total_tokens * 1.0 / sum(total_tokens) OVER ()), 4) AS sample_weight
+    FROM per
+    """,
+    tags=("quality", "agg", "pipeline"),
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture reweighting: per-source token share and the sampling
+    weight that flattens the mixture to uniform. The corpus collapses to
+    one row per source in a partial-aggregated groupBy; the grand total is
+    then a single-partition window over that tiny per-source relation
+    (one row per domain — thousands at most, never corpus-sized), so
+    nothing heavier than the per-source agg ever shuffles."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("long")).alias("total_tokens"),
+    )
+    w_all = Window.partitionBy()
+    j = per.withColumn("_grand", F.sum("total_tokens").over(w_all)).withColumn(
+        "_n_sources", F.count(F.lit(1)).over(w_all)
+    )
+    share = F.col("total_tokens") / F.col("_grand")
+    return j.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(share, 4).alias("token_share"),
+        F.round((1.0 / F.col("_n_sources")) / share, 4).alias("sample_weight"),
+    )
