@@ -9,10 +9,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from spark_hbase_connector_spark.queries.registry import query
 from spark_hbase_connector_spark.streaming.events import (
+    click_purchase_stream_join,
     events_stream,
     run_stream_to_memory,
     running_totals_stateful,
     session_window_agg,
+    stream_static_enrich_agg,
     tumbling_window_agg,
     tumbling_window_agg_watermarked,
 )
@@ -98,6 +100,51 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative-sum window (same sequential fp summation order)."""
     stream = events_stream(spark, sf_dir)
     return run_stream_to_memory(running_totals_stateful(stream), spark, mode="append")
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched per micro-batch with
+    the static customer dimension (broadcast hash join, no join state),
+    aggregated per market segment. Oracle is the equivalent batch
+    join+group."""
+    from spark_hbase_connector_spark.catalogs import load
+
+    stream = events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return run_stream_to_memory(stream_static_enrich_agg(stream, dim), spark)
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+           round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 4)
+             AS secs_to_purchase,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "watermark"),
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: clicks matched to the same
+    user's purchases within 30 minutes. Event-time watermarks on both
+    sides + the range-bounded condition keep join state bounded; on the
+    finite input the output equals the batch time-range join."""
+    return run_stream_to_memory(
+        click_purchase_stream_join(spark, sf_dir, "30 minutes"), spark, mode="append"
+    )
 
 
 @query(

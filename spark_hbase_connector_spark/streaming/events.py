@@ -149,6 +149,69 @@ def running_totals_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_enrich_agg(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream is joined
+    against a static dimension (re-read per batch in real deployments; a
+    broadcast hash join here — the dimension is dimension-sized by
+    definition), then aggregated per segment. The static side never holds
+    join state, so this scales as a stateless map-side enrich + one keyed
+    aggregation."""
+    joined = stream.join(F.broadcast(dim), stream["user_id"] == dim["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+
+
+def click_purchase_stream_join(
+    spark: SparkSession, sf_dir: str, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream inner join: click events matched to the
+    same user's purchase events within ``horizon`` after the click. Both
+    sides carry event-time watermarks and the join condition bounds the
+    time range, so each side's join state is dropped once the other side's
+    watermark passes the range — bounded state, the production shape.
+    On a finite input every match is emitted, so a batch join oracle
+    reproduces the output exactly."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    cond = (
+        (clicks["user_id"] == purchases["p_user_id"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (purchases["purchase_ts"] <= clicks["click_ts"] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        # integer micros subtracted BEFORE the float divide — bit-identical
+        # to the oracle's (epoch_us(p) - epoch_us(c)) / 1e6
+        F.round(
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")) / 1000000.0, 4
+        ).alias("secs_to_purchase"),
+        # raw column, not an aggregate — exact double equality, no rounding
+        "purchase_value",
+    )
+
+
 def run_stream_to_memory(
     result: DataFrame, spark: SparkSession, mode: str = "complete"
 ) -> DataFrame:
