@@ -1,0 +1,132 @@
+"""Secondary-index lookup and snapshot-diff (CDC) queries.
+
+HBase can only range-scan the rowkey; querying by attribute value means
+either a full-table scan with server-side filters or a maintained *index
+table* whose rowkey is ``attr#rowkey`` — the canonical HBase secondary-
+index pattern (the reference has no index support at all; its attribute
+predicates become full scans with client-side filtering,
+`HbasePartitionReader.scala:147` TODO). This module re-expresses the
+pattern Spark-first:
+
+- the index table is rowkey-sorted Parquet written by ``write_table`` —
+  a prefix predicate on ``attr#`` prunes to the index files covering that
+  range (same file-level rowkey-bounds pruning as any scan);
+- the matched rowkeys then semi-join the base table. The index result for
+  one attribute value is selective by construction, so it broadcasts —
+  at 100 TB the base side is never shuffled.
+
+``kv_snapshot_diff`` is the complementary read-side story for HBase's
+versioned cells: given two snapshots (e.g. yesterday's and today's
+compaction output), emit the changefeed — insert/update/delete per rowkey
+with old/new cell values — via one co-partitioned full-outer join
+(`operators/upsert.py:snapshot_diff`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.catalogs import load
+from spark_hbase_connector_spark.queries.fixtures import _PEOPLE_ORACLE_SRC, people_df
+from spark_hbase_connector_spark.queries.registry import query
+from spark_hbase_connector_spark.sources.table import load_table, write_table
+
+IDX_CATALOG = {
+    "table": "fixtures:cust_seg_idx",
+    "rowkey": "ikey",
+    "columns": {
+        "ikey": {"cf": "rowkey", "col": "ikey", "type": "string"},
+        "ref": {"cf": "ref", "col": "ref", "type": "long"},
+    },
+}
+
+
+def _fixture_path(name: str, sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        "spark_hbase_connector_fixtures",
+        f"{name}_{sf}",
+    )
+
+
+@query(
+    "secondary_index_lookup",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    tags=("index", "scan", "join"),
+)
+def secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute lookup through a maintained secondary-index table:
+    index rowkey = ``mktsegment#custkey(zero-padded)``, written
+    rowkey-sorted so the ``BUILDING#`` prefix scan prunes index files;
+    the matched base rowkeys broadcast into a semi-join against the base
+    table — the base is never shuffled or fully scanned client-side."""
+    base = load(spark, sf_dir, "customer")
+    path = _fixture_path("cust_seg_idx", sf_dir)
+    idx_df = base.select(
+        F.concat_ws(
+            "#", F.col("c_mktsegment"), F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+        ).alias("ikey"),
+        F.col("c_custkey").alias("ref"),
+    )
+    write_table(idx_df, IDX_CATALOG, path, num_partitions=4)
+    idx = load_table(spark, IDX_CATALOG, path, physical_naming="cf:col")
+    hits = idx.where(F.col("ikey").startswith("BUILDING#")).select("ref")
+    return base.join(
+        F.broadcast(hits), F.col("c_custkey") == F.col("ref"), "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+@query(
+    "kv_snapshot_diff",
+    oracle=f"""
+    WITH {_PEOPLE_ORACLE_SRC},
+    updates AS (
+      SELECT i::BIGINT AS id,
+             CASE WHEN i % 2 = 0 THEN 'renamed' || i ELSE NULL END AS name,
+             CAST(i % 97 AS INTEGER) AS age
+      FROM range(900, 1101) t(i)
+    ),
+    v1 AS (SELECT id, name, age FROM people),
+    v2 AS (
+      SELECT coalesce(u.id, p.id) AS id,
+             coalesce(u.name, p.name) AS name,
+             coalesce(u.age, p.age) AS age
+      FROM (SELECT * FROM v1 WHERE id > 10) p
+      FULL OUTER JOIN updates u ON p.id = u.id
+    )
+    SELECT coalesce(v2.id, v1.id) AS id,
+           CASE WHEN v1.id IS NULL THEN 'insert'
+                WHEN v2.id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           v1.name AS old_name, v2.name AS new_name,
+           v1.age AS old_age, v2.age AS new_age
+    FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
+    WHERE v1.id IS NULL OR v2.id IS NULL
+       OR (v1.name IS DISTINCT FROM v2.name)
+       OR (v1.age IS DISTINCT FROM v2.age)
+    """,
+    tags=("cdc", "upsert", "join"),
+)
+def kv_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed between two snapshots of the people table: v2 deletes
+    rowkeys 1..10 and overlays the sparse put batch (900..1100). The diff
+    classifies every rowkey insert/update/delete with old/new cell values;
+    unchanged rows (including puts that wrote identical values) drop out."""
+    from spark_hbase_connector_spark.operators.upsert import overlay_cells, snapshot_diff
+
+    v1 = people_df(spark).select("id", "name", "age")
+    i = F.col("id")
+    updates = spark.range(900, 1101).select(
+        i.cast("long").alias("id"),
+        F.when(i % 2 == 0, F.concat(F.lit("renamed"), i)).alias("name"),
+        (i % 97).cast("int").alias("age"),
+    )
+    v2 = overlay_cells(v1.where(F.col("id") > 10), updates, "id")
+    return snapshot_diff(v1, v2, "id", ["name", "age"])
