@@ -1054,3 +1054,86 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     assets = attach_payload(d, "text", "doc_id")
     return sample_frames(assets, frame_size=256, stride=4)
+
+
+@query(
+    "chunk_sliding_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, 24)) AS start
+      FROM t
+    )
+    SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+           CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+           array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+    FROM ex
+    """,
+    tags=("pipeline", "chunking"),
+)
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for training/RAG pipelines: each document is
+    split into 32-token chunks with an 8-token overlap (stride 24). Chunk
+    starts come from `sequence(0, n-1, stride)` exploded JVM-side; the
+    chunk itself is an array slice + join — no Python in the path, and the
+    explode multiplies rows by ceil(n_tokens/stride) only (bounded fan-out,
+    partition-local, no shuffle at all until a downstream consumer groups)."""
+    size, stride = 32, 24
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    ex = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, F.lit(size))
+    return ex.select(
+        "doc_id",
+        (F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "approx_distinct_qa",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           true AS approx_within_5pct
+    FROM orders
+    UNION ALL
+    SELECT 'l_partkey',
+           CAST(count(DISTINCT l_partkey) AS BIGINT),
+           true
+    FROM lineitem
+    """,
+    tags=("sketch", "agg", "qa"),
+)
+def approx_distinct_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-aggregate QA gate: HyperLogLog++ (`approx_count_distinct`,
+    rsd 2%) next to the exact distinct count, per column, emitting the
+    exact count and a within-5% acceptance flag — the check a pipeline
+    runs before trusting sketches for cardinality decisions. At 100 TB the
+    sketch is the only viable path (fixed-size partial state, map-side
+    merged, no shuffle of distinct values); the exact count here is the
+    small-scale ground truth that certifies it. The sketch is
+    deterministic for fixed data, so the flag is oracle-stable."""
+
+    def one(table: str, col: str) -> DataFrame:
+        t = load(spark, sf_dir, table)
+        return t.agg(
+            F.lit(col).alias("col"),
+            F.count_distinct(F.col(col)).alias("exact_distinct"),
+            (
+                F.abs(F.approx_count_distinct(col, 0.02) - F.count_distinct(F.col(col)))
+                <= 0.05 * F.count_distinct(F.col(col))
+            ).alias("approx_within_5pct"),
+        )
+
+    return one("orders", "o_custkey").unionAll(one("lineitem", "l_partkey"))
