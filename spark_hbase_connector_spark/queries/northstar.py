@@ -1137,3 +1137,116 @@ def approx_distinct_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return one("orders", "o_custkey").unionAll(one("lineitem", "l_partkey"))
+
+
+@query(
+    "approx_quantiles_qa",
+    oracle="""
+    SELECT CAST(0.5 AS DOUBLE) AS quantile,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_value,
+           true AS approx_within_1pct
+    FROM lineitem
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE),
+           round(quantile_cont(l_extendedprice, 0.9), 4), true
+    FROM lineitem
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE),
+           round(quantile_cont(l_extendedprice, 0.99), 4), true
+    FROM lineitem
+    """,
+    tags=("sketch", "quantile", "qa"),
+)
+def approx_quantiles_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch QA gate, the percentile twin of
+    ``approx_distinct_qa``: Greenwald-Khanna `approx_percentile`
+    (accuracy 10000) next to the exact interpolated percentile, per
+    quantile, emitting the exact value and a within-1% acceptance flag.
+    At 100 TB only the sketch survives (mergeable fixed-size partials, no
+    global sort); the exact percentile is the QA-scale ground truth that
+    certifies it. One aggregation pass computes both arrays; the
+    per-quantile rows come from a 3-element zip explode — constant-sized,
+    driver-free."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").alias("ex"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)"
+        ).alias("ap"),
+    )
+    z = a.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)).alias("q"),
+                F.col("ex"),
+                F.col("ap"),
+            )
+        ).alias("s")
+    )
+    return z.select(
+        F.col("s.q").alias("quantile"),
+        F.round("s.ex", 4).alias("exact_value"),
+        (F.abs(F.col("s.ap") - F.col("s.ex")) <= 0.01 * F.abs(F.col("s.ex"))).alias(
+            "approx_within_1pct"
+        ),
+    )
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes sa ON id1 = sa.doc_id
+      JOIN sizes sb ON id2 = sb.doc_id
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.85
+    ),
+    edges AS (SELECT id1 AS a, id2 AS b FROM prs
+              UNION ALL SELECT id2, id1 FROM prs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    jd AS (
+      SELECT c.component, c.doc_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component,
+           first(doc_id ORDER BY n_chars DESC, doc_id) AS rep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM jd GROUP BY component
+    """,
+    tags=("dedup", "graph", "pipeline"),
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup end-step a curation pipeline actually ships: per
+    near-duplicate cluster (connected components over the Jaccard>=0.85
+    pair graph), keep the best document — longest content, doc_id
+    tiebreak. Representative selection is `max_by` over a (n_chars,
+    -doc_id) struct inside the same grouped aggregation that counts the
+    cluster: one shuffle on the component id, no window, no second pass
+    over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(d, "text", "doc_id", threshold=0.85)
+    comp = connected_components(pairs)
+    jd = comp.join(
+        d.select(F.col("doc_id"), F.col("n_chars")),
+        comp["id"] == F.col("doc_id"),
+    )
+    return jd.groupBy(F.col("comp").alias("component")).agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+        ).alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
