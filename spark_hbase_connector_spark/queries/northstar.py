@@ -1250,3 +1250,60 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rep_doc_id"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@query(
+    "search_ranked_conjunctive",
+    oracle="""
+    WITH posts AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM posts WHERE term IN ('scan', 'join')
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT t.doc_id, round(sum(t.tf * ln(n.n_docs * 1.0 / i.df)), 4) AS score
+    FROM tf t JOIN idf i USING (term) CROSS JOIN n
+    GROUP BY t.doc_id
+    HAVING count(*) = 2
+    """,
+    tags=("text", "search", "join"),
+)
+def search_ranked_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search with TF-IDF ranking — the inverted-index
+    query a document store serves: documents containing ALL query terms
+    ('scan' AND 'join'), scored by sum(tf * ln(N/df)). The term filter
+    lands before the explode-aggregate, so posting lists are built only
+    for query terms; df is term-sized (broadcasts by stats) and the
+    corpus count is an uncorrelated scalar subquery (computed once,
+    injected as a literal — no join at all); conjunction = HAVING count
+    == n_terms on the grouped postings — intersection via aggregation,
+    never a self-join per term. One corpus-sized shuffle (doc_id, term)."""
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents_search_v")
+    return spark.sql(
+        """
+        WITH posts AS (
+          SELECT doc_id, explode(split(text, ' ')) AS term
+          FROM documents_search_v
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM posts WHERE term IN ('scan', 'join')
+          GROUP BY doc_id, term
+        ),
+        idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        SELECT t.doc_id,
+               round(sum(t.tf * ln(
+                 (SELECT count(*) FROM documents_search_v) * 1.0 / i.df)), 4)
+                 AS score
+        FROM tf t JOIN idf i USING (term)
+        GROUP BY t.doc_id
+        HAVING count(*) = 2
+        """
+    )
