@@ -791,3 +791,35 @@ def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "not_in_null_aware",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE c_nationkey NOT IN (
+      SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_1', 'NATION_3')
+    )
+    """,
+    tags=("join", "subquery"),
+)
+def not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a subquery — the null-aware anti join planner shape.
+    Unlike NOT EXISTS, NOT IN must return zero rows if the subquery ever
+    yields NULL, so Catalyst plans a null-aware anti join (single-column
+    NAAJ runs as a broadcast hash join with the null check folded in;
+    the build side is the subquery result, dimension-sized here). The
+    probe side streams — no shuffle of customer at any scale."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_naaj_v")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_naaj_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer_naaj_v
+        WHERE c_nationkey NOT IN (
+          SELECT n_nationkey FROM nation_naaj_v
+          WHERE n_name IN ('NATION_1', 'NATION_3')
+        )
+        """
+    )
