@@ -330,3 +330,43 @@ def people_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as an ISO string because pandas has no date dtype, so a raw DATE
     # column compares as objects-vs-datetime64 between Spark and DuckDB
     return out.withColumn("birthDate", F.col("birthDate").cast("string"))
+
+
+@query(
+    "schema_evolution_merge",
+    oracle="""
+    SELECT i::BIGINT AS id, 'u' || i AS name, CAST(NULL AS VARCHAR) AS email
+    FROM range(1, 501) t(i)
+    UNION ALL
+    SELECT i::BIGINT, 'u' || i, 'u' || i || '@example.com'
+    FROM range(501, 1001) t(i)
+    """,
+    tags=("fixture", "schema-evolution"),
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a long-lived table: batch 1 was written before
+    the ``email`` column existed; batch 2 carries it. Reading both with
+    ``mergeSchema`` reconciles footers into the superset schema and
+    NULL-fills the missing column for old files — the additive-column
+    migration every multi-year ingest hits. (At 100 TB, pin the merged
+    schema in the catalog instead of paying footer reconciliation per
+    query; column-add stays a metadata-only operation either way.)"""
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        "spark_hbase_connector_fixtures",
+        "schema_evo",
+    )
+    i = F.col("id")
+    uname = F.concat(F.lit("u"), i.cast("string"))
+    spark.range(1, 501).select(i.alias("id"), uname.alias("name")).write.mode(
+        "overwrite"
+    ).parquet(root + "/batch1")
+    spark.range(501, 1001).select(
+        i.alias("id"),
+        uname.alias("name"),
+        F.concat(uname, F.lit("@example.com")).alias("email"),
+    ).write.mode("overwrite").parquet(root + "/batch2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        root + "/batch1", root + "/batch2"
+    )
+    return merged.select("id", "name", "email")

@@ -66,3 +66,29 @@ def test_shingles_expression_matches_arrow_postings(spark):
     assert expr_sets[2] == set()
     # tokens() is the shared contract both build on
     assert df.select(F.size(tokens("text")).alias("n")).collect()[0].n == 5
+
+
+def test_chunk_windows_reconstruct_documents(spark):
+    """Lossless-coverage property of chunk_sliding_windows: chunk 0 plus
+    each later chunk minus its 8 leading overlap tokens re-concatenates to
+    exactly the document's token sequence — no token dropped, none
+    duplicated, for every document."""
+    from spark_hbase_connector_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    chunks = REGISTRY["chunk_sliding_windows"].fn(spark, sf).toPandas()
+    docs = (
+        spark.read.parquet(sf + "/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    overlap = 32 - 24
+    assert set(chunks["doc_id"]) == set(docs.index)
+    for doc_id, g in chunks.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        toks = []
+        for j, chunk_text in enumerate(g["chunk_text"]):
+            ct = chunk_text.split(" ")
+            toks.extend(ct if j == 0 else ct[overlap:])
+        assert toks == docs.loc[doc_id, "text"].split(" "), doc_id

@@ -347,3 +347,42 @@ def test_pushdown_reaches_scan(spark, sf_dir, col, fragment):
     q = df.where(F.col(col) > 10).select("c_custkey", "c_name")
     assert_filter_pushed(q, fragment)
     assert_columns_pruned(q, {"c_custkey", "c_name", col})
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a dt-partitioned fact against a filtered dimension must
+    inject a runtime (dynamic) partition filter into the fact scan —
+    at 100 TB this is the difference between scanning one day's
+    directories and scanning all of them. Asserted via the plan's
+    `dynamicpruning` subquery in PartitionFilters."""
+    from spark_hbase_connector_spark.plans.audit import explain_string
+
+    cat = parse_catalog(
+        {
+            "table": "t:dpp",
+            "rowkey": "k",
+            "columns": {
+                "k": {"cf": "rowkey", "col": "k", "type": "long"},
+                "dt": {"cf": "d", "col": "dt", "type": "string"},
+                "v": {"cf": "d", "col": "v", "type": "double"},
+            },
+        }
+    )
+    fact = spark.createDataFrame(
+        [Row(k=i, dt=f"p{i % 8 + 1:02d}", v=i / 2.0) for i in range(2000)]
+    )
+    out = str(tmp_path / "dpp")
+    write_table(fact, cat, out, num_partitions=2, partition_by="dt")
+    back = load_table(spark, cat, out, physical_naming="cf:col")
+    dim_path = str(tmp_path / "dpp_dim")
+    # dim must be a stats-bearing table (not a LogicalRDD) and the filter a
+    # "likely selective" predicate (comparison/IN/LIKE — a bare boolean
+    # attribute does not qualify) or the DPP cost model rejects the filter
+    spark.createDataFrame(
+        [Row(dt=f"p{d:02d}", temp=("hot" if d == 3 else "cold")) for d in range(1, 9)]
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    j = back.join(F.broadcast(dim.where(F.col("temp") == "hot")), "dt")
+    plan = explain_string(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert j.count() == 250
