@@ -84,13 +84,17 @@ def load_table(
     declare columns never written (FIXTURES.md fixture 1, column ``c``).
 
     ``data_format``: parquet (default; full pushdown + row-group pruning),
-    csv, or json. Text formats read with the catalog-derived schema (no
-    inference scan); predicate pushdown still prunes partitions/rows where
-    the format supports it, but only parquet carries column statistics.
+    orc (columnar too: embedded schema, stripe-level stats + predicate
+    pushdown — the peer interchange format), csv, or json. Text formats
+    read with the catalog-derived schema (no inference scan); predicate
+    pushdown still prunes partitions/rows where the format supports it,
+    but only the columnar formats carry column statistics.
     """
     cat = catalog if isinstance(catalog, TableCatalog) else parse_catalog(catalog)
     if data_format == "parquet":
         raw = spark.read.parquet(path)
+    elif data_format == "orc":
+        raw = spark.read.orc(path)
     elif data_format == "csv":
         raw = spark.read.schema(_physical_schema(cat, physical_naming)).csv(
             path, header=True
@@ -244,6 +248,8 @@ def write_table(
         writer = writer.partitionBy(*part_phys)
     if data_format == "parquet":
         writer.parquet(path)
+    elif data_format == "orc":
+        writer.orc(path)
     elif data_format == "csv":
         # same range-partitioned sorted layout; no column stats in csv, so
         # rowkey pruning falls back to full scans — use parquet at scale

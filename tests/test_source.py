@@ -102,10 +102,11 @@ def test_write_table_rowkey_phys_differs_from_logical(spark, tmp_path):
     assert back.where(F.col("id") >= 8).count() == 2
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
 def test_write_load_text_formats_roundtrip(spark, tmp_path, fmt):
-    """CSV/JSON source paths: catalog-typed read (no inference), cf:col
-    physical naming, same rowkey-sorted layout discipline."""
+    """CSV/JSON/ORC source paths: catalog-typed read (no inference for the
+    text formats; embedded schema for ORC), cf:col physical naming, same
+    rowkey-sorted layout discipline."""
     cat = parse_catalog(
         {
             "table": f"t:{fmt}",
