@@ -44,7 +44,9 @@ def _canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return float(v)
+        # normalize -0.0 -> 0.0: repr-based row sorting must not split
+        # numerically-equal zeros between the two frames
+        return float(v) + 0.0
     if isinstance(v, (pd.Timestamp,)):
         return v.isoformat()
     if hasattr(v, "isoformat"):

@@ -319,7 +319,7 @@ def embedding_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_DUCK_VECS}
     SELECT vec_id, CAST(len(e) AS INTEGER) AS dim, round(nrm, 4) AS l2_norm,
-           round(list_sum(e) / len(e), 4) AS mean_component
+           round(list_sum(e) / len(e), 4) + 0.0 AS mean_component
     FROM n
     """,
     tags=("similarity", "stats"),
@@ -336,7 +336,9 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").cast("int").alias("dim"),
         F.round(F.sqrt(sq), 4).alias("l2_norm"),
-        F.round(s / F.size("embedding"), 4).alias("mean_component"),
+        # + 0.0 folds -0.0 to +0.0 (a mean rounding to zero from below
+        # would otherwise hash differently between engines)
+        (F.round(s / F.size("embedding"), 4) + F.lit(0.0)).alias("mean_component"),
     )
 
 
