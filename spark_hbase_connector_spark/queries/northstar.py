@@ -1075,6 +1075,7 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ex
     """,
     tags=("pipeline", "chunking"),
+    bench=True,
 )
 def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking for training/RAG pipelines: each document is
@@ -1275,6 +1276,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING count(*) = 2
     """,
     tags=("text", "search", "join"),
+    bench=True,
 )
 def search_ranked_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive keyword search with TF-IDF ranking — the inverted-index
