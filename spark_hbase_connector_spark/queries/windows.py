@@ -270,3 +270,75 @@ def hypertable_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_with_tail(
         spark, ev, path, cutoff, ts_col="ts", dims=["event_type"]
     )
+
+
+@query(
+    "gapfill_locf",
+    oracle="""
+    WITH sub AS (
+      SELECT user_id,
+             make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket,
+             value
+      FROM events WHERE user_id < 5
+    ),
+    agg AS (
+      SELECT user_id, bucket, sum(value) AS total,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sub GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+      FROM agg GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, a.total, coalesce(a.n_events, 0) AS n_events
+      FROM grid g LEFT JOIN agg a USING (user_id, bucket)
+    )
+    SELECT user_id, bucket AS bucket_start, n_events,
+           round(last_value(total IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS filled_total
+    FROM j
+    """,
+    tags=("window", "timeseries", "gapfill"),
+)
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward (the
+    hypertable `time_bucket_gapfill` + `locf` shape): per-user 15-minute
+    value totals on a dense bucket grid, empty buckets emitted with
+    n_events=0 and the previous bucket's total carried forward. The grid
+    is `sequence(min, max, 15 min)` exploded per key — generated worker-
+    side from each key's bounds (two rows per key shuffle, not a
+    calendar's worth of driver rows); LOCF is one `last(ignorenulls)`
+    window over the same user partitioning the aggregation already
+    shuffled on."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    bucket = F.expr("timestamp_micros((unix_micros(ts) div 900000000) * 900000000)")
+    agg = e.groupBy("user_id", bucket.alias("bucket")).agg(
+        F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = agg.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 15 minutes)")).alias("bucket"),
+    )
+    j = grid.join(agg, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("bucket").alias("bucket_start"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(F.last("total", ignorenulls=True).over(w), 4).alias("filled_total"),
+    )
