@@ -1311,3 +1311,26 @@ def search_ranked_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING count(*) = 2
         """
     )
+
+
+@query(
+    "assign_contiguous_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+    FROM documents
+    """,
+    tags=("pipeline", "ids"),
+)
+def assign_contiguous_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based global index over doc_id WITHOUT a global sort — the
+    shard-addressing primitive for training exports. Rows are bucketed by
+    an order-preserving key range, ranked per bucket in parallel windows,
+    and shifted by broadcast cumulative bucket offsets
+    (`operators/ids.py`): one corpus shuffle on the bucket key; the only
+    unpartitioned window runs over the bucket-count relation, which is
+    corpus_size/1024 rows, not the corpus."""
+    from spark_hbase_connector_spark.operators.ids import assign_contiguous_ids
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return assign_contiguous_ids(d, "doc_id", bucket_width=64)
