@@ -488,3 +488,311 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY cntrycode
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q16 / Q20 / Q21 — the remaining planner shapes, completing all
+# 22 TPC-H queries. The harness schema has no ``partsupp`` table, so the
+# part-supplier relation is derived from lineitem: distinct
+# ``(l_partkey, l_suppkey)`` pairs with ``min(l_extendedprice / l_quantity)``
+# as the supply cost. Both the Spark plan and the DuckDB oracle derive it
+# identically, so the comparison stays exact (same IEEE divisions, same min).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT ps.l_partkey, ps.l_suppkey, ps.ps_supplycost
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           round(eu.ps_supplycost, 4) AS supplycost
+    FROM eu
+    JOIN part p     ON p.p_partkey = eu.l_partkey
+    JOIN supplier s ON s.s_suppkey = eu.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 5
+      AND eu.ps_supplycost = (
+        SELECT min(eu2.ps_supplycost) FROM eu eu2
+        WHERE eu2.l_partkey = p.p_partkey
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "topn"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the region-scoped minimum-cost supplier per part —
+    the classic correlated scalar-MIN subquery. Planned scale-first: the
+    correlated min is a window MIN partitioned by part key over the
+    region-restricted part-supplier relation (one shuffle, no per-row
+    re-execution); supplier/nation/region are broadcast dimensions; the
+    part filter is broadcast into the derived relation so the window only
+    sees surviving parts. Reference delegates this whole surface to Spark
+    (`HbaseTable.scala:31-34` capabilities)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+    eu_sup = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    eu = (
+        ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("_min_cost", F.min("ps_supplycost").over(w))
+        .where(F.col("ps_supplycost") == F.col("_min_cost"))
+    )
+    return (
+        eu.select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("ps_supplycost", 4).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH scoped AS (
+      SELECT l.l_partkey, l.l_extendedprice
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+    )
+    SELECT l_partkey AS ps_partkey, round(sum(l_extendedprice), 4) AS part_value
+    FROM scoped
+    GROUP BY l_partkey
+    HAVING round(sum(l_extendedprice), 4) >
+           round((SELECT 2.0 * sum(l_extendedprice) / count(DISTINCT l_partkey)
+                  FROM scoped), 4)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+    tags=("agg", "subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value within one nation, kept only when it
+    exceeds a threshold from an uncorrelated scalar subquery (adapted to
+    2x the nation's average per-part value so the selectivity is
+    scale-invariant — a fixed fraction-of-total empties as the part count
+    grows). The scalar is a single-row aggregate cross-joined (broadcast)
+    into the grouped output, so the corpus is scanned twice but shuffled
+    once; both sides round to 4dp before comparing so engine-order float
+    summation can't flip a borderline group."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    scoped = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", "l_extendedprice")
+    )
+    total = scoped.agg(
+        F.round(
+            2.0 * F.sum("l_extendedprice") / F.count_distinct("l_partkey"), 4
+        ).alias("_threshold")
+    )
+    return (
+        scoped.groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("part_value"))
+        .join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("_threshold"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 9, 14, 23, 25, 36, 49)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("agg", "subquery", "anti-join"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute bucket
+    with a NOT IN supplier exclusion ("complaint" suppliers adapted to
+    negative balances). The NOT IN is a broadcast left-anti join (key side
+    is supplier-sized); the distinct pairs come from one hash aggregate;
+    count(DISTINCT) expands to a two-phase aggregate Catalyst plans
+    map-side-partial first."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#2")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 23, 25, 36, 49))
+    )
+    bad = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_part_promotion_suppliers",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_regionkey = 2
+      AND s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+        HAVING sum(l_quantity) > 50
+      )
+    ORDER BY s.s_name
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries — suppliers who shipped more
+    than a threshold quantity of pattern-matched parts in a year, within
+    one region. Planned as a chain of semi-joins: part pattern -> broadcast
+    semi into lineitem; grouped HAVING on (part, supplier); the surviving
+    supplier keys (tiny) semi-join the supplier dim. The quantity sum is
+    integral-valued so the HAVING threshold is exact on both engines."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    pk = load(spark, sf_dir, "part").where(F.col("p_name").startswith("small")).select(
+        "p_partkey"
+    )
+    n = load(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    s = load(spark, sf_dir, "supplier")
+    qualified = (
+        li.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_regionkey = 1
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "agg", "topn"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the fact table
+    (the lone late supplier in a multi-supplier order). Planned scale-first
+    as ONE aggregation instead of two correlated self-joins: per-order
+    distinct-supplier and distinct-LATE-supplier counts; a lineitem
+    qualifies iff its order has >=2 suppliers (the EXISTS) and exactly one
+    late supplier (the NOT EXISTS — all late rows then belong to l1's own
+    supplier). One orderkey shuffle reused by the join-back; the correlated
+    lateness predicate rides the orders join, never a per-row subquery."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    n = load(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    s = load(spark, sf_dir, "supplier")
+
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    stats = joined.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("_nsupp"),
+        F.count_distinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_nlate"),
+    )
+    lone_late = (
+        joined.where(F.col("_late"))
+        .join(
+            stats.where((F.col("_nsupp") >= 2) & (F.col("_nlate") == 1)),
+            F.col("l_orderkey") == F.col("st_orderkey"),
+        )
+    )
+    nat_sup = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        lone_late.join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

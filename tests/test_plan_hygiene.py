@@ -25,7 +25,10 @@ from spark_hbase_connector_spark.queries import REGISTRY
 
 # exact all-pairs baselines: the broadcast-bounded nested loop IS the
 # declared semantics (their scale paths are the _lsh / ivf variants)
-_BNLJ_ALLOWED = {"embedding_cosine_pairs"}
+# Queries where a BroadcastNestedLoopJoin is intentional and bounded:
+# embedding_cosine_pairs is the exact all-pairs baseline; q11's nested loop
+# is the single-row scalar threshold cross-joined into the grouped output.
+_BNLJ_ALLOWED = {"embedding_cosine_pairs", "q11_important_stock"}
 
 _SKIP_TAGS = {"streaming", "fixture"}
 
