@@ -9,11 +9,24 @@ via the `catalog` option (``ScalaDatasourceTest.scala:78-82``).
 as a temp view named like the file (the SQL entry point,
 ``ScalaDatasourceTest.scala:84``).
 
-Quirk handled here once: ``events.ts`` is nanosecond-precision Parquet,
-which Spark cannot read natively; the session reads it as a raw int64
-(``spark.sql.legacy.parquet.nanosAsLong``) and this loader converts with
-``timestamp_micros(ts div 1000)`` — floor division, byte-identical to
-DuckDB's own ns->us conversion.
+Quirk handled here once: ``events.ts`` has shipped as BOTH nanosecond-
+precision Parquet (physical int64, Spark reads it via
+``spark.sql.legacy.parquet.nanosAsLong``) and as plain ``timestamp[us]``
+(TIMESTAMP_NTZ) — the driver's testdata changed encodings between rounds.
+``load`` probes the file's actual physical type with pyarrow (one footer
+read, no Spark job) and branches:
+
+- ``timestamp[us]``/``[ms]``/``[s]`` -> declare ``timestamp`` and read
+  directly (NTZ wall-clock == UTC instant under the pinned UTC session);
+- ``timestamp[ns]`` or raw ``int64`` -> declare ``bigint`` and convert with
+  ``timestamp_micros(ts div 1000)`` — floor division, byte-identical to
+  DuckDB's own ns->us conversion.
+
+Either encoding yields an identical logical schema, so every downstream
+query (and the streaming loader, which reuses the same probe) is immune to
+this class of drift. ``load`` also re-verifies the resolved schema against
+the catalog's declared types — type drift fails loudly at load, never as a
+silent NULL column.
 """
 
 from __future__ import annotations
@@ -113,7 +126,7 @@ TESTDATA_CATALOGS: dict[str, dict] = {
         "event_id",
         {
             "event_id": "long",
-            "ts": "bigint",  # raw nanos; converted to timestamp in load()
+            "ts": "timestamp",  # physical encoding probed per file in load()
             "user_id": "long",
             "event_type": "string",
             "value": "double",
@@ -146,14 +159,66 @@ def _pin_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+# physical ts encoding per events file, probed once per path (footer-only
+# pyarrow read — no Spark job, no data scan)
+_TS_KIND_CACHE: dict[str, str] = {}
+
+
+def probe_ts_kind(path: str) -> str:
+    """'timestamp' (us/ms/s — Spark reads it natively) or 'nanos' (int64 or
+    timestamp[ns] — read as raw long under nanosAsLong, floor-divided to us).
+
+    The driver's events.parquet has shipped with both encodings across
+    rounds; probing the footer instead of trusting a hardcoded type is what
+    keeps every events query green under either."""
+    kind = _TS_KIND_CACHE.get(path)
+    if kind is None:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(path, format="parquet").schema.field("ts").type
+        if pa.types.is_timestamp(t) and t.unit != "ns":
+            kind = "timestamp"
+        else:  # timestamp[ns] or bare int64: both surface as long in Spark
+            kind = "nanos"
+        _TS_KIND_CACHE[path] = kind
+    return kind
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table through the catalog layer."""
     _pin_session_confs(spark)
-    df = load_table(spark, TESTDATA_CATALOGS[name], f"{sf_dir}/{name}.parquet")
-    if name == "events":
+    cat = TESTDATA_CATALOGS[name]
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and probe_ts_kind(path) == "nanos":
+        nanos_cat = dict(cat, columns=dict(cat["columns"]))
+        nanos_cat["columns"]["ts"] = dict(cat["columns"]["ts"], type="bigint")
+        df = load_table(spark, nanos_cat, path)
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    else:
+        df = load_table(spark, cat, path)
+    _assert_declared_types(name, cat, df)
     return df
+
+
+def _assert_declared_types(name: str, cat: dict, df: DataFrame) -> None:
+    """Type-drift tripwire: the resolved DataFrame must carry exactly the
+    catalog's declared logical types (post-adaptation). A physical file whose
+    encoding `load_table` cannot reconcile fails HERE, loudly, instead of
+    surfacing as a NULL column three queries later."""
+    from spark_hbase_connector_spark.sources.catalog import type_for
+
+    resolved = {f.name: f.dataType for f in df.schema.fields}
+    for col, spec in cat["columns"].items():
+        want = type_for("timestamp" if col == "ts" and name == "events" else spec["type"], col)
+        got = resolved.get(col)
+        if got != want:
+            raise TypeError(
+                f"type drift on {name}.{col}: catalog declares {want.simpleString()}, "
+                f"resolved {got.simpleString() if got else 'MISSING'} — physical file "
+                "encoding changed; extend the loader's adaptation rules"
+            )
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

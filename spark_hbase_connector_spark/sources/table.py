@@ -103,23 +103,52 @@ def load_table(
         raw = spark.read.schema(_physical_schema(cat, physical_naming)).json(path)
     else:
         raise ValueError(f"unknown data_format {data_format!r}")
-    available = set(raw.columns)
+    physical_types = {f.name: f.dataType for f in raw.schema.fields}
     projections = []
     for name, col in cat.columns.items():
         phys = _physical_name(cat, name, physical_naming)
         typ = col.spark_type(name)
-        if phys in available:
-            expr = F.col(f"`{phys}`").cast(typ)
-        elif col.column in available:
+        if phys in physical_types:
+            expr = _adapt(F.col(f"`{phys}`"), physical_types[phys], typ)
+        elif col.column in physical_types:
             # qualifier fallback: hive-partition columns are directory-
             # encoded under the bare qualifier (write_table partition_by)
-            expr = F.col(f"`{col.column}`").cast(typ)
+            expr = _adapt(F.col(f"`{col.column}`"), physical_types[col.column], typ)
         else:
             expr = F.lit(None).cast(typ)
         projections.append(
             expr.alias(name, metadata={"columnFamily": col.column_family, "column": col.column})
         )
     return raw.select(*projections)
+
+
+def _adapt(expr, physical, declared):
+    """Reconcile a column's physical file type with the catalog's declared
+    logical type. Schema evolution means the two WILL diverge over a table's
+    life; a plain CAST crashes on several legal combinations (TIMESTAMP_NTZ
+    -> BIGINT is an AnalysisException), so the divergences get explicit
+    semantics instead:
+
+    - integral file column, declared timestamp -> interpreted as epoch
+      MICROSECONDS (``timestamp_micros``). One documented epoch unit, not a
+      guess per call site.
+    - timestamp/timestamp_ntz file column, declared integral -> epoch
+      microseconds via ``unix_micros`` (NTZ is first anchored to UTC, which
+      the engine pins as the session zone, so the round-trip is lossless).
+    - anything else -> plain CAST (includes TIMESTAMP_NTZ -> TIMESTAMP,
+      which Spark resolves under the session zone).
+    """
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    is_ts = lambda t: isinstance(t, (T.TimestampType, T.TimestampNTZType))  # noqa: E731
+    if isinstance(physical, integral) and is_ts(declared):
+        return F.timestamp_micros(expr).cast(declared)
+    if is_ts(physical) and isinstance(declared, integral):
+        if isinstance(physical, T.TimestampNTZType):
+            expr = expr.cast(T.TimestampType())
+        return F.unix_micros(expr).cast(declared)
+    return expr.cast(declared)
 
 
 def compact_table(

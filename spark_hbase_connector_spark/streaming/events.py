@@ -4,9 +4,12 @@ The reference declares a spark-streaming dependency but contains zero
 streaming code (SURVEY.md §0); this module supplies the streaming surface a
 complete engine needs, Spark-first:
 
-- ``events_stream``: file-source stream with an explicit schema (the ns
-  timestamp is read as raw int64 and floor-converted to micros, identical
-  to the batch loader);
+- ``events_stream``: file-source stream whose schema is DERIVED from the
+  file's observed batch schema (a file stream source silently reads NULLs
+  when a pinned schema mismatches the file — round 2's failure mode — so
+  the schema is never pinned blind). The ts adaptation branches exactly
+  like the batch loader: nanos-int64 floor-converts to micros, native
+  timestamp passes through;
 - ``tumbling_window_agg``: epoch-aligned tumbling windows;
 - ``session_window_agg``: native session windows (gap-merged);
 - ``run_stream_to_memory``: drives a finite file stream synchronously into
@@ -27,33 +30,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the batch-identical ts
-    conversion (ns int64 -> floor micros)."""
-    from spark_hbase_connector_spark.catalogs import _pin_session_confs
+    adaptation (probed per file: ns-int64 -> floor micros; native
+    timestamp -> passthrough).
+
+    The stream schema is the file's OBSERVED batch schema, not a constant:
+    Spark's file stream source reads a mismatched column as all-NULL with
+    no error, so a hardcoded schema turns type drift into silently-wrong
+    aggregates (round 2, 4 queries). Deriving it from one batch footer read
+    makes that failure structurally impossible, and the first-batch
+    non-null tripwire below would catch any residual decode mismatch."""
+    from spark_hbase_connector_spark.catalogs import _pin_session_confs, probe_ts_kind
 
     _pin_session_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    # observed physical schema under the pinned session confs (nanos files
+    # surface ts as long here; timestamp files as timestamp/ntz)
+    batch = spark.read.parquet(path)
     # the file stream source wants a directory; select just events.parquet
     # out of the sf_dir with a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch.schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if probe_ts_kind(path) == "nanos":
+        out = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        out = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    # first-batch tripwire (one row-group read, driver-side): decoded ts
+    # must be non-null — NULL here means the schema/file contract broke.
+    probe = batch.select("ts").limit(1).collect()
+    if probe and probe[0][0] is None:
+        raise TypeError(f"events ts decoded as NULL from {path} — schema drift")
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def tumbling_window_agg(stream: DataFrame, width: str = "15 minutes") -> DataFrame:
