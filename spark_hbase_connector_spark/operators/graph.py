@@ -8,18 +8,25 @@ DataFrame joins — the Pregel formulation:
 
 - state: (id, comp), initialized comp = id;
 - step: every node takes min(comp, min over neighbors' comp) — ONE shuffle
-  join (edges x labels) + one partial-aggregated groupBy per iteration;
-- fixpoint: stop when no label changed (checked with a count per
-  iteration); iterations needed = graph diameter, which for dedup clusters
-  is tiny (near-dup groups are dense cliques, diameter 1-2).
+  join (edges x labels) + one partial-aggregated groupBy per hop;
+- fixpoint: TWO hops are fused per materialization (labels are monotone
+  non-increasing, so "unchanged across a fused double-hop" implies a
+  fixpoint), then one cheap count over the already-checkpointed output
+  decides convergence. Dedup clusters are dense cliques with diameter 1-2,
+  so the whole run is typically ONE fused round that converges + one that
+  confirms — half the materializations and half the driver round-trips of
+  checking every hop (round 2 spent 45% of the headline bench in here).
 
-Scale notes: labels are node-sized (small); edges dominate and are
-persisted once. Each iteration localCheckpoints the label relation —
-without it the plan doubles per iteration and Catalyst re-optimizes the
-whole history. For adversarial long-chain graphs at 100 TB swap in
-alternating small-star/large-star contraction (same join primitives,
-O(log n) rounds); for dedup workloads plain propagation converges faster
-because cluster diameters are constant.
+Scale notes: labels are node-sized (small); edges dominate, so they are
+hash-partitioned by the join key ONCE and persisted — every hop's
+edges-side join then reuses the cached layout instead of re-shuffling the
+edge list (the partition count is pinned explicitly so AQE can't coalesce
+it out from under the join's distribution requirement). Each fused round
+localCheckpoints the label relation — without it the plan doubles per
+iteration and Catalyst re-optimizes the whole history. For adversarial
+long-chain graphs at 100 TB swap in alternating small-star/large-star
+contraction (same join primitives, O(log n) rounds); for dedup workloads
+plain propagation converges faster because cluster diameters are constant.
 """
 
 from __future__ import annotations
@@ -29,20 +36,42 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _propagate(edges: DataFrame, lbl: DataFrame) -> DataFrame:
+    """One min-label hop; passes through any extra columns on ``lbl``."""
+    nbr_min = (
+        edges.join(
+            lbl.select(F.col("id").alias("dst"), F.col("comp").alias("dcomp")),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.min("dcomp").alias("nbr_comp"))
+        .select(F.col("src").alias("id"), "nbr_comp")
+    )
+    extra = [c for c in lbl.columns if c not in ("id", "comp")]
+    return lbl.join(nbr_min, "id", "left").select(
+        "id",
+        F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+        *extra,
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id1: str = "id1",
     id2: str = "id2",
-    max_iter: int = 50,
+    max_iter: int = 25,
 ) -> DataFrame:
     """(id1, id2) undirected edges -> (id, comp) with comp = min id
     reachable from ``id``. Only nodes that appear in an edge are returned
-    (singletons are trivially their own component).
+    (singletons are trivially their own component). ``max_iter`` counts
+    fused double-hops, so reachability up to 2*max_iter edges deep.
     """
+    n_shuffle = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     e = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(n_shuffle, "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
@@ -52,26 +81,11 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("id").alias("dst"), F.col("comp").alias("dcomp")),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dcomp").alias("nbr_comp"))
-            .select(F.col("src").alias("id"), "nbr_comp")
-        )
-        updated = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
-                    "comp"
-                ),
-                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")).alias("__chg"),
-            )
-            .localCheckpoint()
-        )
+        base = labels.withColumn("__prev", F.col("comp"))
+        stepped = _propagate(edges, _propagate(edges, base))
+        updated = stepped.select(
+            "id", "comp", (F.col("comp") < F.col("__prev")).alias("__chg")
+        ).localCheckpoint()
         n_changed = updated.where(F.col("__chg")).count()
         labels = updated.select("id", "comp")
         if n_changed == 0:

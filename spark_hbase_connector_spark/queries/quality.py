@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_hbase_connector_spark.catalogs import load
-from spark_hbase_connector_spark.functions.text import shingles, tokens
+from spark_hbase_connector_spark.functions.text import tokens
 from spark_hbase_connector_spark.operators.dedup import shingle_postings
 from spark_hbase_connector_spark.queries.registry import query
 
@@ -48,24 +48,65 @@ from spark_hbase_connector_spark.queries.registry import query
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: most-frequent-unigram fraction and
     duplicate-bigram fraction, plus the boolean gate a curation pipeline
-    would filter on. All JVM higher-order array expressions — per-document
-    work, no shuffle, scales linearly with corpus bytes."""
+    would filter on.
+
+    One vectorized Arrow ``mapInPandas`` pass — a ``collections.Counter``
+    per document — the same strategy as the dedup shingler
+    (``operators/dedup.py:57``) and for the same reason: the "pure
+    expression" formulation (array_max over transform(array_distinct ...))
+    runs as *interpreted* nested higher-order lambdas that re-split the
+    text per distinct token, O(tokens²) per document (measured 54 s at
+    sf0.01 vs <2 s for this pass). Map-only, no shuffle, linear in corpus
+    bytes — the shape that survives 100 TB."""
+    import pandas as pd
+
     d = load(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n = F.size(toks)
-    top_cnt = F.expr(
-        "array_max(transform(array_distinct(split(text, ' ')),"
-        " t -> size(filter(split(text, ' '), x -> x = t))))"
-    )
-    top_frac = top_cnt / n
-    dup_bi = F.when(
-        n >= 2, 1.0 - F.size(shingles("text", 2)) / (n - 1).cast("double")
-    ).otherwise(F.lit(0.0))
-    return d.select(
-        "doc_id",
-        F.round(top_frac, 4).alias("top_unigram_frac"),
-        F.round(dup_bi, 4).alias("dup_bigram_frac"),
-        ((top_frac > 0.12) | (dup_bi > 0.5)).alias("repetitive"),
+
+    def _round4(x: float) -> float:
+        # HALF_UP like Spark F.round / DuckDB round (Python round() is
+        # banker's: round(1/32, 4) -> 0.0312, the others -> 0.0313)
+        import math
+
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    def gen(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, top_fracs, dup_fracs, gates = [], [], [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(i)
+                if t is None:  # oracle keeps the row, signals NULL
+                    top_fracs.append(None)
+                    dup_fracs.append(None)
+                    gates.append(None)
+                    continue
+                # split(' ') — keeps empty tokens on runs of spaces, exactly
+                # like Spark split(text,' ') / DuckDB string_split
+                toks = t.split(" ")
+                n = len(toks)
+                top_frac = max(Counter(toks).values()) / n
+                if n >= 2:
+                    n_bi = len({(toks[p], toks[p + 1]) for p in range(n - 1)})
+                    dup_bi = 1.0 - n_bi / (n - 1)
+                else:
+                    dup_bi = 0.0
+                # gate uses the UNROUNDED fractions, same as the oracle
+                gates.append(top_frac > 0.12 or dup_bi > 0.5)
+                top_fracs.append(_round4(top_frac))
+                dup_fracs.append(_round4(dup_bi))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "top_unigram_frac": pd.array(top_fracs, dtype="Float64"),
+                    "dup_bigram_frac": pd.array(dup_fracs, dtype="Float64"),
+                    "repetitive": pd.array(gates, dtype="boolean"),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        gen,
+        schema="doc_id long, top_unigram_frac double, dup_bigram_frac double, repetitive boolean",
     )
 
 

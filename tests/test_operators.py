@@ -142,3 +142,28 @@ def test_dedup_exact_counts(spark):
 
     got = {(r.id, r.copies) for r in dedup_exact(df, F.col("t"), "id").collect()}
     assert got == {(1, 2), (3, 1)}
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from spark_hbase_connector_spark.operators.graph import connected_components
+
+    # a 7-node path (diameter 6 — needs several fused double-hops), a
+    # 3-clique, and an isolated pair
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+             (10, 11), (11, 12), (10, 12),
+             (20, 21)]
+    df = spark.createDataFrame(edges, ["id1", "id2"])
+    got = {(r.id, r.comp) for r in connected_components(df).collect()}
+    want = {(i, 1) for i in range(1, 8)}
+    want |= {(i, 10) for i in (10, 11, 12)}
+    want |= {(20, 20), (21, 20)}
+    assert got == want
+
+
+def test_connected_components_reversed_edge_direction(spark):
+    from spark_hbase_connector_spark.operators.graph import connected_components
+
+    # min id on the *dst* side: symmetrization must propagate both ways
+    df = spark.createDataFrame([(5, 1), (9, 5)], ["id1", "id2"])
+    got = {(r.id, r.comp) for r in connected_components(df).collect()}
+    assert got == {(1, 1), (5, 1), (9, 1)}
