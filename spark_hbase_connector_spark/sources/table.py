@@ -56,14 +56,23 @@ def _physical_name(cat: TableCatalog, logical: str, naming: str) -> str:
     raise ValueError(f"unknown physical_naming {naming!r}")
 
 
-def _physical_schema(cat: TableCatalog, naming: str):
+def _physical_schema(cat: TableCatalog, naming: str, overrides: dict | None = None):
     """StructType over physical column names — csv/json have no embedded
-    schema, so the catalog supplies one (typed reads, no inference pass)."""
+    schema, so the catalog supplies one (typed reads, no inference pass).
+    ``overrides`` maps logical name -> type string for columns whose FILE
+    encoding differs from the declared logical type (e.g. epoch-long under
+    a declared timestamp); ``_adapt`` then reconciles."""
     from pyspark.sql import types as T
 
+    from spark_hbase_connector_spark.sources.catalog import type_for
+
+    overrides = overrides or {}
     return T.StructType(
         [
-            T.StructField(_physical_name(cat, name, naming), col.spark_type(name))
+            T.StructField(
+                _physical_name(cat, name, naming),
+                type_for(overrides[name], name) if name in overrides else col.spark_type(name),
+            )
             for name, col in cat.columns.items()
         ]
     )
@@ -75,6 +84,7 @@ def load_table(
     path: str,
     physical_naming: str = "column",
     data_format: str = "parquet",
+    physical_overrides: dict | None = None,
 ) -> DataFrame:
     """Load a catalog-described dataset as a logical DataFrame.
 
@@ -89,6 +99,13 @@ def load_table(
     read with the catalog-derived schema (no inference scan); predicate
     pushdown still prunes partitions/rows where the format supports it,
     but only the columnar formats carry column statistics.
+
+    Declared-vs-physical drift (files evolve; the catalog is the logical
+    contract): for the self-describing formats the file's embedded schema
+    is compared against the declared types and reconciled by ``_adapt``
+    (epoch-micros contract for integral<->timestamp). csv/json carry no
+    embedded schema, so pass ``physical_overrides`` — logical name -> type
+    string actually stored in the file — and the same reconciliation runs.
     """
     cat = catalog if isinstance(catalog, TableCatalog) else parse_catalog(catalog)
     if data_format == "parquet":
@@ -96,11 +113,13 @@ def load_table(
     elif data_format == "orc":
         raw = spark.read.orc(path)
     elif data_format == "csv":
-        raw = spark.read.schema(_physical_schema(cat, physical_naming)).csv(
-            path, header=True
-        )
+        raw = spark.read.schema(
+            _physical_schema(cat, physical_naming, physical_overrides)
+        ).csv(path, header=True)
     elif data_format == "json":
-        raw = spark.read.schema(_physical_schema(cat, physical_naming)).json(path)
+        raw = spark.read.schema(
+            _physical_schema(cat, physical_naming, physical_overrides)
+        ).json(path)
     else:
         raise ValueError(f"unknown data_format {data_format!r}")
     physical_types = {f.name: f.dataType for f in raw.schema.fields}
