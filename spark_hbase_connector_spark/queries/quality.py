@@ -44,6 +44,7 @@ from spark_hbase_connector_spark.queries.registry import query
     FROM t
     """,
     tags=("text", "quality"),
+    bench=True,
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: most-frequent-unigram fraction and
