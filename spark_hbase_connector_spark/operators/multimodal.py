@@ -46,28 +46,51 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 def extract_media_meta(assets: DataFrame) -> DataFrame:
     """Decode payloads to typed metadata via Arrow-batched mapInPandas.
 
-    With a real decoder installed this would parse actual media headers;
-    without one it derives deterministic pseudo-dimensions from the byte
-    length (documented fake — NOT a real decode), keeping schema/batching/
-    partitioning real.
+    With PIL installed, image payloads get a REAL header-only decode
+    (width/height via ``Image.open().size`` — no pixel data is loaded);
+    payloads PIL can't open (and every payload when PIL is absent, as in
+    this container) fall back to deterministic pseudo-dimensions derived
+    from the byte length (documented fake — NOT a real decode). The
+    fallback keeps schema/batching/partitioning identical in both
+    environments, so the SQL oracle replays the container run exactly.
     """
+
+    def _real_dims(b: bytes):  # pragma: no cover - PIL absent in container
+        """Header-only decode (PIL never loads pixel data for .size)."""
+        import io
+
+        try:
+            with PIL.Image.open(io.BytesIO(b)) as im:
+                return im.size
+        except Exception:
+            return None  # not an image payload -> deterministic fallback
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if _HAS_PIL:  # pragma: no cover - not available in this container
-                raise NotImplementedError("real media decode not wired yet")
-            n = pdf["payload"].map(len)
+            ids, n_bytes, widths, heights, hashes = [], [], [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                dims = _real_dims(b) if _HAS_PIL else None
+                if dims is None:
+                    # documented fake — NOT a real decode: deterministic
+                    # pseudo-dimensions from the byte length
+                    dims = (len(b) % 640 + 1, (len(b) * 7) % 480 + 1)
+                ids.append(i)
+                n_bytes.append(len(b))
+                widths.append(dims[0])
+                heights.append(dims[1])
+                hashes.append(hashlib.md5(b).hexdigest())
             yield pd.DataFrame(
                 {
-                    "id": pdf["id"],
-                    "n_bytes": n.astype("int32"),
-                    "width": (n % 640 + 1).astype("int32"),
-                    "height": ((n * 7) % 480 + 1).astype("int32"),
-                    "content_hash": pdf["payload"].map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
-                    ),
+                    "id": ids,
+                    "n_bytes": pd.array(n_bytes, dtype="int32"),
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "content_hash": hashes,
                 }
             )
 

@@ -38,6 +38,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
@@ -48,7 +49,9 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    Not,
     StringContains,
+    StringEndsWith,
     StringStartsWith,
 )
 from pyspark.sql.types import StructType
@@ -57,6 +60,7 @@ from spark_hbase_connector_spark.sources.catalog import TableCatalog, parse_cata
 
 _SUPPORTED = (
     EqualTo,
+    EqualNullSafe,
     In,
     IsNull,
     IsNotNull,
@@ -65,8 +69,23 @@ _SUPPORTED = (
     GreaterThan,
     GreaterThanOrEqual,
     StringStartsWith,
+    StringEndsWith,
     StringContains,
 )
+
+# Pushdowns the Python Data Source API does NOT offer (SURVEY §4, "operator
+# pushdown it does not do"): `DataSourceReader` exposes exactly three hooks —
+# partitions(), pushFilters(), read() (verified against pyspark 4.1.2). There
+# is no Python analogue of the JVM DSv2 mix-ins SupportsPushDownLimit,
+# SupportsPushDownTopN, SupportsPushDownAggregates, or
+# SupportsPushDownRequiredColumns, so limit / top-n / aggregate / per-query
+# column pushdown CANNOT be implemented from Python today. Mitigations used
+# here: the catalog projects to its declared columns inside read() (static
+# pruning), rowkey-range filters prune whole partitions before any file
+# opens, and pushed filters run inside the pyarrow scan where row-group
+# statistics prune within files. For aggregate-heavy workloads the
+# parquet-native `load_table` path (full Catalyst pushdown) is the engine's
+# performance path; this source exists for connector parity.
 
 
 @dataclass
@@ -129,7 +148,8 @@ class HbaseKVReader(DataSourceReader):
         with typed comparisons.
         """
         for f in filters:
-            if isinstance(f, _SUPPORTED) and len(getattr(f, "attribute", ("x",))) == 1:
+            inner = f.child if isinstance(f, Not) else f
+            if isinstance(inner, _SUPPORTED) and len(getattr(inner, "attribute", ("x",))) == 1:
                 self.pushed.append(f)
             else:
                 yield f
@@ -229,37 +249,53 @@ class HbaseKVReader(DataSourceReader):
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
+        def leaf(f, fld):
+            if isinstance(f, EqualTo):
+                return fld == f.value
+            if isinstance(f, EqualNullSafe):
+                # null-safe: a NULL cell compares False (not NULL) — keep the
+                # mask null-free so negation stays correct
+                if f.value is None:
+                    return fld.is_null()
+                return fld.is_valid() & (fld == f.value)
+            if isinstance(f, In):
+                return fld.isin(list(f.value))
+            if isinstance(f, IsNull):
+                return fld.is_null()
+            if isinstance(f, IsNotNull):
+                return fld.is_valid()
+            if isinstance(f, LessThan):
+                return fld < f.value
+            if isinstance(f, LessThanOrEqual):
+                return fld <= f.value
+            if isinstance(f, GreaterThan):
+                return fld > f.value
+            if isinstance(f, GreaterThanOrEqual):
+                return fld >= f.value
+            if isinstance(f, StringStartsWith):
+                return pc.starts_with(fld, f.value)
+            if isinstance(f, StringEndsWith):
+                return pc.ends_with(fld, f.value)
+            if isinstance(f, StringContains):
+                return pc.match_substring(fld, f.value)
+            return None
+
         expr = None
         rest: list[Filter] = []
         for f in self.pushed:
-            phys = self._phys(f.attribute[0])
+            inner = f.child if isinstance(f, Not) else f
+            phys = self._phys(inner.attribute[0])
             if phys not in present:
                 rest.append(f)
                 continue
-            fld = pads.field(phys)
-            if isinstance(f, EqualTo):
-                e = fld == f.value
-            elif isinstance(f, In):
-                e = fld.isin(list(f.value))
-            elif isinstance(f, IsNull):
-                e = fld.is_null()
-            elif isinstance(f, IsNotNull):
-                e = fld.is_valid()
-            elif isinstance(f, LessThan):
-                e = fld < f.value
-            elif isinstance(f, LessThanOrEqual):
-                e = fld <= f.value
-            elif isinstance(f, GreaterThan):
-                e = fld > f.value
-            elif isinstance(f, GreaterThanOrEqual):
-                e = fld >= f.value
-            elif isinstance(f, StringStartsWith):
-                e = pc.starts_with(fld, f.value)
-            elif isinstance(f, StringContains):
-                e = pc.match_substring(fld, f.value)
-            else:  # pragma: no cover - pushFilters only accepts the above
+            e = leaf(inner, pads.field(phys))
+            if e is None:  # pragma: no cover - pushFilters only accepts known
                 rest.append(f)
                 continue
+            if isinstance(f, Not):
+                # Kleene ~: NULL stays NULL and the scan filter drops it —
+                # exactly SQL's WHERE NOT(...) semantics
+                e = ~e
             expr = e if expr is None else expr & e
         return expr, rest
 
@@ -307,34 +343,46 @@ class HbaseKVReader(DataSourceReader):
         path passes only the leftovers the dataset reader couldn't take."""
         import pyarrow.compute as pc
 
-        mask = None
-        for f in self.pushed if filters is None else filters:
-            attr = f.attribute[0]
-            col = table.column(attr)
+        def leaf(f, col):
             if isinstance(f, EqualTo):
-                m = pc.equal(col, f.value)
-            elif isinstance(f, In):
+                return pc.equal(col, f.value)
+            if isinstance(f, EqualNullSafe):
+                if f.value is None:
+                    return pc.is_null(col)
+                return pc.and_kleene(pc.is_valid(col), pc.equal(col, f.value))
+            if isinstance(f, In):
                 import pyarrow as pa
 
-                m = pc.is_in(col, value_set=pa.array(list(f.value), type=col.type))
-            elif isinstance(f, IsNull):
-                m = pc.is_null(col)
-            elif isinstance(f, IsNotNull):
-                m = pc.is_valid(col)
-            elif isinstance(f, LessThan):
-                m = pc.less(col, f.value)
-            elif isinstance(f, LessThanOrEqual):
-                m = pc.less_equal(col, f.value)
-            elif isinstance(f, GreaterThan):
-                m = pc.greater(col, f.value)
-            elif isinstance(f, GreaterThanOrEqual):
-                m = pc.greater_equal(col, f.value)
-            elif isinstance(f, StringStartsWith):
-                m = pc.starts_with(col, f.value)
-            elif isinstance(f, StringContains):
-                m = pc.match_substring(col, f.value)
-            else:  # pragma: no cover - pushFilters only accepts the above
+                return pc.is_in(col, value_set=pa.array(list(f.value), type=col.type))
+            if isinstance(f, IsNull):
+                return pc.is_null(col)
+            if isinstance(f, IsNotNull):
+                return pc.is_valid(col)
+            if isinstance(f, LessThan):
+                return pc.less(col, f.value)
+            if isinstance(f, LessThanOrEqual):
+                return pc.less_equal(col, f.value)
+            if isinstance(f, GreaterThan):
+                return pc.greater(col, f.value)
+            if isinstance(f, GreaterThanOrEqual):
+                return pc.greater_equal(col, f.value)
+            if isinstance(f, StringStartsWith):
+                return pc.starts_with(col, f.value)
+            if isinstance(f, StringEndsWith):
+                return pc.ends_with(col, f.value)
+            if isinstance(f, StringContains):
+                return pc.match_substring(col, f.value)
+            return None
+
+        mask = None
+        for f in self.pushed if filters is None else filters:
+            inner = f.child if isinstance(f, Not) else f
+            col = table.column(inner.attribute[0])
+            m = leaf(inner, col)
+            if m is None:  # pragma: no cover - pushFilters only accepts known
                 continue
+            if isinstance(f, Not):
+                m = pc.invert(m)  # Kleene: NULL -> NULL, filled False below
             m = pc.fill_null(m, False)
             mask = m if mask is None else pc.and_(mask, m)
         return mask

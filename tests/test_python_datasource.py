@@ -158,3 +158,44 @@ def test_partition_pruning_by_rowkey_range(spark, tmp_path):
     lo = min(p.rk_min for p in pruned)
     hi = max(p.rk_max for p in pruned)
     assert lo <= 101 and hi >= 200
+
+
+def test_extended_filter_shapes_not_endswith_nullsafe(registered, sf_dir):
+    """Round-3 taxonomy extension: NOT(...), ends-with, and null-safe
+    equality evaluate with SQL semantics inside the scan. Cross-checked
+    against the native loader on every shape."""
+    from spark_hbase_connector_spark.sources.table import load_table
+
+    df = _read(registered, f"{sf_dir}/customer.parquet")
+    native = load_table(registered, CATALOG, f"{sf_dir}/customer.parquet")
+
+    shapes = [
+        ~(F.col("c_custkey") <= 100),
+        F.col("c_name").endswith("1"),
+        ~F.col("c_name").endswith("1"),
+        F.col("c_acctbal").eqNullSafe(F.lit(None).cast("double")),
+        ~F.col("c_phantom").eqNullSafe("x"),  # NULL <=> 'x' is False; NOT -> all rows
+        ~F.col("c_name").contains("Customer"),
+    ]
+    for cond in shapes:
+        got = df.where(cond).count()
+        expect = native.where(cond).count()
+        assert got == expect, f"shape {cond}: kv={got} native={expect}"
+    # sanity: the NOT-phantom shape really is non-empty (all 150 rows)
+    assert df.where(~F.col("c_phantom").eqNullSafe("x")).count() == 150
+
+
+def test_not_filter_is_pushed_not_rejected(registered, sf_dir):
+    """pushFilters must accept Not(supported-leaf) rather than bouncing it
+    back to Spark (which would silently disable scan-side evaluation)."""
+    from pyspark.sql.datasource import GreaterThan, Not
+
+    rdr = HbaseKVReader(
+        catalog=parse_catalog(CATALOG),
+        schema=parse_catalog(CATALOG).to_struct_type(),
+        path=f"{sf_dir}/customer.parquet",
+        physical_naming="column",
+    )
+    leftover = list(rdr.pushFilters([Not(GreaterThan(("c_custkey",), 10))]))
+    assert leftover == []
+    assert len(rdr.pushed) == 1
