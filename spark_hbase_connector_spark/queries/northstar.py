@@ -1334,3 +1334,81 @@ def assign_contiguous_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return assign_contiguous_ids(d, "doc_id", bucket_width=64)
+
+
+@query(
+    "dedup_sentence_exact",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, unnest(string_split(text, '. ')) AS sentence
+      FROM documents
+    )
+    SELECT md5(sentence) AS sentence_hash,
+           CAST(count(*) AS INTEGER) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS INTEGER) AS n_docs
+    FROM s
+    WHERE length(sentence) > 0
+    GROUP BY md5(sentence)
+    HAVING count(*) > 1
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_sentence_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (sentence-level) exact dedup: which sentences repeat
+    across the corpus, and in how many documents — the fine-grained
+    cousin of ``dedup_exact`` (boilerplate/template detection removes
+    repeated sentences, not whole documents).
+
+    Scale shape: the explode is partition-local; the groupBy key is
+    ``md5(sentence)`` computed BEFORE the exchange, so the shuffle moves
+    16-byte digests instead of sentence text, and partial aggregation
+    collapses duplicate-heavy corpora map-side. One shuffle total —
+    corpus bytes never leave the scan stage."""
+    d = load(spark, sf_dir, "documents")
+    s = (
+        d.select("doc_id", F.explode(F.split("text", "\\. ")).alias("sentence"))
+        .where(F.length("sentence") > 0)
+        .select("doc_id", F.md5(F.col("sentence").cast("binary")).alias("sentence_hash"))
+    )
+    return (
+        s.groupBy("sentence_hash")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )
+
+
+@query(
+    "kmeans_train_cells",
+    oracle=None,  # iterative algorithm — the documented oracle exemption:
+    # Lloyd's k-means is a fixpoint loop (assignment depends on the
+    # previous iteration's centroids), not a single SQL expression; the
+    # driver records the weaker rows-only check. Determinism IS tested
+    # (tests/test_operators.py::test_train_centroids_recovers_blobs), and
+    # the trained index's QUALITY is oracle-gated downstream by
+    # ann_recall_ivf (recall@5 vs the exact SQL ground truth).
+    tags=("similarity", "ml"),
+)
+def kmeans_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training as a first-class pipeline step:
+    deterministic Lloyd's k-means (init = k smallest vec_ids, cosine
+    assignment, 3 iterations) over the embeddings table, then the cell
+    occupancy histogram a capacity planner reads (skewed cells = raise k
+    or salt). Each iteration is one map-side-combine Arrow pass — the
+    driver reduces k x n_batches partial sums, never vectors; no shuffle
+    at any point (`operators/similarity.py:307`)."""
+    from spark_hbase_connector_spark.operators.similarity import (
+        assign_cells,
+        train_centroids,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, k=8, iters=3)
+    assigned = assign_cells(e, cents, nprobe=1)
+    return (
+        assigned.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .select(F.col("cell_id").cast("int").alias("cell_id"), "n_vectors")
+    )

@@ -288,3 +288,68 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 4).alias("token_share"),
         F.round((1.0 / F.col("_n_sources")) / share, 4).alias("sample_weight"),
     )
+
+
+# ---------------------------------------------------- char entropy ----
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents WHERE length(text) > 0
+    ),
+    cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1)
+    SELECT cnt.doc_id AS doc_id,
+           round(-sum((n / t) * ln(n / t)), 4) AS char_entropy,
+           CAST(count(*) AS INTEGER) AS n_unique_chars
+    FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    GROUP BY cnt.doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the character distribution per document — the
+    cheap perplexity proxy curation pipelines gate on (mojibake, binary
+    junk, and pathological repetition all depress it; natural language
+    sits in a narrow band).
+
+    Same execution strategy as ``text_repetition_signals`` and for the
+    same reason: a per-document histogram is one Arrow ``mapInPandas``
+    Counter pass (map-only, no shuffle, linear in bytes) — exploding
+    per-character rows through a JVM groupBy would shuffle the entire
+    corpus character-by-character."""
+    import math
+
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+
+    def gen(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, ents, uniqs = [], [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                if not t:  # oracle filters empty/NULL text identically
+                    continue
+                c = Counter(t)
+                n = len(t)
+                h = -sum((v / n) * math.log(v / n) for v in c.values())
+                ids.append(i)
+                # HALF_UP like DuckDB round (entropy >= 0)
+                ents.append(math.floor(h * 10000.0 + 0.5) / 10000.0)
+                uniqs.append(len(c))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "char_entropy": pd.array(ents, dtype="Float64"),
+                    "n_unique_chars": pd.array(uniqs, dtype="Int32"),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, char_entropy double, n_unique_chars int"
+    )

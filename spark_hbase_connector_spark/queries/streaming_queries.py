@@ -180,3 +180,44 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     an event_id tiebreak in both window clauses."""
     stream = events_stream(spark, sf_dir)
     return run_stream_to_memory(session_window_agg(stream, "30 minutes"), spark)
+
+
+@query(
+    "streaming_foreachbatch_sink",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "sink"),
+)
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch + idempotent overwrite — the production pattern for
+    exactly-once delivery into sinks Spark has no native connector for
+    (JDBC upserts, KV stores, search indexes). Each micro-batch rewrites
+    the COMPLETE aggregation state to the target path: replaying an epoch
+    after a crash rewrites byte-identical data, so restarts cannot
+    double-count (idempotence stands in for transactions). The query
+    returns the final sink contents read back — which must equal the
+    batch oracle over the same input.
+
+    At scale the per-epoch rewrite is bounded by the aggregate's
+    cardinality (windows x event types), not the stream volume; true
+    upsert targets would MERGE on the window key instead of overwriting."""
+    import uuid
+
+    stream = events_stream(spark, sf_dir)
+    agg = tumbling_window_agg(stream, "15 minutes")
+    out_dir = (
+        f"/tmp/spark_hbase_connector_fixtures/foreachbatch_{uuid.uuid4().hex[:10]}"
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
