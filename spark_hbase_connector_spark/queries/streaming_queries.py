@@ -221,3 +221,57 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "streaming_stream_join_outer",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+                 ts AS purchase_ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                        (SELECT max(purchase_ts) FROM p))
+                  - INTERVAL 1 HOUR AS w),
+    matched AS (
+      SELECT click_id, c.user_id, purchase_id,
+             round((epoch_us(purchase_ts) - epoch_us(click_ts)) / 1000000.0, 4)
+               AS secs_to_purchase,
+             purchase_value
+      FROM c JOIN p ON c.user_id = p.p_user_id
+        AND p.purchase_ts BETWEEN c.click_ts
+                              AND c.click_ts + INTERVAL 30 MINUTE
+    ),
+    unmatched AS (
+      SELECT click_id, c.user_id,
+             NULL::BIGINT AS purchase_id,
+             NULL::DOUBLE AS secs_to_purchase,
+             NULL::DOUBLE AS purchase_value
+      FROM c, wm
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.p_user_id = c.user_id
+          AND p.purchase_ts BETWEEN c.click_ts
+                                AND c.click_ts + INTERVAL 30 MINUTE)
+        AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    tags=("streaming", "join", "watermark"),
+)
+def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the attribution shape
+    that must also report clicks that converted to nothing. Outer rows are
+    held in state until the watermark proves no match can still arrive,
+    then emitted with NULLs; the oracle replays Spark's exact emission
+    rule (global watermark = min over each side's own max event time minus
+    its delay; unmatched click emitted iff its horizon closed strictly
+    before that watermark). Verified to match Spark row-for-row at
+    sf0.001 and sf0.01 before registration."""
+    from spark_hbase_connector_spark.streaming.events import (
+        click_purchase_stream_join_outer,
+    )
+
+    return run_stream_to_memory(
+        click_purchase_stream_join_outer(spark, sf_dir), spark, mode="append"
+    )

@@ -174,6 +174,55 @@ def stream_static_enrich_agg(stream: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_stream_join_outer(
+    spark: SparkSession, sf_dir: str, horizon: str = "30 minutes"
+) -> DataFrame:
+    """LEFT OUTER variant of the watermarked stream-stream join: clicks with
+    no purchase in the horizon are emitted with NULL purchase columns — but
+    only once the join watermark has definitively closed their match
+    window. Emission rule on a finite input (oracle-replayable): the global
+    watermark is the MIN over both inputs' own max event times minus their
+    delay (each withWatermark tracks its own side), and an unmatched click
+    is emitted iff ``click_ts + horizon < watermark``. Clicks whose window
+    was still open at end-of-input are never emitted — identical bounded-
+    state semantics to the append-mode windowed aggregation."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    cond = (
+        (clicks["user_id"] == purchases["p_user_id"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (purchases["purchase_ts"] <= clicks["click_ts"] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        F.round(
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")) / 1000000.0, 4
+        ).alias("secs_to_purchase"),
+        "purchase_value",
+    )
+
+
 def click_purchase_stream_join(
     spark: SparkSession, sf_dir: str, horizon: str = "30 minutes"
 ) -> DataFrame:
