@@ -36,3 +36,128 @@ def test_file_sink_checkpoint_exactly_once(spark, tmp_path):
     expected = spark.read.parquet(SF + "/events.parquet").count()
     assert n1 == expected
     assert n2 == expected
+
+
+def _split_events_time_ordered(spark, tmp_path, n_files=4):
+    """Write sf0.001 events as n_files time-ordered parquet files so the
+    file stream source (maxFilesPerTrigger=1) replays them as n_files
+    successive micro-batches in event-time order."""
+    import pyspark.sql.functions as F
+
+    from spark_hbase_connector_spark.catalogs import load
+
+    src = load(spark, SF, "events").orderBy("ts")
+    rows = src.count()
+    per = (rows + n_files - 1) // n_files
+    ranked = src.withColumn(
+        "__rn", F.row_number().over(__import__("pyspark").sql.Window.orderBy("ts", "event_id"))
+    )
+    d = str(tmp_path / "events_batches")
+    for i in range(n_files):
+        (
+            ranked.where((F.col("__rn") > i * per) & (F.col("__rn") <= (i + 1) * per))
+            .drop("__rn")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+    return d, rows
+
+
+def test_state_carries_across_microbatches(spark, tmp_path):
+    """Stateful aggregation must accumulate across micro-batches, not
+    within one: the same input split into 4 time-ordered files and driven
+    one file per trigger yields the same complete-mode tumbling counts as
+    the batch computation — and the run really does execute >1 batch."""
+    import pyspark.sql.functions as F
+
+    from spark_hbase_connector_spark.catalogs import load
+    from spark_hbase_connector_spark.streaming.events import tumbling_window_agg
+
+    d, _ = _split_events_time_ordered(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    agg = tumbling_window_agg(stream, "15 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("mb_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    got = spark.table("mb_counts")
+
+    batch = load(spark, SF, "events")
+    want = (
+        batch.groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Append-mode watermarked aggregation must DROP events that arrive
+    after the watermark passed their window — the bounded-state contract.
+    Batch 1 advances event time far ahead; batch 2 replays an event 3
+    hours older than the max (watermark delay is 10 minutes), whose window
+    already closed. Its contribution must not appear."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from spark_hbase_connector_spark.streaming.events import (
+        tumbling_window_agg_watermarked,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    d = str(tmp_path / "late_events")
+    base = "2024-01-01 00:07:00"
+    rows1 = [
+        (1, "2024-01-01 00:07:00", 1, "click", 1.0),
+        (2, "2024-01-01 06:00:00", 1, "click", 1.0),  # advances watermark hours ahead
+    ]
+    rows2 = [(3, "2024-01-01 03:00:00", 1, "click", 100.0)]  # late: window long closed
+
+    def write_batch(rows, part):
+        pdf = spark.createDataFrame(
+            [(i, __import__("datetime").datetime.fromisoformat(t), u, e, v) for i, t, u, e, v in rows],
+            schema,
+        )
+        pdf.coalesce(1).write.mode("append").parquet(d)
+
+    write_batch(rows1, 0)
+    agg = None
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    agg = tumbling_window_agg_watermarked(stream, "15 minutes", "10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_late")
+        .start()
+    )
+    q.processAllAvailable()
+    write_batch(rows2, 1)  # arrives in a LATER micro-batch, after watermark moved
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.window_start.isoformat(), r.n, r.total_value) for r in spark.table("wm_late").collect()}
+    # the 00:00 window was finalized with ONLY event 1; the late 03:00
+    # event's window is beyond the final watermark and must never emit
+    assert ("2024-01-01T00:00:00", 1, 1.0) in got
+    assert not any(t.startswith("2024-01-01T03:00:00") for t, _, _ in got), got
+    assert not any(v == 100.0 for _, _, v in got), got
