@@ -342,3 +342,125 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.round(F.last("total", ignorenulls=True).over(w), 4).alias("filled_total"),
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+               FROM events GROUP BY 1),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(day - cohort_day AS INTEGER) AS day_offset,
+           CAST(count(DISTINCT act.user_id) AS INTEGER) AS n_users
+    FROM act JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("window", "analytics"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, counted
+    on each subsequent active day (the product-analytics staple). Two
+    partial-aggregated shuffles on user_id (first-day + distinct activity)
+    feeding one broadcast-joinable cohort relation — the cohort table is
+    user-sized, the output cohort_day x day_offset, both far below event
+    volume; nothing event-sized shuffles twice."""
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    act = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("int").alias("n_users"))
+    )
+
+
+@query(
+    "funnel_steps",
+    oracle="""
+    WITH c AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'click' GROUP BY 1),
+    v AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE event_type = 'view' AND ts > c.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE event_type = 'purchase' AND ts > v.t2 GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked,
+           CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed_after,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased_after
+    """,
+    tags=("window", "analytics"),
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: click -> later view -> later purchase, anchored at
+    each user's FIRST qualifying event per stage (min-ts semantics, so a
+    user converts once). Each stage is a per-user aggregate joined to the
+    previous stage's user-sized relation — event volume is scanned once
+    per stage, everything after the first aggregation is user-cardinality;
+    at 100 TB the stage relations broadcast."""
+    e = load(spark, sf_dir, "events")
+    c = e.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        c.agg(F.count(F.lit(1)).alias("n_clicked"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_viewed_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+
+
+@query(
+    "window_ewma",
+    oracle="""
+    WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+               FROM events GROUP BY 1)
+    SELECT user_id,
+           round(list_reduce(vs,
+                 (acc, v) -> CAST(0.3 AS DOUBLE) * v
+                           + CAST(0.7 AS DOUBLE) * acc), 4) AS ewma
+    FROM s
+    """,
+    tags=("window", "timeseries"),
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of `value` per user (alpha
+    0.3, seeded with the first observation) — the time-series smoothing
+    primitive that plain window frames cannot express (each output depends
+    recursively on the previous). Expressed as a JVM higher-order FOLD
+    over the user's time-sorted value array: one shuffle (groupBy user),
+    one linear interpreted pass per group — not the O(n^2) re-evaluation
+    trap, since `aggregate` folds a materialized array once. Per-group
+    state is the user's event list, the same bound as any
+    collect_list-style session feature; DuckDB's list_reduce replays the
+    identical double-precision fold order, so values hash-match exactly."""
+    e = load(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", F.col("value").alias("v")))
+    )
+    folded = F.expr(
+        "round(aggregate(slice(__arr, 2, size(__arr) - 1), __arr[0].v,"
+        " (acc, x) -> CAST(0.3 AS DOUBLE) * x.v + CAST(0.7 AS DOUBLE) * acc), 4)"
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(arr.alias("__arr"))
+        .select("user_id", folded.alias("ewma"))
+    )

@@ -27,8 +27,9 @@ from spark_hbase_connector_spark.queries import REGISTRY
 # declared semantics (their scale paths are the _lsh / ivf variants)
 # Queries where a BroadcastNestedLoopJoin is intentional and bounded:
 # embedding_cosine_pairs is the exact all-pairs baseline; q11's nested loop
-# is the single-row scalar threshold cross-joined into the grouped output.
-_BNLJ_ALLOWED = {"embedding_cosine_pairs", "q11_important_stock"}
+# is the single-row scalar threshold cross-joined into the grouped output;
+# funnel_steps cross-joins three SINGLE-ROW stage-count aggregates.
+_BNLJ_ALLOWED = {"embedding_cosine_pairs", "q11_important_stock", "funnel_steps"}
 
 _SKIP_TAGS = {"streaming", "fixture"}
 
