@@ -1412,3 +1412,40 @@ def kmeans_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
         .select(F.col("cell_id").cast("int").alias("cell_id"), "n_vectors")
     )
+
+
+@query(
+    "corpus_stop_shingles",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    df AS (SELECT s, count(*) AS doc_freq FROM post GROUP BY s)
+    SELECT s, CAST(doc_freq AS INTEGER) AS doc_freq, rnk FROM (
+      SELECT s, doc_freq,
+             CAST(row_number() OVER (ORDER BY doc_freq DESC, s) AS INTEGER) AS rnk
+      FROM df
+    ) WHERE rnk <= 20
+    """,
+    tags=("dedup", "text", "analytics"),
+)
+def corpus_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-shingle mining: the 20 highest document-frequency word 3-grams.
+    This is the measurement behind the dedup family's `max_df` knob — the
+    shingles whose posting lists drive the Σdf² candidate blow-up in the
+    exact Jaccard join (SCALE.md) are exactly these; a curation pipeline
+    mines them first, then sets the cap. One Arrow shingling pass (each
+    shingle counted once per doc), one partial-aggregated groupBy, and a
+    top-k over the df relation (shingle-cardinality, not corpus) — the
+    final global sort ranks only rows that survive, and at 100 TB a
+    min-df filter keeps that relation sketch-sized."""
+    from spark_hbase_connector_spark.operators.dedup import shingle_postings
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    post = shingle_postings(d, "text", "doc_id", w=3)
+    df_rel = post.groupBy("s").agg(F.count(F.lit(1)).cast("int").alias("doc_freq"))
+    w = W.orderBy(F.col("doc_freq").desc(), "s")
+    return (
+        df_rel.select("s", "doc_freq", F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= 20)
+    )
