@@ -202,3 +202,17 @@ def test_tripwire_rejects_unreconcilable_drift(spark, tmp_path):
     bad = df.withColumn("when", F.lit("x"))
     with pytest.raises(TypeError, match="type drift"):
         _assert_declared_types("t", cat, bad)
+
+
+def test_ts_range_predicate_pushes_through_adaptation(spark):
+    """The 100 TB hot path: a time-range predicate on the ADAPTED events ts
+    column must still reach the parquet scan as a pushed filter (Catalyst
+    unwraps the NTZ->timestamp cast and rewrites the literal); a full scan
+    here would read the whole event history."""
+    from spark_hbase_connector_spark.catalogs import load
+
+    df = load(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan, plan
