@@ -67,9 +67,19 @@ def connected_components(
     fused double-hops, so reachability up to 2*max_iter edges deep.
     """
     n_shuffle = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    e = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    # symmetrize with ONE consumption of `pairs` (explode, not self-union):
+    # a union reads the input subtree twice, and pair generators are often
+    # Python/Arrow stages that would re-execute per consumer
     edges = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id1).alias("src"), F.col(id2).alias("dst")),
+                    F.struct(F.col(id2).alias("src"), F.col(id1).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .repartition(n_shuffle, "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -1352,6 +1352,7 @@ def assign_contiguous_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING count(*) > 1
     """,
     tags=("dedup", "text"),
+    bench=True,
 )
 def dedup_sentence_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document (sentence-level) exact dedup: which sentences repeat

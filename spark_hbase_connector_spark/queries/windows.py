@@ -357,6 +357,7 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("window", "analytics"),
+    bench=True,
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day, counted
@@ -439,6 +440,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
     tags=("window", "timeseries"),
+    bench=True,
 )
 def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of `value` per user (alpha
