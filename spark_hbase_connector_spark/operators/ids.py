@@ -47,3 +47,40 @@ def assign_contiguous_ids(
         .withColumn(out_col, F.col("__off") + F.row_number().over(w_in) - 1)
         .drop("__bucket", "__off")
     )
+
+
+def assign_prefix_sums(
+    df: DataFrame,
+    key: str,
+    value: str,
+    bucket_width: int = 1024,
+    out_col: str = "prefix",
+) -> DataFrame:
+    """Add ``out_col`` = EXCLUSIVE prefix sum of ``value`` in global ``key``
+    order — the shard-budgeting primitive (cumulative tokens before this
+    row decides which shard it lands in). Same no-global-sort shape as
+    `assign_contiguous_ids`: per-bucket running sums in parallel windows +
+    broadcast cumulative bucket totals; one corpus shuffle."""
+    b = (F.col(key) / bucket_width).cast("long").alias("__bucket")
+    rows = df.withColumn("__bucket", b)
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = rows.groupBy("__bucket").agg(F.sum(value).alias("__n"))
+    w_off = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "__bucket", (F.sum("__n").over(w_off) - F.col("__n")).alias("__off")
+    )
+    return (
+        rows.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            out_col,
+            F.col("__off") + F.coalesce(F.sum(value).over(w_in), F.lit(0)),
+        )
+        .drop("__bucket", "__off")
+    )

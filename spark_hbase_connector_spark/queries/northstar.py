@@ -1450,3 +1450,73 @@ def corpus_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         df_rel.select("s", "doc_freq", F.row_number().over(w).cast("int").alias("rnk"))
         .where(F.col("rnk") <= 20)
     )
+
+
+@query(
+    "pipeline_export_shards",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    gated AS (SELECT * FROM t WHERE n_tokens BETWEEN 20 AND 1000),
+    keep AS (
+      SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    pre AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM keep
+    )
+    SELECT CAST(prefix // 20000 AS INTEGER) AS shard_id,
+           CAST(count(*) AS INTEGER) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM pre GROUP BY 1
+    """,
+    tags=("pipeline", "export"),
+)
+def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-of-pipeline training export: quality-gate (20-1000 tokens)
+    -> exact dedup keep-first -> token-budgeted shard assignment (20k
+    tokens/shard) in doc_id order, reported as per-shard manifests
+    (doc count, token total, doc-id range) — what a dataloader actually
+    consumes.
+
+    Shard assignment needs the EXCLUSIVE global prefix sum of token
+    counts; `assign_prefix_sums` (operators/ids.py) computes it with
+    per-bucket parallel windows + broadcast cumulative bucket totals —
+    one corpus shuffle, no global sort, same scale shape as
+    `assign_contiguous_ids`. Dedup is one hash shuffle on md5(text); the
+    final groupBy collapses to shard cardinality."""
+    from pyspark.sql import Window as W
+
+    from spark_hbase_connector_spark.operators.ids import assign_prefix_sums
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "text", F.size(F.split("text", " ")).alias("n_tokens")
+    ).where(F.col("n_tokens").between(20, 1000))
+    w_dup = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    keep = (
+        t.withColumn("__rn", F.row_number().over(w_dup))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    pre = assign_prefix_sums(keep, key="doc_id", value="n_tokens", bucket_width=64)
+    return (
+        pre.groupBy((F.col("prefix") / 20000).cast("int").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

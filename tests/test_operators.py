@@ -167,3 +167,19 @@ def test_connected_components_reversed_edge_direction(spark):
     df = spark.createDataFrame([(5, 1), (9, 5)], ["id1", "id2"])
     got = {(r.id, r.comp) for r in connected_components(df).collect()}
     assert got == {(1, 1), (5, 1), (9, 1)}
+
+
+def test_assign_prefix_sums_matches_global_window(spark):
+    from pyspark.sql import Window as W
+
+    from spark_hbase_connector_spark.operators.ids import assign_prefix_sums
+
+    df = spark.createDataFrame(
+        [(k, (k * 37) % 11 + 1) for k in range(0, 500, 3)], ["k", "v"]
+    )
+    got = assign_prefix_sums(df, "k", "v", bucket_width=16)
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+    want = df.withColumn("prefix", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    assert sorted(map(tuple, got.select("k", "v", "prefix").collect())) == sorted(
+        map(tuple, want.select("k", "v", "prefix").collect())
+    )
