@@ -290,3 +290,69 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def running_totals_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    arbitrary-state v2 API (StatefulProcessor: named state variables,
+    timers, TTL) that supersedes ``applyInPandasWithState`` for new
+    stateful operators. Semantics identical to ``running_totals_stateful``
+    (state = one double per user; within a batch rows are ordered by
+    (ts, event_id) and emitted with their cumulative sum), so the same
+    batch window-function oracle replays it exactly — the engine carries
+    BOTH stateful APIs with one verified contract.
+
+    Environment gate: transformWithState talks to the JVM state server
+    over protobuf, so it needs BOTH the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``google.protobuf`` Python package. This container ships neither
+    protobuf nor pip access (verified: the driver worker crashes with
+    ImportError from StateMessage_pb2), so this operator is NOT a
+    registry entry — the v1 ``running_totals_stateful`` carries the
+    oracle-verified contract; environments with protobuf run this one
+    unchanged."""
+    import pandas as pd
+
+    try:
+        from google import protobuf  # noqa: F401
+    except Exception as exc:  # pragma: no cover - absent in this container
+        raise ImportError(
+            "transformWithStateInPandas requires the google.protobuf package "
+            "(state-server protocol); install protobuf or use "
+            "running_totals_stateful (applyInPandasWithState)"
+        ) from exc
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            carried = self._total.get()[0] if self._total.exists() else 0.0
+            parts = [p for p in rows if len(p)]
+            if not parts:
+                return
+            pdf = pd.concat(parts).sort_values(["ts", "event_id"])
+            running = carried + pdf["value"].cumsum()
+            self._total.update((float(running.iloc[-1]),))
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "running_value": running.round(4),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id long, event_id long, running_value double",
+            outputMode="append",
+            timeMode="None",
+        )
+    )

@@ -161,3 +161,22 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert ("2024-01-01T00:00:00", 1, 1.0) in got
     assert not any(t.startswith("2024-01-01T03:00:00") for t, _, _ in got), got
     assert not any(v == 100.0 for _, _, v in got), got
+
+
+def test_tws_gate_raises_clearly_without_protobuf(spark):
+    """transformWithStateInPandas needs google.protobuf (state-server
+    protocol); absent that, the operator must fail at construction with an
+    actionable ImportError, not crash the Python driver worker mid-query."""
+    import pytest
+
+    try:
+        from google import protobuf  # noqa: F401
+
+        pytest.skip("protobuf present: gate inactive, operator usable")
+    except ImportError:
+        pass
+    from spark_hbase_connector_spark.streaming.events import running_totals_tws
+
+    stream = events_stream(spark, SF)
+    with pytest.raises(ImportError, match="protobuf"):
+        running_totals_tws(stream)
