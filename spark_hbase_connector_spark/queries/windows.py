@@ -466,3 +466,43 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(arr.alias("__arr"))
         .select("user_id", folded.alias("ewma"))
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(sum(value), 4) AS day_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, day_value,
+           round((day_value - avg(day_value) OVER (PARTITION BY event_type))
+                 / stddev(day_value) OVER (PARTITION BY event_type), 4) AS zscore,
+           (abs((day_value - avg(day_value) OVER (PARTITION BY event_type))
+                / stddev(day_value) OVER (PARTITION BY event_type)) > 2.0)
+             AS is_anomaly
+    FROM daily
+    """,
+    tags=("window", "analytics", "timeseries"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection per event type: z-score of each day's
+    total against that type's distribution, flagging |z| > 2 — the
+    monitoring query every event pipeline runs. Event volume collapses to
+    (type x day) in one partial-aggregated shuffle; the z-score windows
+    run over that tiny relation partitioned by type. Sample stddev on both
+    engines (Spark stddev == stddev_samp == DuckDB stddev)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("day_value") - F.avg("day_value").over(w)) / F.stddev("day_value").over(w)
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_value",
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
