@@ -823,3 +823,68 @@ def not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_quantity >= 30
+    INTERSECT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05
+    """,
+    tags=("setop",),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (min of per-side
+    multiplicities), a distinct planner shape from INTERSECT: Spark
+    rewrites it to a count-compare aggregation, not a left-semi. Orderkeys
+    repeat across lineitems, so multiplicities genuinely differ from the
+    distinct variant here."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") >= 30).select("l_orderkey")
+    b = li.where(F.col("l_discount") > 0.05).select("l_orderkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_quantity >= 30
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05
+    """,
+    tags=("setop",),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (per-row multiplicity
+    subtraction), the bag-semantics cousin of EXCEPT's anti-join."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") >= 30).select("l_orderkey")
+    b = li.where(F.col("l_discount") > 0.05).select("l_orderkey")
+    return a.exceptAll(b)
+
+
+@query(
+    "sort_null_ordering",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.plan') AS VARCHAR) AS plan_name
+    FROM events
+    ORDER BY plan_name DESC NULLS FIRST, event_id
+    LIMIT 50
+    """,
+    tags=("sort",),
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST with a DESC sort (Spark's DESC default is
+    NULLS LAST, so the ordering must be spelled out on both engines) over
+    a JSON-extracted nullable key, plus a deterministic tiebreak and
+    LIMIT — exercising the TakeOrderedAndProject path with non-default
+    null ordering."""
+    e = load(spark, sf_dir, "events")
+    plan_name = F.get_json_object("props", "$.plan").alias("plan_name")
+    return (
+        e.select("event_id", plan_name)
+        .orderBy(F.col("plan_name").desc_nulls_first(), "event_id")
+        .limit(50)
+    )
