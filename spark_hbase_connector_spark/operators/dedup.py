@@ -121,8 +121,16 @@ def shingle_jaccard_pairs(
     # The postings subtree is an Arrow mapInPandas stage consumed by three
     # relations (sizes + both sides of the self-join); without a persist
     # Spark re-executes the Python shingler per consumer.
-    posts = shingle_postings(df, text_col, id_col, w).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # The join/groupBy key is xxhash64(shingle), not the shingle string:
+    # the self-join exchanges move 8-byte longs instead of ~N-word text
+    # (measured 25-40% faster at sf0.1, identical pairs). Distinctness per
+    # doc is preserved under the hash; a 64-bit collision would need two
+    # different shingles in the SAME candidate pair's union — expected
+    # collision pairs ≈ |shingles|²/2⁶⁵, negligible even at corpus scale.
+    posts = (
+        shingle_postings(df, text_col, id_col, w)
+        .select("id", F.xxhash64("s").alias("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     if max_df is not None:
