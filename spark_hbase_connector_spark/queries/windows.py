@@ -506,3 +506,35 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("zscore"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "window_trailing_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS INTEGER) AS n_trailing_1h,
+           round(sum(value) OVER w, 4) AS value_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "timeseries"),
+)
+def window_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour per-user activity (count + value sum) — the
+    RANGE-frame window shape (frame bounded by event-TIME distance, not
+    row offsets; ties in the order key share a frame, which ROWS frames
+    get wrong). One shuffle on user_id; Spark's rangeBetween needs a
+    numeric order key, so both engines order by epoch seconds."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 4).alias("value_trailing_1h"),
+    )
