@@ -16,6 +16,7 @@ from spark_hbase_connector_spark.queries.registry import (  # noqa: F401
 from spark_hbase_connector_spark.queries import (  # noqa: F401,E402
     scans,
     relational,
+    relational_extra,
     tpch_extra,
     indexing,
     windows,

@@ -1,0 +1,209 @@
+"""Additional relational surface: statistical aggregates, unpivot/melt,
+lateral explode with position, ordered string aggregation, distribution
+window functions, and fixed-width histograms.
+
+Like `queries/relational.py`, these are capabilities the reference
+delegates wholesale to Spark (SURVEY.md §2.2; its tests run SQL over the
+connector, `ScalaDatasourceTest.scala:84-94`); each entry declares the
+shape and differentially tests it against the DuckDB oracle.
+
+Scale notes:
+- every aggregate here is partial-aggregatable (map-side combine) and
+  groups on low-cardinality keys — one shuffle, no skew risk;
+- the two global-window entries order by a unique total key over the
+  *supplier* dimension (small by TPC-H construction); at fact-table scale
+  partition the window by a key, as `window_topk_per_group` does;
+- `lateral_explode_tokens` bounds the explode to the first 5 positions
+  per document, so output is O(docs), never O(tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.catalogs import load
+from spark_hbase_connector_spark.queries.registry import query
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)        AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS covar_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 4)   AS covar_pop_qty_price,
+           round(stddev_samp(l_extendedprice), 4)             AS std_price,
+           round(var_pop(l_discount), 4)                      AS var_disc,
+           round(regr_slope(l_extendedprice, l_quantity), 4)  AS slope_price_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_price_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates — corr / covar (sample and
+    population) / stddev / variance / linear regression slope+intercept —
+    per group, all JVM built-ins with map-side partials (one shuffle on a
+    3-value key). Skewness/kurtosis are deliberately absent: Spark and
+    DuckDB disagree on the bias-correction convention, so they cannot
+    share an exact oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_pop("l_discount"), 4).alias("var_disc"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope_price_qty"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias("icept_price_qty"),
+    )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    WITH long AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           round(sum(val), 4) AS total, count(*) AS n
+    FROM long GROUP BY l_returnflag, measure
+    """,
+    tags=("unpivot",),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (the inverse of `pivot_lineitem`): melt four
+    measure columns into (measure, val) rows, then aggregate. Spark's
+    native `DataFrame.unpivot` expands rows inside the scan stage — no
+    shuffle until the aggregation; the oracle replays it as UNION ALL."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.round(F.sum("val"), 4).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "lateral_explode_tokens",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS pos, l[CAST(i AS INT) + 1] AS token
+    FROM toks CROSS JOIN range(5) t(i)
+    WHERE len(l) > i
+    """,
+    tags=("explode", "lateral"),
+)
+def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode: each document's first five tokens with
+    their positions. The position predicate is applied in the same stage
+    as the generator, so the explode never materializes full token lists
+    — output stays O(docs)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    ).where(F.col("pos") < 5)
+
+
+@query(
+    "listagg_ordered",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber)
+             AS linenumbers,
+           count(*) AS n_distinct
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber FROM lineitem)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "listagg"),
+)
+def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): the distinct
+    line numbers per (returnflag, linestatus) as a sorted CSV.
+    `collect_list` is order-nondeterministic under parallel merge, so the
+    deterministic form is collect -> array_sort -> join — the aggregation
+    state is the distinct set (bounded, 7 values), not the input rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_linenumber")
+        .distinct()
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("l_linenumber")),
+                    lambda c: c.cast("string"),
+                ),
+                ",",
+            ).alias("linenumbers"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+
+
+@query(
+    "window_percent_cume",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4)    AS cume
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    tags=("window",),
+)
+def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — the distribution window kinds missing
+    from `window_rank_kinds`. The tiebreak key makes every peer group a
+    singleton, so both functions are total-order deterministic. Global
+    window over the supplier dim (small by construction); partition the
+    window by a key for fact-scale inputs."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@query(
+    "events_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS INT) AS bucket,
+           CAST(floor(value / 50.0) AS INT) * 50.0 AS bucket_lo,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "histogram"),
+)
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (width_bucket by arithmetic — portable
+    across engines): floor-bucket the measure, count and sum per bucket.
+    One map-side-combinable shuffle on ~10 bucket keys; the shape behind
+    every distribution dashboard at scale."""
+    e = load(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50.0).cast("int")
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select("bucket", (F.col("bucket") * 50.0).alias("bucket_lo"), "n", "total")
+    )
