@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -98,6 +98,132 @@ def shingle_postings(
             yield pd.DataFrame({"id": ids, "s": shs})
 
     return src.mapInPandas(gen, schema=f"id {id_type}, s string")
+
+
+def shingle_postings_pos(
+    df: DataFrame, text_col: str, id_col: str, w: int = 8
+) -> DataFrame:
+    """(id, p, s): EVERY w-shingle occurrence with its 0-based token
+    position — NOT distinct, unlike :func:`shingle_postings`, because span
+    detection needs each position. Same Arrow single-pass architecture."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            ps: list[int] = []
+            shs: list[str] = []
+            for i, t in zip(pdf["id"], pdf["__text"]):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                if len(toks) < w:
+                    continue
+                for p in range(len(toks) - w + 1):
+                    ids.append(i)
+                    ps.append(p)
+                    shs.append(" ".join(toks[p : p + w]))
+            yield pd.DataFrame(
+                {"id": ids, "p": pd.array(ps, dtype="int32"), "s": shs}
+            )
+
+    return src.mapInPandas(gen, schema=f"id {id_type}, p int, s string")
+
+
+def duplicated_span_stats(
+    df: DataFrame, text_col: str, id_col: str, w: int = 8
+) -> DataFrame:
+    """Per-document duplicated-substring coverage: (id, n_spans,
+    dup_tokens), where spans are the maximal token intervals covered by
+    w-shingles that occur in >= 2 distinct documents — the scalable
+    relational analogue of suffix-array substring dedup over a corpus.
+
+    Plan: positional postings (one Arrow pass, persisted — two consumers),
+    duplicated-shingle set via one groupBy on xxhash64(shingle) (8-byte
+    keys, the string never shuffles), then per-document interval union as
+    two same-sort windows (running max + island cumsum) — gaps-and-islands
+    where overlapping-or-touching shingle intervals [p, p+w) merge, so
+    ``dup_tokens`` is the exact union coverage, never double-counted.
+
+    Scale: posting volume is O(total tokens); the groupBy and the window
+    both shuffle by doc — bounded per-doc state, no all-pairs anything.
+    """
+    posts = (
+        shingle_postings_pos(df, text_col, id_col, w)
+        .select("id", "p", F.xxhash64("s").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        posts.groupBy("h")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    hits = posts.join(dup, "h").select("id", "p")
+    w_prev = (
+        Window.partitionBy("id").orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("p").over(w_prev)
+    new_island = F.when(
+        prev_max.isNull() | (F.col("p") > prev_max + w), F.lit(1)
+    ).otherwise(F.lit(0))
+    w_run = (
+        Window.partitionBy("id").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = hits.select("id", "p", F.sum(new_island).over(w_run).alias("g"))
+    spans = islands.groupBy("id", "g").agg(
+        (F.max("p") - F.min("p") + w).alias("span_tokens")
+    )
+    return spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    w: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment pairs: C(A in B) = |A ∩ B| / |A| >= threshold
+    over distinct word w-shingles — catches a short document embedded in a
+    longer one, which symmetric Jaccard misses (the union term dilutes it).
+
+    Same inverted-index architecture as :func:`shingle_jaccard_pairs`
+    (persisted hashed postings, candidate pairs only), but the self-join
+    keeps BOTH directions (id1 != id2): containment is directional, and
+    each direction divides by its own contained-side set size.
+
+    Output: (id1, id2, containment) = id1's shingles covered by id2.
+    """
+    posts = (
+        shingle_postings(df, text_col, id_col, w)
+        .select("id", F.xxhash64("s").alias("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if max_df is not None:
+        hot = posts.groupBy("s").count().where(F.col("count") > max_df).select("s")
+        posts = posts.join(F.broadcast(hot), "s", "left_anti")
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
+    cont = F.col("i") / F.col("n1")
+    return (
+        inter.join(sa, "id1")
+        .where(cont >= threshold)
+        .select("id1", "id2", F.round(cont, 4).alias("containment"))
+    )
 
 
 def shingle_jaccard_pairs(

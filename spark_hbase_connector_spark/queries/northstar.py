@@ -13,8 +13,10 @@ from spark_hbase_connector_spark.catalogs import load
 from spark_hbase_connector_spark.functions.text import canonical_fingerprint, tokens
 from spark_hbase_connector_spark.operators.dedup import (
     dedup_exact,
+    duplicated_span_stats,
     edit_distance_pairs,
     minhash_lsh_pairs,
+    shingle_containment_pairs,
     shingle_jaccard_pairs,
     simhash_pairs,
 )
@@ -111,6 +113,132 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pairs = shingle_jaccard_pairs(d, "text", "doc_id", threshold=0.85)
     return pairs.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      FROM post a JOIN post b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2, round(i * 1.0 / sa.n, 4) AS containment
+    FROM inter JOIN sizes sa ON id1 = sa.doc_id
+    WHERE i * 1.0 / sa.n >= 0.9
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs: >= 90% of id1's word-3-gram shingles
+    appear in id2 — the doc-embedded-in-doc case symmetric Jaccard
+    dilutes away. Same inverted-index plan as `dedup_ngram_jaccard`; both
+    join directions are kept because containment is asymmetric."""
+    d = load(spark, sf_dir, "documents")
+    return shingle_containment_pairs(d, "text", "doc_id", threshold=0.9)
+
+
+@query(
+    "dedup_duplicated_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(range(1, len(l) - 6)) - 1 AS p,
+             unnest(list_transform(range(1, len(l) - 6),
+                                   i -> array_to_string(l[i:i+7], ' '))) AS s
+      FROM toks WHERE len(l) >= 8
+    ),
+    freq AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+    hit AS (SELECT doc_id, p FROM sh JOIN freq USING (s)),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN max(p) OVER w1 IS NULL OR p > max(p) OVER w1 + 8
+                  THEN 1 ELSE 0 END AS ni
+      FROM hit
+      WINDOW w1 AS (PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    grp AS (
+      SELECT doc_id, p,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, g, max(p) - min(p) + 8 AS span_tokens
+      FROM grp GROUP BY doc_id, g
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_spans, a.dup_tokens,
+           CAST(len(t.l) AS INT) AS n_toks,
+           round(a.dup_tokens * 1.0 / len(t.l), 4) AS dup_frac
+    FROM agg a JOIN toks t USING (doc_id)
+    """,
+    tags=("dedup", "spans"),
+)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring coverage per document: maximal token spans
+    covered by word-8-grams occurring in >= 2 distinct docs — the
+    corpus-scale relational stand-in for suffix-array exact-substring
+    dedup (flags boilerplate shared across documents, with the exact
+    union token coverage, never double-counted across overlapping
+    shingles)."""
+    d = load(spark, sf_dir, "documents")
+    stats = duplicated_span_stats(d, "text", "doc_id", w=8)
+    ntoks = d.select(
+        F.col("doc_id").alias("id"), F.size(F.split("text", " ")).alias("n_toks")
+    )
+    return stats.join(ntoks, "id").select(
+        F.col("id").alias("doc_id"),
+        "n_spans",
+        "dup_tokens",
+        "n_toks",
+        F.round(F.col("dup_tokens") / F.col("n_toks"), 4).alias("dup_frac"),
+    )
+
+
+@query(
+    "dedup_incremental_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE source <> 'src0'),
+    batch AS (SELECT doc_id, fingerprint FROM fp WHERE source = 'src0')
+    SELECT b.doc_id, b.fingerprint
+    FROM batch b LEFT JOIN corpus c USING (fingerprint)
+    WHERE c.fingerprint IS NULL
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: documents of the NEW batch (source src0)
+    whose canonical fingerprint does not already exist in the corpus (all
+    other sources) — a left-anti join on the fingerprint. At 100 TB the
+    corpus side stays a distinct-fingerprint relation (tiny vs the texts);
+    Spark's AQE turns the anti join into a broadcast when it fits, and a
+    bloom filter over corpus fingerprints is the standard prefilter — the
+    anti join keeps the semantics exact either way."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", canonical_fingerprint("text").alias("fingerprint")
+    )
+    batch = fp.where(F.col("source") == "src0").select("doc_id", "fingerprint")
+    corpus = fp.where(F.col("source") != "src0").select("fingerprint").distinct()
+    return batch.join(corpus, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
 
 
 @query(

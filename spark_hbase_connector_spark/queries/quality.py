@@ -353,3 +353,75 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         gen, schema="doc_id long, char_entropy double, n_unique_chars int"
     )
+
+
+# ------------------------------------------------- bigram surprisal ----
+
+
+@query(
+    "text_bigram_surprisal",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+             unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS big
+      FROM toks WHERE len(l) >= 2
+    ),
+    cb AS (SELECT big, count(*) AS nb FROM bg GROUP BY 1),
+    cf AS (SELECT w1, count(*) AS nf FROM bg GROUP BY 1)
+    SELECT doc_id,
+           round(avg(log2(nf * 1.0 / nb)), 4) AS avg_surprisal,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bg JOIN cb USING (big) JOIN cf USING (w1)
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-conditioned bigram surprisal per document — the n-gram
+    language-model quality score: mean -log2 p(w2 | w1) over a document's
+    bigram occurrences, with p estimated from corpus-wide bigram /
+    first-token counts. Boilerplate and template-heavy docs score low
+    (their bigrams are corpus-frequent); lexically novel docs score high.
+
+    Plan: one Arrow pass emits bigram occurrences, immediately projected
+    to xxhash64 keys and persisted (three consumers — bigram counts,
+    first-token counts, and the scoring join; the strings never shuffle).
+    Count relations are Zipf-skewed at corpus scale: the hot first-token
+    join keys (stopwords) are exactly the AQE skew-join case, and both
+    count tables broadcast when the vocabulary fits."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, w1s, bigs = [], [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                for p in range(len(toks) - 1):
+                    ids.append(i)
+                    w1s.append(toks[p])
+                    bigs.append(toks[p] + " " + toks[p + 1])
+            yield pd.DataFrame({"id": ids, "w1": w1s, "big": bigs})
+
+    bg = (
+        d.select("doc_id", "text")
+        .mapInPandas(gen, schema="id long, w1 string, big string")
+        .select("id", F.xxhash64("w1").alias("w1"), F.xxhash64("big").alias("big"))
+        .persist()
+    )
+    cb = bg.groupBy("big").agg(F.count(F.lit(1)).alias("nb"))
+    cf = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("nf"))
+    return (
+        bg.join(cb, "big")
+        .join(cf, "w1")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.round(F.avg(F.log2(F.col("nf") / F.col("nb"))), 4).alias("avg_surprisal"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

@@ -14,6 +14,7 @@ from spark_hbase_connector_spark.streaming.events import (
     run_stream_to_memory,
     running_totals_stateful,
     session_window_agg,
+    sliding_window_agg,
     stream_static_enrich_agg,
     tumbling_window_agg,
     tumbling_window_agg_watermarked,
@@ -35,6 +36,35 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows == floor(epoch_us / 900e6) bucketing in the oracle."""
     stream = events_stream(spark, sf_dir)
     return run_stream_to_memory(tumbling_window_agg(stream, "15 minutes"), spark)
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH ev AS (SELECT epoch_us(ts) AS e, event_type, value FROM events),
+    wins AS (
+      SELECT make_timestamp((e // 900000000) * 900000000) AS window_start,
+             event_type, value FROM ev
+      UNION ALL
+      SELECT make_timestamp((e // 900000000) * 900000000 - 900000000),
+             event_type, value FROM ev
+    )
+    SELECT window_start, event_type, count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM wins GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding every 15 minutes over the event stream —
+    each event belongs to exactly two overlapping windows. The oracle
+    replays the fan-out: one copy at the event's 15-minute bucket, one at
+    the bucket before (both epoch-aligned, matching Spark's window
+    alignment)."""
+    stream = events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        sliding_window_agg(stream, "30 minutes", "15 minutes"), spark
+    )
 
 
 @query(

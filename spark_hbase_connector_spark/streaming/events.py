@@ -82,6 +82,24 @@ def tumbling_window_agg(stream: DataFrame, width: str = "15 minutes") -> DataFra
     )
 
 
+def sliding_window_agg(
+    stream: DataFrame, width: str = "30 minutes", slide: str = "15 minutes"
+) -> DataFrame:
+    """Per-event-type counts/sums over epoch-aligned SLIDING windows: each
+    event lands in width/slide overlapping windows (state fans out, which
+    is why production pairs this with a watermark to bound it)."""
+    return (
+        stream.groupBy(F.window("ts", width, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def tumbling_window_agg_watermarked(
     stream: DataFrame, width: str = "15 minutes", delay: str = "10 minutes"
 ) -> DataFrame:
