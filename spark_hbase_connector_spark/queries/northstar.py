@@ -183,6 +183,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg a JOIN toks t USING (doc_id)
     """,
     tags=("dedup", "spans"),
+    bench=True,
 )
 def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-substring coverage per document: maximal token spans

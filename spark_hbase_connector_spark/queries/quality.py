@@ -377,6 +377,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id
     """,
     tags=("text", "quality"),
+    bench=True,
 )
 def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-conditioned bigram surprisal per document — the n-gram

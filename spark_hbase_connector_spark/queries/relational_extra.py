@@ -207,3 +207,116 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket", (F.col("bucket") * 50.0).alias("bucket_lo"), "n", "total")
     )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           first_value(s_name) OVER w AS richest,
+           last_value(s_name) OVER w  AS poorest,
+           nth_value(s_name, 2) OVER w AS runner_up
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an unbounded frame per
+    nation — navigation window kinds. The frame must be explicitly
+    UNBOUNDED FOLLOWING on both engines (the default frame ends at
+    CURRENT ROW, which makes last_value degenerate); the tiebreak key
+    makes each a total order."""
+    s = load(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.first("s_name").over(w).alias("richest"),
+        F.last("s_name").over(w).alias("poorest"),
+        F.nth_value("s_name", 2).over(w).alias("runner_up"),
+    )
+
+
+@query(
+    "agg_bitwise_bool",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS band, bit_or(user_id) AS bor,
+           bit_xor(user_id) AS bxor,
+           bool_and(value > 0.005) AS all_pos,
+           bool_or(value > 400)    AS any_large
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "bitwise"),
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (bit_and/bit_or/bit_xor) and boolean (bool_and/bool_or)
+    aggregates — exact, order-insensitive, map-side combinable; the
+    bitmask-accumulation shape behind feature-flag and permission-mask
+    rollups."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor("user_id").alias("bxor"),
+        F.bool_and(F.col("value") > 0.005).alias("all_pos"),
+        F.bool_or(F.col("value") > 400).alias("any_large"),
+    )
+
+
+@query(
+    "agg_max_by",
+    oracle="""
+    SELECT s_nationkey,
+           arg_max(s_name, s_acctbal * 1000000 + s_suppkey) AS richest_name,
+           arg_min(s_name, s_acctbal * 1000000 + s_suppkey) AS poorest_name,
+           round(max(s_acctbal), 4) AS max_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    tags=("agg", "argmax"),
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (arg_max / arg_min): the value of one column at
+    another's extremum, per group. Both engines leave ties unspecified, so
+    the ordering key is the composite s_acctbal*1e6 + s_suppkey — unique
+    by construction (acctbal has 2 decimals, suppkey < 1e6), making the
+    answer total-order deterministic without a window."""
+    s = load(spark, sf_dir, "supplier")
+    key = F.col("s_acctbal") * 1000000 + F.col("s_suppkey")
+    return s.groupBy("s_nationkey").agg(
+        F.max_by("s_name", key).alias("richest_name"),
+        F.min_by("s_name", key).alias("poorest_name"),
+        F.round(F.max("s_acctbal"), 4).alias("max_bal"),
+    )
+
+
+@query(
+    "scalar_regexp_extract_all",
+    oracle="""
+    SELECT event_id,
+           regexp_extract_all(props, '[0-9]+(?:\\.[0-9]+)?') AS numbers,
+           len(regexp_extract_all(props, '[0-9]+(?:\\.[0-9]+)?')) AS n_numbers
+    FROM events
+    WHERE event_id % 97 = 0
+    """,
+    tags=("scalar", "regex"),
+)
+def scalar_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all into an array column (all numeric literals in
+    the JSON props blob) — the multi-match sibling of the single-match
+    regex scalars; array results compare element-wise against the oracle.
+    The modulo predicate keeps the differential row set bounded and is
+    pushed to the scan."""
+    e = load(spark, sf_dir, "events")
+    pat = r"[0-9]+(?:\.[0-9]+)?"
+    return e.where(F.col("event_id") % 97 == 0).select(
+        "event_id",
+        F.regexp_extract_all("props", F.lit(pat), 0).alias("numbers"),
+        F.size(F.regexp_extract_all("props", F.lit(pat), 0)).alias("n_numbers"),
+    )

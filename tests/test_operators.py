@@ -183,3 +183,63 @@ def test_assign_prefix_sums_matches_global_window(spark):
     assert sorted(map(tuple, got.select("k", "v", "prefix").collect())) == sorted(
         map(tuple, want.select("k", "v", "prefix").collect())
     )
+
+
+def test_duplicated_span_stats_merges_overlapping_shingles(spark):
+    """Two docs sharing one contiguous 10-token block: three overlapping
+    8-shingle hits per doc must merge into ONE span of exactly 10 tokens
+    (interval union, not island-of-consecutive double counting)."""
+    from spark_hbase_connector_spark.operators.dedup import duplicated_span_stats
+
+    block = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=block + " xxa xxb xxc"),
+            Row(doc_id=2, text="yya yyb " + block),
+            Row(doc_id=3, text=" ".join(f"z{i}" for i in range(12))),
+        ]
+    )
+    got = {
+        r.id: (r.n_spans, r.dup_tokens)
+        for r in duplicated_span_stats(docs, "text", "doc_id", w=8).collect()
+    }
+    # 10-token shared block -> positions 0..2 (doc1) / 2..4 (doc2), one
+    # merged span covering max-min+8 = 10 tokens in each.
+    assert got == {1: (1, 10), 2: (1, 10)}
+
+
+def test_duplicated_span_stats_distant_repeats_stay_separate(spark):
+    """Duplicated shingles further apart than one shingle width must be
+    reported as separate spans."""
+    from spark_hbase_connector_spark.operators.dedup import duplicated_span_stats
+
+    blk_a = " ".join(f"a{i}" for i in range(8))
+    blk_b = " ".join(f"b{i}" for i in range(8))
+    gap = " ".join(f"g{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=blk_a + " " + gap + " " + blk_b),
+            Row(doc_id=2, text=blk_a + " qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8 " + blk_b),
+        ]
+    )
+    got = {
+        r.id: (r.n_spans, r.dup_tokens)
+        for r in duplicated_span_stats(docs, "text", "doc_id", w=8).collect()
+    }
+    assert got == {1: (2, 16), 2: (2, 16)}
+
+
+def test_shingle_containment_is_directional(spark):
+    """A short doc fully inside a long doc: containment(short in long)=1.0;
+    the reverse direction is below threshold and absent."""
+    from spark_hbase_connector_spark.operators.dedup import shingle_containment_pairs
+
+    short = "the quick brown fox jumps"
+    long = short + " " + " ".join(f"pad{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=short), Row(doc_id=2, text=long)]
+    )
+    rows = shingle_containment_pairs(
+        docs, "text", "doc_id", threshold=0.9
+    ).collect()
+    assert [(r.id1, r.id2, r.containment) for r in rows] == [(1, 2, 1.0)]

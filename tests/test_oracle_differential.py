@@ -29,6 +29,11 @@ SUBSET = [
     "dedup_exact",
     "dedup_fingerprint",
     "dedup_ngram_jaccard",
+    "dedup_duplicated_spans",
+    "dedup_incremental_fingerprint",
+    "text_bigram_surprisal",
+    "agg_stats_moments",
+    "unpivot_measures",
     "ann_topk_cosine",
     "text_token_stats",
     "text_langid",
