@@ -1649,3 +1649,39 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "approx_heavy_hitters_qa",
+    oracle="""
+    WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+               FROM events GROUP BY 1),
+    t AS (SELECT CAST(sum(n_exact) AS BIGINT) AS tot FROM c)
+    SELECT event_type, n_exact, true AS in_sketch
+    FROM c, t WHERE n_exact * 1.0 / tot > 0.15
+    """,
+    tags=("sketch", "agg", "qa"),
+)
+def approx_heavy_hitters_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch QA gate, the frequent-items sibling of
+    `approx_distinct_qa`: single-pass `freqItems` (Karp-Papadimitriou-
+    Shenker misra-gries style, fixed-size state, map-side merged) next to
+    the exact frequency computation. The sketch guarantees a SUPERSET of
+    every item with frequency > support, so each exact heavy hitter must
+    appear in it — the emitted flag. The sketch result is O(1/support)
+    items collected to the driver (sketch-sized, like the rollup scalar —
+    never data-sized)."""
+    e = load(spark, sf_dir, "events")
+    support = 0.15
+    sketch_items = set(e.stat.freqItems(["event_type"], support).collect()[0][0])
+    c = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    tot = c.agg(F.sum("n_exact").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .where(F.col("n_exact") * 1.0 / F.col("tot") > support)
+        .select(
+            "event_type",
+            "n_exact",
+            F.col("event_type").isin(sketch_items).alias("in_sketch"),
+        )
+    )

@@ -538,3 +538,256 @@ def window_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("int").alias("n_trailing_1h"),
         F.round(F.sum("value").over(w), 4).alias("value_trailing_1h"),
     )
+
+
+@query(
+    "window_time_weighted_avg",
+    oracle="""
+    WITH ord AS (
+      SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value
+      FROM events
+    ),
+    iv AS (
+      SELECT event_type, day, value,
+             (epoch_us(lead(ts) OVER w) - epoch_us(ts)) / 1000000.0 AS dt
+      FROM ord
+      WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id)
+    )
+    SELECT event_type, day,
+           round(sum(value * dt) / sum(dt), 4) AS twa,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM iv WHERE dt IS NOT NULL GROUP BY 1, 2
+    """,
+    tags=("window", "timeseries"),
+)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the hypertable `time_weight` shape): each
+    observation holds until the next one, so the daily mean weights each
+    value by its holding duration — irregular sampling no longer biases
+    toward chatty periods. One lead window per (type, day); the final
+    aggregation reuses the window's partitioning key, so the plan
+    shuffles once."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    iv = (
+        e.select("event_type", F.date_trunc("day", "ts").alias("day"), "ts", "event_id", "value")
+        .withColumn(
+            "dt",
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / 1000000.0,
+        )
+        .where(F.col("dt").isNotNull())
+    )
+    return iv.groupBy("event_type", "day").agg(
+        F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4).alias("twa"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket,
+             ts, event_id, value
+      FROM events
+    ),
+    rn AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM b
+    )
+    SELECT event_type, bucket,
+           round(max(CASE WHEN ra = 1 THEN value END), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(max(CASE WHEN rd = 1 THEN value END), 4) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM rn GROUP BY 1, 2
+    """,
+    tags=("window", "timeseries"),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (event_type, 15-minute bucket): first /
+    max / min / last value. Both engines leave first/last-in-group
+    undefined under ties, so open and close come from row_number over the
+    total order (ts, event_id) — the two window sorts and the final
+    aggregation all share one (type, bucket) exchange."""
+    e = load(spark, sf_dir, "events")
+    bucket = F.expr("timestamp_micros((unix_micros(ts) div 900000000) * 900000000)")
+    b = e.select("event_type", bucket.alias("bucket"), "ts", "event_id", "value")
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    rn = b.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return rn.groupBy("event_type", "bucket").agg(
+        F.round(F.max(F.when(F.col("ra") == 1, F.col("value"))), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 4).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "window_counter_increase",
+    oracle="""
+    WITH ord AS (
+      SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, day,
+             value - lag(value) OVER (PARTITION BY event_type, day
+                                      ORDER BY ts, event_id) AS delta
+      FROM ord
+    )
+    SELECT event_type, day,
+           round(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END), 4) AS increase,
+           CAST(count(*) AS BIGINT) AS n_deltas
+    FROM d WHERE delta IS NOT NULL GROUP BY 1, 2
+    """,
+    tags=("window", "timeseries"),
+)
+def window_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-style increase per (type, day) — the `counter_agg`/`rate`
+    shape: sum of positive consecutive deltas, ignoring resets (negative
+    deltas contribute zero). Same single-shuffle lag-window-plus-
+    reused-partitioning plan as `window_time_weighted_avg`."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    d = (
+        e.select("event_type", F.date_trunc("day", "ts").alias("day"), "ts", "event_id", "value")
+        .withColumn("delta", F.col("value") - F.lag("value").over(w))
+        .where(F.col("delta").isNotNull())
+    )
+    return d.groupBy("event_type", "day").agg(
+        F.round(
+            F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0.0))), 4
+        ).alias("increase"),
+        F.count(F.lit(1)).alias("n_deltas"),
+    )
+
+
+@query(
+    "gapfill_interpolate",
+    oracle="""
+    WITH sub AS (
+      SELECT user_id,
+             make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket,
+             value
+      FROM events WHERE user_id < 5
+    ),
+    agg AS (
+      SELECT user_id, bucket, sum(value) AS total,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sub GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+      FROM agg GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, a.total, coalesce(a.n_events, 0) AS n_events
+      FROM grid g LEFT JOIN agg a USING (user_id, bucket)
+    ),
+    ctx AS (
+      SELECT user_id, bucket, total, n_events,
+             last_value(total IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN total IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER wp AS pb,
+             first_value(total IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN total IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER wf AS nb
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket AS bucket_start, n_events,
+           floor((CASE WHEN total IS NOT NULL THEN total
+                  ELSE pv + (nv - pv) * (epoch_us(bucket) - epoch_us(pb))
+                       / (epoch_us(nb) - epoch_us(pb)) END) * 10000 + 0.5)
+             / 10000 AS filled_total
+    FROM ctx
+    """,
+    tags=("window", "timeseries", "gapfill"),
+)
+def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling by linear interpolation (the `interpolate` sibling of
+    `gapfill_locf`): empty buckets get the time-proportional blend of the
+    surrounding observed totals. Same worker-side dense grid; the
+    prev/next context is two ignore-nulls windows over the partitioning
+    the aggregation already shuffled on. Grid endpoints are observed
+    buckets by construction, so interior gaps always have both
+    neighbors. Rounding is the explicit floor(x*1e4 + 0.5)/1e4 HALF_UP
+    emulation on BOTH engines: 15-minute grids make interpolation
+    fractions small rationals (1/2, 1/4, ...), so exact half-boundary
+    values are common enough that the engines' native round()
+    implementations visibly disagree."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    bucket = F.expr("timestamp_micros((unix_micros(ts) div 900000000) * 900000000)")
+    agg = e.groupBy("user_id", bucket.alias("bucket")).agg(
+        F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = agg.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 15 minutes)")).alias("bucket"),
+    )
+    j = grid.join(agg, ["user_id", "bucket"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("total").isNotNull(), F.col("bucket"))
+    ctx = j.select(
+        "user_id",
+        "bucket",
+        "total",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("total", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(wp).alias("pb"),
+        F.first("total", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_bucket, ignorenulls=True).over(wf).alias("nb"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.unix_micros("bucket") - F.unix_micros("pb")
+    ) / (F.unix_micros("nb") - F.unix_micros("pb"))
+    return ctx.select(
+        "user_id",
+        F.col("bucket").alias("bucket_start"),
+        "n_events",
+        (
+            F.floor(
+                F.when(F.col("total").isNotNull(), F.col("total")).otherwise(interp)
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("filled_total"),
+    )
