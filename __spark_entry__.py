@@ -41,7 +41,6 @@ DRIVER_WINDOW = [
     "scan_flagship",
     "scan_hbasekv_flagship",
     "scan_rowkey_range_sort",
-    "scan_projection",
     "scan_range_negative",
     "scan_and_or",
     # TPC-H planner shapes (light + heavy)
@@ -60,7 +59,7 @@ DRIVER_WINDOW = [
     "correlated_scalar_subquery",
     # windows / time-series
     "window_topk_per_group",
-    "window_running_sum",
+    "window_time_weighted_avg",
     "sessionize_events",
     "asof_join_events",
     "range_join_windows",
@@ -73,16 +72,17 @@ DRIVER_WINDOW = [
     "dedup_simhash",
     "dedup_components",
     "dedup_cluster_keep_best",
+    "dedup_duplicated_spans",
     "dedup_edit_distance",
     # similarity / ANN
     "embedding_cosine_pairs_lsh",
     "ann_topk_cosine",
-    "ann_topk_ivf",
     "ann_recall_ivf",
     # text analysis
     "text_token_stats",
     "text_tfidf_topterms",
     "text_repetition_signals",
+    "text_bigram_surprisal",
     "text_langid",
     # corpus quality / curation
     "pii_scrub_customers",

@@ -320,3 +320,60 @@ def scalar_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all("props", F.lit(pat), 0).alias("numbers"),
         F.size(F.regexp_extract_all("props", F.lit(pat), 0)).alias("n_numbers"),
     )
+
+
+@query(
+    "scalar_try_cast",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(substr(props, 7, 3) AS DOUBLE) AS maybe_num,
+           TRY_CAST(event_type AS BIGINT)          AS never_num,
+           CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_val
+    FROM events WHERE event_id % 101 = 0
+    """,
+    tags=("scalar", "cast"),
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe casting: `try_cast` yields NULL on malformed input where
+    a plain CAST would raise under ANSI mode (Spark 4's default) — the
+    ingest-time armor for dirty string columns. The substring slice is
+    sometimes a clean number and sometimes includes the closing brace, so
+    both outcomes are exercised on real rows."""
+    e = load(spark, sf_dir, "events")
+    return e.where(F.col("event_id") % 101 == 0).select(
+        "event_id",
+        F.expr("try_cast(substring(props, 7, 3) AS DOUBLE)").alias("maybe_num"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("never_num"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("bigint").alias("k_val"),
+    )
+
+
+@query(
+    "scalar_array_setops",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    ab AS (SELECT doc_id, l[1:15] AS a, l[10:24] AS b FROM t)
+    SELECT doc_id,
+           list_sort(list_intersect(a, b)) AS inter,
+           list_sort(list_distinct(a || b)) AS uni,
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+             AS diff
+    FROM ab WHERE doc_id % 11 = 0
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (array_intersect / array_union / array_except)
+    over two overlapping token windows of each document. Both engines
+    return distinct elements with unspecified order, so every result is
+    sorted — the deterministic form. All JVM expressions, zero shuffles,
+    output bounded by the slice widths."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    a, b = F.slice(toks, 1, 15), F.slice(toks, 10, 15)
+    return d.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.array_sort(F.array_intersect(a, b)).alias("inter"),
+        F.array_sort(F.array_union(a, b)).alias("uni"),
+        F.array_sort(F.array_except(a, b)).alias("diff"),
+    )

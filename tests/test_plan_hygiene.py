@@ -29,7 +29,14 @@ from spark_hbase_connector_spark.queries import REGISTRY
 # embedding_cosine_pairs is the exact all-pairs baseline; q11's nested loop
 # is the single-row scalar threshold cross-joined into the grouped output;
 # funnel_steps cross-joins three SINGLE-ROW stage-count aggregates.
-_BNLJ_ALLOWED = {"embedding_cosine_pairs", "q11_important_stock", "funnel_steps"}
+# Legitimate broadcast-nested-loop cases: a single-row scalar relation
+# (grand total / threshold) broadcast against a tiny aggregate.
+_BNLJ_ALLOWED = {
+    "embedding_cosine_pairs",
+    "q11_important_stock",
+    "funnel_steps",
+    "approx_heavy_hitters_qa",
+}
 
 _SKIP_TAGS = {"streaming", "fixture"}
 
