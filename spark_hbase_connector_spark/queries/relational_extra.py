@@ -377,3 +377,97 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_union(a, b)).alias("uni"),
         F.array_sort(F.array_except(a, b)).alias("diff"),
     )
+
+
+@query(
+    "dedup_latest_by_key",
+    oracle="""
+    SELECT user_id, event_type, ts, value FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "window"),
+)
+def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest row per key (the QUALIFY row_number()=1 shape) —
+    the most common production dedup: one row per (user, event_type) at
+    its max event time, tie-broken by event_id for a total order. One
+    shuffle on the key; Spark plans the rn=1 filter as a per-partition
+    top-1 (WindowGroupLimit), never materializing full per-key sorts of
+    history at scale."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.select("user_id", "event_type", "ts", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "value")
+    )
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle="""
+    SELECT CAST(year(ts) AS INT) AS yr,
+           CAST(month(ts) AS INT) AS mo,
+           CAST(day(ts) AS INT) AS dy,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY ROLLUP (yr, mo, dy)
+    """,
+    tags=("agg", "rollup", "timeseries"),
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy rollup (day ⊂ month ⊂ year ⊂ grand total) in
+    one pass — the time-dimension cube every dashboard wants. ROLLUP
+    expands to 4 grouping sets; Spark computes them from one shuffle of
+    partial aggregates, not four scans."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.year("ts").alias("yr"),
+            F.month("ts").alias("mo"),
+            F.dayofmonth("ts").alias("dy"),
+            "value",
+        )
+        .rollup("yr", "mo", "dy")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+@query(
+    "union_by_name_evolution",
+    oracle="""
+    SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status,
+           NULL AS priority
+    FROM orders WHERE o_orderkey % 1003 = 0
+    UNION ALL
+    SELECT o_orderkey, NULL, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderkey % 1007 = 0
+    """,
+    tags=("setop", "schema"),
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two relations with overlapping-but-
+    different columns combined by NAME (missing columns null-filled) —
+    `unionByName(allowMissingColumns=True)`, the append path when old and
+    new extracts disagree on columns. Positional UNION would silently
+    misalign; the oracle replays the null-filling explicitly."""
+    o = load(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 1003 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = o.where(F.col("o_orderkey") % 1007 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return old.unionByName(new, allowMissingColumns=True)

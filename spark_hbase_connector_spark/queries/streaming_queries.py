@@ -11,6 +11,7 @@ from spark_hbase_connector_spark.queries.registry import query
 from spark_hbase_connector_spark.streaming.events import (
     click_purchase_stream_join,
     events_stream,
+    ohlc_window_agg,
     run_stream_to_memory,
     running_totals_stateful,
     session_window_agg,
@@ -36,6 +37,43 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows == floor(epoch_us / 900e6) bucketing in the oracle."""
     stream = events_stream(spark, sf_dir)
     return run_stream_to_memory(tumbling_window_agg(stream, "15 minutes"), spark)
+
+
+@query(
+    "streaming_ohlc_bars",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start,
+             ts, event_id, value
+      FROM events
+    ),
+    rn AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, window_start
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type, window_start
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM b
+    )
+    SELECT window_start, event_type,
+           round(max(CASE WHEN ra = 1 THEN value END), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(max(CASE WHEN rd = 1 THEN value END), 4) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM rn GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "timeseries"),
+)
+def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of `events_ohlc_bars`: per 15-minute window,
+    open/close computed with min_by/max_by over the (ts, event_id)
+    struct — commutative, so cross-micro-batch state merges are
+    arrival-order independent (first/last would not be). On the finite
+    input it must equal the batch row_number replay."""
+    stream = events_stream(spark, sf_dir)
+    return run_stream_to_memory(ohlc_window_agg(stream, "15 minutes"), spark)
 
 
 @query(

@@ -100,6 +100,33 @@ def sliding_window_agg(
     )
 
 
+def ohlc_window_agg(stream: DataFrame, width: str = "15 minutes") -> DataFrame:
+    """Streaming OHLC bars: open/close via min_by/max_by on the composite
+    (ts, event_id) struct — commutative aggregates, so state merges
+    across micro-batches regardless of arrival order (first/last would
+    depend on processing order and be wrong)."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        stream.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+
+
 def tumbling_window_agg_watermarked(
     stream: DataFrame, width: str = "15 minutes", delay: str = "10 minutes"
 ) -> DataFrame:
