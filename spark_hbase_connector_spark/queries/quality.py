@@ -426,3 +426,63 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+@query(
+    "corpus_source_report",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+           round(1.0 - count(DISTINCT text) * 1.0 / count(*), 4) AS exact_dup_rate,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source
+    """,
+    tags=("quality", "report"),
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report: document count, exact-duplicate
+    rate (1 - distinct/total), mean length, language spread — the
+    dashboard a curation pipeline watches per ingest source. Two
+    count-distincts in one aggregation (Spark expands to one grouping
+    pass per distinct column, both partial-aggregated); one shuffle on
+    the source key."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("text").alias("n_unique_texts"),
+        F.round(
+            1.0 - F.count_distinct("text") / F.count(F.lit(1)), 4
+        ).alias("exact_dup_rate"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+@query(
+    "diag_key_skew",
+    oracle="""
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+    SELECT user_id, n, round(n * 1.0 / tot, 4) AS share
+    FROM c, t
+    ORDER BY n DESC, user_id LIMIT 10
+    """,
+    tags=("diagnostic", "skew"),
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the 10 heaviest keys and their share of
+    all rows — the check run before choosing between a plain shuffle
+    join, AQE skew split, and manual salting (`join_salted_skew`). The
+    heavy-hitter scan is one partial-aggregated shuffle + TakeOrdered
+    (never a global sort); the grand total rides a single-row broadcast."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select("user_id", "n", F.round(F.col("n") / F.col("tot"), 4).alias("share"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )

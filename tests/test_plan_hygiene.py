@@ -36,6 +36,7 @@ _BNLJ_ALLOWED = {
     "q11_important_stock",
     "funnel_steps",
     "approx_heavy_hitters_qa",
+    "diag_key_skew",
 }
 
 _SKIP_TAGS = {"streaming", "fixture"}
