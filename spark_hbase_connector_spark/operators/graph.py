@@ -91,10 +91,16 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        base = labels.withColumn("__prev", F.col("comp"))
-        stepped = _propagate(edges, _propagate(edges, base))
+        # Convergence is judged on the SECOND hop only: labels are
+        # monotone, so ANY hop that changes nothing is a fixpoint — a
+        # round whose first hop makes the final changes therefore
+        # terminates immediately instead of paying one more full fused
+        # round just to confirm (diameter 1-2 dedup graphs finish in ONE
+        # round this way: hop 1 converges, hop 2 certifies).
+        mid = _propagate(edges, labels).withColumn("__mid", F.col("comp"))
+        stepped = _propagate(edges, mid)
         updated = stepped.select(
-            "id", "comp", (F.col("comp") < F.col("__prev")).alias("__chg")
+            "id", "comp", (F.col("comp") < F.col("__mid")).alias("__chg")
         ).localCheckpoint()
         n_changed = updated.where(F.col("__chg")).count()
         labels = updated.select("id", "comp")
