@@ -1759,3 +1759,111 @@ def embedding_quantize_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(
         gen, schema="vec_id long, max_abs_err double, within_half_step boolean"
     )
+
+
+@query(
+    "ann_recall_quantized",
+    oracle=f"""
+    WITH {_DUCK_VECS},
+    mm AS (
+      SELECT vec_id, e,
+             list_aggregate(e, 'min') AS mn,
+             CASE WHEN list_aggregate(e, 'max') > list_aggregate(e, 'min')
+                  THEN (list_aggregate(e, 'max') - list_aggregate(e, 'min')) / 255
+                  ELSE 1.0 END AS sc
+      FROM n
+    ),
+    r AS (
+      SELECT vec_id,
+             list_transform(e, x -> mn + floor((x - mn) / sc + 0.5) * sc) AS e2
+      FROM mm
+    ),
+    rn AS (
+      SELECT vec_id, e2,
+             sqrt(list_sum(list_transform(e2, x -> x * x))) AS nrm2
+      FROM r
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(q.e) + 1),
+                          i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) DESC,
+                 c.vec_id) AS rank
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10) WHERE rank <= 5
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(q.e2) + 1),
+                          i -> q.e2[i] * c.e2[i])) / (q.nrm2 * c.nrm2) DESC,
+                 c.vec_id) AS rank
+        FROM rn q JOIN rn c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM exact e JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY 1
+    )
+    SELECT q.query_id,
+           coalesce(h.n_hits, 0) * 1.0 / 5 AS recall_at_5,
+           coalesce(h.n_hits, 0) * 1.0 / 5 >= 0.6 AS acceptable
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h ON q.query_id = h.query_id
+    """,
+    tags=("similarity", "ann", "quantize", "eval"),
+)
+def ann_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of brute-force search over int8-QUANTIZED vectors against
+    the exact float search — the evaluation that pairs with
+    `embedding_quantize_qa`: the error bound certifies per-element
+    fidelity, this gate certifies the thing that matters downstream
+    (neighbor ranking survival). Reconstruction happens in one Arrow pass
+    (float64, op-for-op the oracle's DOUBLE lambda); both searches are
+    the broadcast-query matmul plan of `ann_topk_cosine`."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, outs = [], []
+            for i, emb in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(emb, dtype=np.float64)
+                if v.size == 0:
+                    continue
+                mn, mx = v.min(), v.max()
+                sc = (mx - mn) / 255 if mx > mn else 1.0
+                recon = mn + np.floor((v - mn) / sc + 0.5) * sc
+                ids.append(i)
+                outs.append(recon.tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": outs})
+
+    recon = e.select("vec_id", "embedding").mapInPandas(
+        gen, schema="vec_id long, embedding array<double>"
+    ).persist()
+    q_exact = e.where(F.col("vec_id") < 10)
+    q_recon = recon.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(q_exact, e, k=5).select("query_id", "neighbor_id")
+    approx = brute_force_topk(q_recon, recon, k=5).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    recall = F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0 / 5
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            recall.alias("recall_at_5"),
+            (recall >= 0.6).alias("acceptable"),
+        )
+    )
