@@ -791,3 +791,36 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("filled_total"),
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, event_type,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
+    FROM events
+    WHERE user_id < 3
+    """,
+    tags=("window", "timeseries"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing 5 observations per event type —
+    an aggregate-as-window with an explicit ROWS frame (the robust
+    smoother percentile dashboards use where EWMA is outlier-sensitive).
+    Spark's exact interpolated `percentile` and DuckDB's `quantile_cont`
+    share the interpolation formula (verified bit-identical by
+    `agg_quantiles`); per-key frames keep window state bounded at 5
+    rows."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 3)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med5"),
+    )
