@@ -1867,3 +1867,81 @@ def ann_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             (recall >= 0.6).alias("acceptable"),
         )
     )
+
+
+@query(
+    "pipeline_chunk_search",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ex AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, 24)) AS start
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+             toks[start + 1 : start + 32] AS ctoks
+      FROM ex
+    ),
+    posts AS (SELECT doc_id, chunk_id, unnest(ctoks) AS term FROM ch),
+    tf AS (
+      SELECT doc_id, chunk_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM posts WHERE term IN ('scan', 'join')
+      GROUP BY 1, 2, 3
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nch AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks FROM ch)
+    SELECT t.doc_id, t.chunk_id,
+           round(sum(t.tf * ln(n_chunks * 1.0 / df)), 4) AS score
+    FROM tf t JOIN idf USING (term) CROSS JOIN nch
+    GROUP BY 1, 2
+    HAVING count(*) = 2
+    ORDER BY score DESC, doc_id, chunk_id LIMIT 10
+    """,
+    tags=("pipeline", "chunking", "search"),
+)
+def pipeline_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage retrieval composition — the RAG indexing path end-to-end in
+    one plan: sliding-window chunking (32/24, as `chunk_sliding_windows`)
+    -> per-chunk postings for the query terms only -> TF-IDF at CHUNK
+    granularity -> conjunctive intersection via grouped aggregation ->
+    deterministic top-10. Same scale properties as its parts: the term
+    filter lands under the explode so posting lists are query-term-sized,
+    df and the chunk count are scalar-sized, and the top-10 is
+    TakeOrdered — no global sort."""
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents_chunksearch_v")
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT doc_id, split(text, ' ') AS toks FROM documents_chunksearch_v
+        ),
+        ex AS (
+          SELECT doc_id, toks,
+                 explode(sequence(0, size(toks) - 1, 24)) AS start
+          FROM t
+        ),
+        ch AS (
+          SELECT doc_id, CAST(start div 24 AS BIGINT) AS chunk_id,
+                 slice(toks, start + 1, 32) AS ctoks
+          FROM ex
+        ),
+        posts AS (
+          SELECT doc_id, chunk_id, explode(ctoks) AS term FROM ch
+        ),
+        tf AS (
+          SELECT doc_id, chunk_id, term, count(*) AS tf
+          FROM posts WHERE term IN ('scan', 'join')
+          GROUP BY 1, 2, 3
+        ),
+        idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        SELECT t.doc_id, t.chunk_id,
+               round(sum(t.tf * ln(
+                 (SELECT count(*) FROM (SELECT doc_id, explode(sequence(0, size(split(text, ' ')) - 1, 24)) FROM documents_chunksearch_v)) * 1.0 / i.df)), 4)
+                 AS score
+        FROM tf t JOIN idf i USING (term)
+        GROUP BY 1, 2
+        HAVING count(*) = 2
+        ORDER BY score DESC, doc_id, chunk_id LIMIT 10
+        """
+    )
