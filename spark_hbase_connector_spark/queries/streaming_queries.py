@@ -6,6 +6,7 @@ results on a bounded input must equal the batch computation).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_hbase_connector_spark.queries.registry import query
 from spark_hbase_connector_spark.streaming.events import (
@@ -343,3 +344,69 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         click_purchase_stream_join_outer(spark, sf_dir), spark, mode="append"
     )
+
+
+@query(
+    "streaming_hbasekv_changefeed",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 4) AS total_bal,
+           min(c_custkey) AS min_key, max(c_custkey) AS max_key
+    FROM customer
+    """,
+    tags=("streaming", "source", "fixture"),
+)
+def streaming_hbasekv_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `hbasekv` Python DataSource driven as a STREAM: the customer
+    table is split into two rowkey-sorted 'flush files' (the memstore-
+    flush changefeed analogue), consumed by `readStream.format('hbasekv')`
+    through the full DataSourceStreamReader (one input partition per new
+    file, executor-side pyarrow decode), aggregated in complete mode. On
+    the finite input the drained stream must equal the batch aggregate
+    over the whole table — proving the streaming scan decodes
+    cell-for-cell what the batch scan does."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from spark_hbase_connector_spark.sources.python_datasource import register_hbasekv
+
+    base = (
+        "/tmp/spark_hbase_connector_fixtures/kv_stream_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    os.makedirs(base, exist_ok=True)
+    for f in os.listdir(base):
+        os.remove(os.path.join(base, f))
+    t = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    ).sort_by("c_custkey")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{base}/00000.parquet")
+    pq.write_table(t.slice(half), f"{base}/00001.parquet")
+
+    register_hbasekv(spark)
+    catalog = {
+        "table": "stream:customer",
+        "rowkey": "c_custkey",
+        "columns": {
+            "c_custkey": {"cf": "rowkey", "col": "c_custkey", "type": "long"},
+            "c_name": {"cf": "info", "col": "c_name", "type": "string"},
+            "c_acctbal": {"cf": "info", "col": "c_acctbal", "type": "double"},
+        },
+    }
+    stream = (
+        spark.readStream.format("hbasekv")
+        .option("catalog", json.dumps(catalog))
+        .option("path", base)
+        .load()
+    )
+    agg = stream.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+    return run_stream_to_memory(agg, spark)

@@ -38,6 +38,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -116,6 +117,16 @@ class HbaseKVDataSource(DataSource):
         if "path" not in self.options:
             raise ValueError("option 'path' (dataset directory or file) is required")
         return HbaseKVReader(
+            catalog=self._catalog(),
+            schema=schema,
+            path=self.options["path"],
+            physical_naming=self.options.get("physical_naming", "column"),
+        )
+
+    def streamReader(self, schema: StructType) -> "HbaseKVStreamReader":
+        if "path" not in self.options:
+            raise ValueError("option 'path' (dataset directory) is required")
+        return HbaseKVStreamReader(
             catalog=self._catalog(),
             schema=schema,
             path=self.options["path"],
@@ -386,6 +397,82 @@ class HbaseKVReader(DataSourceReader):
             m = pc.fill_null(m, False)
             mask = m if mask is None else pc.and_(mask, m)
         return mask
+
+
+class HbaseKVStreamReader(DataSourceStreamReader):
+    """Streaming flush-file reader — the streaming sibling of
+    :class:`HbaseKVReader` (S1's batch scan): the dataset directory is
+    APPEND-ONLY, and every new Parquet file is the analogue of an HBase
+    memstore flush producing one immutable, rowkey-sorted HFile
+    (reference: ``HbaseConnectionUtil.scala:8-43`` owns the live-RPC
+    equivalent; this harness has no region servers, so the changefeed is
+    file arrival). The offset is the lexicographically largest visible
+    file name — flush files sort monotonically, like HBase sequence ids.
+
+    This is the FULL ``DataSourceStreamReader`` (not the Simple variant),
+    for two reasons. Scale: ``partitions(start, end)`` plans one input
+    partition per new file and ``read()`` runs on EXECUTORS through the
+    same pyarrow decode as the batch reader — the driver never
+    materializes rows, and a burst of flush files is consumed
+    file-parallel. Compatibility: the Simple variant's driver-side
+    prefetch ships rows through an arrow handoff that asserts on schemas
+    carrying field metadata (our catalog schema attaches (cf,col)
+    metadata per S2 parity — verified crash repro on pyspark 4.1.2);
+    the partition path is the one the batch source already exercises
+    with metadata intact.
+
+    Exactly-once: offsets name a contiguous file range, and re-planning
+    the same (start, end] range re-reads exactly those files — replay is
+    deterministic because flush files are immutable. The streaming API
+    has no pushdown hooks; the catalog projection still prunes to the
+    declared physical columns inside the pyarrow scan, and decode reuses
+    the batch cast/NULL-fill path so batch and stream agree
+    cell-for-cell."""
+
+    def __init__(
+        self,
+        catalog: TableCatalog,
+        schema: StructType,
+        path: str,
+        physical_naming: str,
+    ) -> None:
+        self.catalog = catalog
+        self.out_schema = schema
+        self.path = path
+        self.physical_naming = physical_naming
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    # -- file watermark ----------------------------------------------------
+    def _names(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            raise ValueError(f"streaming source path must be a directory: {self.path}")
+        return sorted(f for f in os.listdir(self.path) if f.endswith(".parquet"))
+
+    def latestOffset(self) -> dict:
+        names = self._names()
+        return {"last": names[-1]} if names else {"last": ""}
+
+    def partitions(self, start: dict, end: dict) -> list[FilePartition]:
+        lo, hi = start.get("last", ""), end.get("last", "")
+        return [
+            FilePartition(os.path.join(self.path, n))
+            for n in self._names()
+            if lo < n <= hi
+        ]
+
+    def read(self, partition: FilePartition):
+        rdr = HbaseKVReader(
+            catalog=self.catalog,
+            schema=self.out_schema,
+            path=partition.path,
+            physical_naming=self.physical_naming,
+        )
+        yield from rdr.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def _arrow_type(spark_type):

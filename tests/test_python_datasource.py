@@ -199,3 +199,70 @@ def test_not_filter_is_pushed_not_rejected(registered, sf_dir):
     leftover = list(rdr.pushFilters([Not(GreaterThan(("c_custkey",), 10))]))
     assert leftover == []
     assert len(rdr.pushed) == 1
+
+
+def test_stream_reader_incremental_exactly_once(registered, tmp_path):
+    """The hbasekv streaming reader: files arriving in an append-only
+    directory are consumed exactly once across micro-batches (the
+    memstore-flush changefeed analogue), and the decoded cells equal the
+    batch read of the same directory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "stream_tbl"
+    d.mkdir()
+
+    def flush(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "c_name": pa.array([r[1] for r in rows], pa.string()),
+                    "c_acctbal": pa.array([r[2] for r in rows], pa.float64()),
+                }
+            ),
+            d / name,
+        )
+
+    flush("00000.parquet", [(1, "a", 1.5), (2, "b", -2.5)])
+
+    stream = (
+        registered.readStream.format("hbasekv")
+        .option("catalog", json.dumps(CATALOG))
+        .option("path", str(d))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kv_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r.c_custkey, r.c_name, r.c_acctbal)
+            for r in registered.sql("SELECT * FROM kv_stream_sink").collect()
+        }
+        assert got1 == {(1, "a", 1.5), (2, "b", -2.5)}
+
+        flush("00001.parquet", [(3, "c", 0.0)])
+        q.processAllAvailable()
+        rows = registered.sql("SELECT * FROM kv_stream_sink").collect()
+        got2 = {(r.c_custkey, r.c_name, r.c_acctbal) for r in rows}
+        assert got2 == {(1, "a", 1.5), (2, "b", -2.5), (3, "c", 0.0)}
+        assert len(rows) == 3  # exactly once: no file re-consumed
+        # phantom catalog column decodes to NULL in streaming too
+        assert all(
+            r.c_phantom is None
+            for r in registered.sql("SELECT * FROM kv_stream_sink").collect()
+        )
+    finally:
+        q.stop()
+
+    # batch read of the same directory sees the identical cells
+    batch = {
+        (r.c_custkey, r.c_name, r.c_acctbal)
+        for r in _read(registered, str(d)).collect()
+    }
+    assert batch == {(1, "a", 1.5), (2, "b", -2.5), (3, "c", 0.0)}
