@@ -39,6 +39,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -127,6 +129,16 @@ class HbaseKVDataSource(DataSource):
         if "path" not in self.options:
             raise ValueError("option 'path' (dataset directory) is required")
         return HbaseKVStreamReader(
+            catalog=self._catalog(),
+            schema=schema,
+            path=self.options["path"],
+            physical_naming=self.options.get("physical_naming", "column"),
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "HbaseKVStreamWriter":
+        if "path" not in self.options:
+            raise ValueError("option 'path' (dataset directory) is required")
+        return HbaseKVStreamWriter(
             catalog=self._catalog(),
             schema=schema,
             path=self.options["path"],
@@ -473,6 +485,85 @@ class HbaseKVStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+@dataclass
+class FlushCommitMessage(WriterCommitMessage):
+    """Per-task commit message: the staged flush file awaiting publication."""
+
+    staged: str
+    rows: int
+
+
+class HbaseKVStreamWriter(DataSourceStreamWriter):
+    """Streaming flush-file SINK — the write half of the changefeed story
+    (the reference has no write path at all; SURVEY §2.1 S11): each
+    micro-batch becomes one or more immutable, rowkey-sorted flush files,
+    published under names that sort by batch id — exactly the layout
+    :class:`HbaseKVStreamReader` consumes, so two jobs can be chained
+    through a directory like region servers through a WAL.
+
+    Exactly-once via the two-phase DS commit protocol: ``write()`` runs
+    per task and stages its rows into a hidden ``.staging/`` temp file
+    (never visible to readers), ``commit()`` runs once per successful
+    batch on the driver and atomically renames staged files to their
+    final ``{batchId}-{task}.parquet`` names, ``abort()`` deletes the
+    stage. Names are deterministic in (batchId, task index), so a
+    replayed commit overwrites the same files — idempotent. The atomic
+    rename assumes a shared filesystem (local/NFS/HDFS); on object
+    storage swap the rename for a manifest commit, keeping the same
+    message flow."""
+
+    def __init__(
+        self,
+        catalog: TableCatalog,
+        schema: StructType,
+        path: str,
+        physical_naming: str,
+    ) -> None:
+        self.catalog = catalog
+        self.out_schema = schema
+        self.path = path
+        self.physical_naming = physical_naming
+        self.staging = os.path.join(path, ".staging")
+
+    def _phys(self, logical: str) -> str:
+        col = self.catalog.columns[logical]
+        if col.is_rowkey or self.physical_naming == "column":
+            return col.column
+        return f"{col.column_family}:{col.column}"
+
+    def write(self, iterator) -> FlushCommitMessage:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return FlushCommitMessage(staged="", rows=0)
+        names, arrays = [], []
+        for f in self.out_schema.fields:
+            vals = [r[f.name] for r in rows]
+            arrays.append(pa.array(vals, type=_arrow_type(f.dataType)))
+            names.append(self._phys(f.name))
+        tbl = pa.table(dict(zip(names, arrays)))
+        tbl = tbl.sort_by(self._phys(self.catalog.rowkey))
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(self.staging, uuid.uuid4().hex + ".parquet")
+        pq.write_table(tbl, staged)
+        return FlushCommitMessage(staged=staged, rows=len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        nonempty = [m for m in messages if m is not None and m.staged]
+        for i, m in enumerate(nonempty):
+            dst = os.path.join(self.path, f"{batchId:010d}-{i:04d}.parquet")
+            os.replace(m.staged, dst)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)
 
 
 def _arrow_type(spark_type):
