@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    DataSourceWriter,
     WriterCommitMessage,
     EqualNullSafe,
     EqualTo,
@@ -143,6 +144,17 @@ class HbaseKVDataSource(DataSource):
             schema=schema,
             path=self.options["path"],
             physical_naming=self.options.get("physical_naming", "column"),
+        )
+
+    def writer(self, schema: StructType, overwrite: bool) -> "HbaseKVBatchWriter":
+        if "path" not in self.options:
+            raise ValueError("option 'path' (dataset directory) is required")
+        return HbaseKVBatchWriter(
+            catalog=self._catalog(),
+            schema=schema,
+            path=self.options["path"],
+            physical_naming=self.options.get("physical_naming", "column"),
+            overwrite=overwrite,
         )
 
 
@@ -527,32 +539,10 @@ class HbaseKVStreamWriter(DataSourceStreamWriter):
         self.physical_naming = physical_naming
         self.staging = os.path.join(path, ".staging")
 
-    def _phys(self, logical: str) -> str:
-        col = self.catalog.columns[logical]
-        if col.is_rowkey or self.physical_naming == "column":
-            return col.column
-        return f"{col.column_family}:{col.column}"
-
     def write(self, iterator) -> FlushCommitMessage:
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        rows = list(iterator)
-        if not rows:
-            return FlushCommitMessage(staged="", rows=0)
-        names, arrays = [], []
-        for f in self.out_schema.fields:
-            vals = [r[f.name] for r in rows]
-            arrays.append(pa.array(vals, type=_arrow_type(f.dataType)))
-            names.append(self._phys(f.name))
-        tbl = pa.table(dict(zip(names, arrays)))
-        tbl = tbl.sort_by(self._phys(self.catalog.rowkey))
-        os.makedirs(self.staging, exist_ok=True)
-        staged = os.path.join(self.staging, uuid.uuid4().hex + ".parquet")
-        pq.write_table(tbl, staged)
-        return FlushCommitMessage(staged=staged, rows=len(rows))
+        return _stage_flush_file(
+            self.catalog, self.out_schema, self.physical_naming, self.staging, iterator
+        )
 
     def commit(self, messages, batchId: int) -> None:
         nonempty = [m for m in messages if m is not None and m.staged]
@@ -561,6 +551,87 @@ class HbaseKVStreamWriter(DataSourceStreamWriter):
             os.replace(m.staged, dst)
 
     def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+def _stage_flush_file(
+    catalog: TableCatalog,
+    schema: StructType,
+    physical_naming: str,
+    staging: str,
+    iterator,
+) -> FlushCommitMessage:
+    """Task-side stage: rows -> one rowkey-sorted parquet flush file in the
+    hidden staging dir; shared by the batch and streaming writers."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def phys(logical: str) -> str:
+        col = catalog.columns[logical]
+        if col.is_rowkey or physical_naming == "column":
+            return col.column
+        return f"{col.column_family}:{col.column}"
+
+    rows = list(iterator)
+    if not rows:
+        return FlushCommitMessage(staged="", rows=0)
+    names, arrays = [], []
+    for f in schema.fields:
+        vals = [r[f.name] for r in rows]
+        arrays.append(pa.array(vals, type=_arrow_type(f.dataType)))
+        names.append(phys(f.name))
+    tbl = pa.table(dict(zip(names, arrays))).sort_by(phys(catalog.rowkey))
+    os.makedirs(staging, exist_ok=True)
+    staged = os.path.join(staging, uuid.uuid4().hex + ".parquet")
+    pq.write_table(tbl, staged)
+    return FlushCommitMessage(staged=staged, rows=len(rows))
+
+
+class HbaseKVBatchWriter(DataSourceWriter):
+    """Batch ``df.write.format("hbasekv")`` — the same staged-flush-file
+    two-phase commit as the streaming writer (tasks stage, driver
+    publishes by atomic rename), with a fixed publication prefix and
+    optional overwrite (SaveMode.Overwrite clears previously published
+    flush files inside ``commit()``, after staging succeeded — readers
+    never observe a partial state on a posix rename-atomic filesystem).
+    The reference connector is read-only; this is the write half its
+    users lack (SURVEY §2.1 S11)."""
+
+    def __init__(
+        self,
+        catalog: TableCatalog,
+        schema: StructType,
+        path: str,
+        physical_naming: str,
+        overwrite: bool = False,
+    ) -> None:
+        self.catalog = catalog
+        self.out_schema = schema
+        self.path = path
+        self.physical_naming = physical_naming
+        self.staging = os.path.join(path, ".staging")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "FlushCommitMessage":
+        return _stage_flush_file(
+            self.catalog, self.out_schema, self.physical_naming, self.staging, iterator
+        )
+
+    def commit(self, messages) -> None:
+        nonempty = [m for m in messages if m is not None and m.staged]
+        if self.overwrite:
+            for f in list(os.listdir(self.path)):
+                if f.endswith(".parquet"):
+                    os.remove(os.path.join(self.path, f))
+        for i, m in enumerate(nonempty):
+            dst = os.path.join(self.path, f"batch-{i:05d}.parquet")
+            os.replace(m.staged, dst)
+
+    def abort(self, messages) -> None:
         for m in messages:
             if m is not None and m.staged and os.path.exists(m.staged):
                 os.remove(m.staged)

@@ -334,3 +334,37 @@ def test_stream_writer_roundtrip_through_connector(registered, tmp_path):
     )
     got = {(r.c_custkey, r.c_name, r.c_acctbal) for r in back.collect()}
     assert got == {(1, "a", 1.5), (2, "b", -2.5), (3, "c", 0.5)}
+
+
+def test_batch_writer_roundtrip_and_overwrite(registered, tmp_path):
+    """df.write.format('hbasekv'): append publishes staged flush files
+    atomically; overwrite replaces previously published files; the batch
+    read returns exactly the written cells."""
+    dst = tmp_path / "w_tbl"
+    dst.mkdir()
+    sink_catalog = {
+        "table": "t:wsink",
+        "rowkey": "c_custkey",
+        "columns": {k: v for k, v in CATALOG["columns"].items() if k != "c_phantom"},
+    }
+    df1 = registered.createDataFrame(
+        [Row(c_custkey=2, c_name="b", c_acctbal=-2.5),
+         Row(c_custkey=1, c_name="a", c_acctbal=1.5)]
+    )
+    (df1.write.format("hbasekv")
+        .option("catalog", json.dumps(sink_catalog))
+        .option("path", str(dst)).mode("append").save())
+    back = (registered.read.format("hbasekv")
+            .option("catalog", json.dumps(sink_catalog))
+            .option("path", str(dst)).load())
+    assert {(r.c_custkey, r.c_name) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+    df2 = registered.createDataFrame([Row(c_custkey=9, c_name="z", c_acctbal=0.0)])
+    (df2.write.format("hbasekv")
+        .option("catalog", json.dumps(sink_catalog))
+        .option("path", str(dst)).mode("overwrite").save())
+    back2 = (registered.read.format("hbasekv")
+             .option("catalog", json.dumps(sink_catalog))
+             .option("path", str(dst)).load())
+    assert [(r.c_custkey, r.c_name) for r in back2.collect()] == [(9, "z")]
+    assert not list((dst / ".staging").iterdir()) if (dst / ".staging").exists() else True
