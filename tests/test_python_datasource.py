@@ -368,3 +368,97 @@ def test_batch_writer_roundtrip_and_overwrite(registered, tmp_path):
              .option("path", str(dst)).load())
     assert [(r.c_custkey, r.c_name) for r in back2.collect()] == [(9, "z")]
     assert not list((dst / ".staging").iterdir()) if (dst / ".staging").exists() else True
+
+
+def test_stream_reader_checkpoint_restart_exactly_once(registered, tmp_path):
+    """Exactly-once across a query RESTART (not just across triggers):
+    stop the query, add a flush file, restart from the same checkpoint
+    into a file sink — the sink must contain every row exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "r_tbl"
+    sink = tmp_path / "r_sink"
+    ck = tmp_path / "r_ckpt"
+    src.mkdir()
+
+    def flush(name, keys):
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array(keys, pa.int64()),
+                    "c_name": pa.array([f"n{k}" for k in keys]),
+                    "c_acctbal": pa.array([float(k) for k in keys], pa.float64()),
+                }
+            ),
+            src / name,
+        )
+
+    def run_once():
+        stream = (
+            registered.readStream.format("hbasekv")
+            .option("catalog", json.dumps(CATALOG))
+            .option("path", str(src))
+            .load()
+            .select("c_custkey", "c_name", "c_acctbal")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ck))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    flush("00000.parquet", [1, 2])
+    run_once()
+    flush("00001.parquet", [3])
+    run_once()
+
+    got = sorted(
+        r.c_custkey for r in registered.read.parquet(str(sink)).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_writer_abort_cleans_staging(tmp_path):
+    """The abort path: staged files from failed tasks are deleted and
+    nothing is published."""
+    import json as _json
+
+    from pyspark.sql import Row as _Row
+
+    from spark_hbase_connector_spark.sources.catalog import parse_catalog
+    from spark_hbase_connector_spark.sources.python_datasource import (
+        HbaseKVBatchWriter,
+    )
+
+    d = tmp_path / "a_tbl"
+    d.mkdir()
+    cat = parse_catalog(
+        _json.dumps(
+            {
+                "table": "t:a",
+                "rowkey": "k",
+                "columns": {
+                    "k": {"cf": "rowkey", "col": "k", "type": "long"},
+                    "v": {"cf": "d", "col": "v", "type": "string"},
+                },
+            }
+        )
+    )
+    w = HbaseKVBatchWriter(
+        catalog=cat,
+        schema=cat.to_struct_type(),
+        path=str(d),
+        physical_naming="column",
+    )
+    msg = w.write(iter([_Row(k=1, v="x"), _Row(k=2, v="y")]))
+    assert msg.rows == 2 and (d / ".staging").exists()
+    assert len(list((d / ".staging").iterdir())) == 1
+    w.abort([msg, None])
+    assert list((d / ".staging").iterdir()) == []
+    assert [f for f in d.iterdir() if f.name.endswith(".parquet")] == []
