@@ -542,3 +542,61 @@ def simhash_pairs(
     return cand.select("id1", "id2", ham.cast("int").alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.85,
+    num_hashes: int = 64,
+    bands: int = 16,
+    w: int = 3,
+) -> DataFrame:
+    """Delta-vs-corpus near-dup pairs — the continuous-ingest shape of
+    :func:`minhash_lsh_pairs`: candidates come from joining the NEW
+    batch's LSH band buckets against the CORPUS buckets, so candidate
+    volume is delta-sized × bucket collision rate — never corpus×corpus,
+    and the corpus is never self-compared. At 100 TB the corpus buckets
+    and postings are maintained artifacts (append the delta's after each
+    ingest); every batch only pays one Arrow signature pass over the
+    delta plus the bucket join. Same recall argument as the symmetric
+    variant; every reported pair is exact-Jaccard verified.
+
+    Output columns: (new_id, corpus_id, jaccard).
+    """
+    new_posts = shingle_postings(new_df, text_col, id_col, w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    corpus_posts = shingle_postings(corpus_df, text_col, id_col, w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_sizes = new_posts.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
+    c_sizes = corpus_posts.groupBy("id").agg(F.count(F.lit(1)).alias("n2"))
+    nb = minhash_band_buckets(new_df, text_col, id_col, num_hashes, bands, w)
+    cb = minhash_band_buckets(corpus_df, text_col, id_col, num_hashes, bands, w)
+    cand = (
+        nb.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    p1 = new_posts.select(F.col("id").alias("new_id"), "s")
+    p2 = corpus_posts.select(F.col("id").alias("corpus_id"), "s")
+    inter = (
+        cand.join(p1, "new_id")
+        .join(p2, ["corpus_id", "s"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (
+        inter.join(n_sizes.withColumnRenamed("id", "new_id"), "new_id")
+        .join(c_sizes.withColumnRenamed("id", "corpus_id"), "corpus_id")
+        .where(jac >= threshold)
+        .select("new_id", "corpus_id", F.round(jac, 4).alias("jaccard"))
+    )

@@ -1945,3 +1945,44 @@ def pipeline_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY score DESC, doc_id, chunk_id LIMIT 10
         """
     )
+
+
+@query(
+    "dedup_incremental_neardup",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS i
+      FROM post a
+      JOIN post b ON a.s = b.s
+      JOIN documents da ON da.doc_id = a.doc_id
+      JOIN documents db ON db.doc_id = b.doc_id
+      WHERE da.source = 'src0' AND db.source <> 'src0'
+      GROUP BY 1, 2
+    )
+    SELECT new_id, corpus_id,
+           round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON new_id = sa.doc_id
+    JOIN sizes sb ON corpus_id = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.85
+    """,
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: new-batch documents (source src0) within
+    Jaccard >= 0.85 of any CORPUS document (all other sources), via
+    delta-vs-corpus LSH — the fuzzy sibling of
+    `dedup_incremental_fingerprint` and the production shape for
+    continuous ingest (the corpus is never self-compared; candidates are
+    delta-sized). The oracle is the exact cross-partition Jaccard join."""
+    from spark_hbase_connector_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    new = d.where(F.col("source") == "src0")
+    corpus = d.where(F.col("source") != "src0")
+    return minhash_lsh_pairs_incremental(new, corpus, "text", "doc_id", threshold=0.85)
