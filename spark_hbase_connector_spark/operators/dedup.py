@@ -183,6 +183,26 @@ def duplicated_span_stats(
     )
 
 
+def _hashed_postings_and_sizes(
+    df: DataFrame, text_col: str, id_col: str, w: int, max_df: int | None
+):
+    """Shared inverted-index scaffolding for the exact pair operators:
+    persisted xxhash64-keyed postings (the join/groupBy key is an 8-byte
+    long, the shingle string never shuffles), per-doc set sizes computed
+    BEFORE the ``max_df`` stop-shingle filter (so similarity denominators
+    stay the naive definition), then the optional hot-shingle drop."""
+    posts = (
+        shingle_postings(df, text_col, id_col, w)
+        .select("id", F.xxhash64("s").alias("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if max_df is not None:
+        hot = posts.groupBy("s").count().where(F.col("count") > max_df).select("s")
+        posts = posts.join(F.broadcast(hot), "s", "left_anti")
+    return posts, sizes
+
+
 def shingle_containment_pairs(
     df: DataFrame,
     text_col: str,
@@ -202,15 +222,7 @@ def shingle_containment_pairs(
 
     Output: (id1, id2, containment) = id1's shingles covered by id2.
     """
-    posts = (
-        shingle_postings(df, text_col, id_col, w)
-        .select("id", F.xxhash64("s").alias("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    if max_df is not None:
-        hot = posts.groupBy("s").count().where(F.col("count") > max_df).select("s")
-        posts = posts.join(F.broadcast(hot), "s", "left_anti")
+    posts, sizes = _hashed_postings_and_sizes(df, text_col, id_col, w, max_df)
     a, b = posts.alias("a"), posts.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") != F.col("b.id")))
@@ -253,15 +265,7 @@ def shingle_jaccard_pairs(
     # doc is preserved under the hash; a 64-bit collision would need two
     # different shingles in the SAME candidate pair's union — expected
     # collision pairs ≈ |shingles|²/2⁶⁵, negligible even at corpus scale.
-    posts = (
-        shingle_postings(df, text_col, id_col, w)
-        .select("id", F.xxhash64("s").alias("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    if max_df is not None:
-        hot = posts.groupBy("s").count().where(F.col("count") > max_df).select("s")
-        posts = posts.join(F.broadcast(hot), "s", "left_anti")
+    posts, sizes = _hashed_postings_and_sizes(df, text_col, id_col, w, max_df)
     a, b = posts.alias("a"), posts.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -558,11 +562,18 @@ def minhash_lsh_pairs_incremental(
     :func:`minhash_lsh_pairs`: candidates come from joining the NEW
     batch's LSH band buckets against the CORPUS buckets, so candidate
     volume is delta-sized × bucket collision rate — never corpus×corpus,
-    and the corpus is never self-compared. At 100 TB the corpus buckets
-    and postings are maintained artifacts (append the delta's after each
-    ingest); every batch only pays one Arrow signature pass over the
-    delta plus the bucket join. Same recall argument as the symmetric
+    and the corpus is never self-compared (a re-ingested id is excluded
+    from pairing with itself). Same recall argument as the symmetric
     variant; every reported pair is exact-Jaccard verified.
+
+    Cost honesty: as written each side pays TWO Arrow passes (postings
+    for verification + band buckets for candidates), and the corpus side
+    recomputes both per call — fine at test scale. The 100 TB deployment
+    persists the corpus postings and buckets as maintained tables
+    (append the delta's after each ingest) and derives signatures from
+    the stored postings, so a batch pays one Arrow pass over the delta
+    plus the bucket join — this function is the semantics contract those
+    artifacts must reproduce.
 
     Output columns: (new_id, corpus_id, jaccard).
     """
@@ -580,7 +591,11 @@ def minhash_lsh_pairs_incremental(
         nb.alias("a")
         .join(
             cb.alias("b"),
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            # a re-ingested doc (same id in delta AND corpus) must not be
+            # reported as a near-duplicate of itself
+            & (F.col("a.id") != F.col("b.id")),
         )
         .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id"))
         .dropDuplicates(["new_id", "corpus_id"])

@@ -9,13 +9,15 @@ DataFrame joins — the Pregel formulation:
 - state: (id, comp), initialized comp = id;
 - step: every node takes min(comp, min over neighbors' comp) — ONE shuffle
   join (edges x labels) + one partial-aggregated groupBy per hop;
-- fixpoint: TWO hops are fused per materialization (labels are monotone
-  non-increasing, so "unchanged across a fused double-hop" implies a
-  fixpoint), then one cheap count over the already-checkpointed output
-  decides convergence. Dedup clusters are dense cliques with diameter 1-2,
-  so the whole run is typically ONE fused round that converges + one that
-  confirms — half the materializations and half the driver round-trips of
-  checking every hop (round 2 spent 45% of the headline bench in here).
+- fixpoint: TWO hops are fused per materialization, and convergence is
+  certified on the SECOND hop alone — labels are monotone non-increasing,
+  so ANY single hop that changes nothing is already a fixpoint. A round
+  whose first hop makes the final changes therefore terminates in that
+  same round (hop 1 converges, hop 2 certifies): dedup clusters are dense
+  cliques with diameter 1-2, so the whole run is typically ONE fused
+  round — no separate confirming round, half the materializations, and
+  one driver round-trip (round 2 spent 45% of the headline bench here;
+  the in-round certificate took the 1M-edge stress 19.9 s -> 14.9 s).
 
 Scale notes: labels are node-sized (small); edges dominate, so they are
 hash-partitioned by the join key ONCE and persisted — every hop's

@@ -1668,21 +1668,25 @@ def approx_heavy_hitters_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shenker misra-gries style, fixed-size state, map-side merged) next to
     the exact frequency computation. The sketch guarantees a SUPERSET of
     every item with frequency > support, so each exact heavy hitter must
-    appear in it — the emitted flag. The sketch result is O(1/support)
-    items collected to the driver (sketch-sized, like the rollup scalar —
-    never data-sized)."""
+    appear in it — the emitted flag. The sketch relation is a single
+    O(1/support)-sized row joined in lazily (broadcast), so building this
+    DataFrame runs NO job — the registry's plan-only consumers (plan
+    hygiene, plan audit) stay plan-only."""
     e = load(spark, sf_dir, "events")
     support = 0.15
-    sketch_items = set(e.stat.freqItems(["event_type"], support).collect()[0][0])
+    sketch = e.stat.freqItems(["event_type"], support)  # lazy 1-row relation
     c = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
     tot = c.agg(F.sum("n_exact").alias("tot"))
     return (
         c.crossJoin(F.broadcast(tot))
         .where(F.col("n_exact") * 1.0 / F.col("tot") > support)
+        .crossJoin(F.broadcast(sketch))
         .select(
             "event_type",
             "n_exact",
-            F.col("event_type").isin(sketch_items).alias("in_sketch"),
+            F.array_contains(F.col("event_type_freqItems"), F.col("event_type")).alias(
+                "in_sketch"
+            ),
         )
     )
 

@@ -109,13 +109,14 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL VIEW posexplode: each document's first five tokens with
-    their positions. The position predicate is applied in the same stage
-    as the generator, so the explode never materializes full token lists
-    — output stays O(docs)."""
+    their positions. The slice is applied BEFORE the generator, so the
+    explode materializes at most five elements per document — output and
+    work are both O(docs), never O(tokens)."""
     d = load(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
-    ).where(F.col("pos") < 5)
+        "doc_id",
+        F.posexplode(F.slice(F.split(F.col("text"), " "), 1, 5)).alias("pos", "token"),
+    )
 
 
 @query(

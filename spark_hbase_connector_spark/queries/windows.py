@@ -612,31 +612,16 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candlestick bars per (event_type, 15-minute bucket): first /
-    max / min / last value. Both engines leave first/last-in-group
-    undefined under ties, so open and close come from row_number over the
-    total order (ts, event_id) — the two window sorts and the final
-    aggregation all share one (type, bucket) exchange."""
+    max / min / last value. Delegates to the streaming module's
+    ``ohlc_window_agg`` — ONE definition of OHLC serves batch and stream
+    (commutative min_by/max_by over the (ts, event_id) struct; a single
+    partial-aggregatable groupBy, no per-bucket window sorts). The oracle
+    replays open/close as row_number extremes over the same total
+    order."""
+    from spark_hbase_connector_spark.streaming.events import ohlc_window_agg
+
     e = load(spark, sf_dir, "events")
-    bucket = F.expr("timestamp_micros((unix_micros(ts) div 900000000) * 900000000)")
-    b = e.select("event_type", bucket.alias("bucket"), "ts", "event_id", "value")
-    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
-    wd = Window.partitionBy("event_type", "bucket").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    rn = b.select(
-        "event_type",
-        "bucket",
-        "value",
-        F.row_number().over(wa).alias("ra"),
-        F.row_number().over(wd).alias("rd"),
-    )
-    return rn.groupBy("event_type", "bucket").agg(
-        F.round(F.max(F.when(F.col("ra") == 1, F.col("value"))), 4).alias("open"),
-        F.round(F.max("value"), 4).alias("high"),
-        F.round(F.min("value"), 4).alias("low"),
-        F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 4).alias("close"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    return ohlc_window_agg(e, "15 minutes").withColumnRenamed("window_start", "bucket")
 
 
 @query(

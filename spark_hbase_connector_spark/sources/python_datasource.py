@@ -594,12 +594,18 @@ def _stage_flush_file(
 class HbaseKVBatchWriter(DataSourceWriter):
     """Batch ``df.write.format("hbasekv")`` — the same staged-flush-file
     two-phase commit as the streaming writer (tasks stage, driver
-    publishes by atomic rename), with a fixed publication prefix and
+    publishes by atomic rename), with a per-job publication prefix and
     optional overwrite (SaveMode.Overwrite clears previously published
     flush files inside ``commit()``, after staging succeeded — readers
     never observe a partial state on a posix rename-atomic filesystem).
+    Published names carry a job-unique token, so successive APPEND writes
+    never collide (a fixed prefix would silently clobber the previous
+    append's files); within one job the names are deterministic, so a
+    replayed commit overwrites its own files — still idempotent.
     The reference connector is read-only; this is the write half its
-    users lack (SURVEY §2.1 S11)."""
+    users lack (SURVEY §2.1 S11). Note the stream READER's offset
+    contract (monotone digit-sorted flush names) applies to directories
+    fed by the STREAM writer; a directory is one or the other."""
 
     def __init__(
         self,
@@ -609,12 +615,18 @@ class HbaseKVBatchWriter(DataSourceWriter):
         physical_naming: str,
         overwrite: bool = False,
     ) -> None:
+        import uuid
+
         self.catalog = catalog
         self.out_schema = schema
         self.path = path
         self.physical_naming = physical_naming
         self.staging = os.path.join(path, ".staging")
         self.overwrite = overwrite
+        # fixed at job submission on the driver; commit() reuses it, so a
+        # commit retry republishes the SAME names (idempotent) while a new
+        # append job gets fresh ones (no clobber)
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> "FlushCommitMessage":
         return _stage_flush_file(
@@ -628,7 +640,7 @@ class HbaseKVBatchWriter(DataSourceWriter):
                 if f.endswith(".parquet"):
                     os.remove(os.path.join(self.path, f))
         for i, m in enumerate(nonempty):
-            dst = os.path.join(self.path, f"batch-{i:05d}.parquet")
+            dst = os.path.join(self.path, f"batch-{self.job_token}-{i:05d}.parquet")
             os.replace(m.staged, dst)
 
     def abort(self, messages) -> None:

@@ -243,3 +243,26 @@ def test_shingle_containment_is_directional(spark):
         docs, "text", "doc_id", threshold=0.9
     ).collect()
     assert [(r.id1, r.id2, r.containment) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_incremental_neardup_excludes_reingested_self(spark):
+    """A document present in BOTH the delta and the corpus (re-ingest)
+    must not be reported as a near-duplicate of itself."""
+    from spark_hbase_connector_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    text = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"v{i}" for i in range(30))
+    new = spark.createDataFrame(
+        [Row(doc_id=1, text=text), Row(doc_id=3, text=text + " tail")]
+    )
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=text), Row(doc_id=2, text=other)]
+    )
+    rows = minhash_lsh_pairs_incremental(
+        new, corpus, "text", "doc_id", threshold=0.85
+    ).collect()
+    got = {(r.new_id, r.corpus_id) for r in rows}
+    assert (1, 1) not in got          # self-pair excluded
+    assert (3, 1) in got              # genuine cross near-dup still found

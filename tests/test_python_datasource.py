@@ -462,3 +462,24 @@ def test_writer_abort_cleans_staging(tmp_path):
     w.abort([msg, None])
     assert list((d / ".staging").iterdir()) == []
     assert [f for f in d.iterdir() if f.name.endswith(".parquet")] == []
+
+
+def test_batch_writer_two_appends_accumulate(registered, tmp_path):
+    """Two successive mode('append') writes must BOTH survive — published
+    names are job-unique, never clobbered."""
+    dst = tmp_path / "app_tbl"
+    dst.mkdir()
+    sink_catalog = {
+        "table": "t:app",
+        "rowkey": "c_custkey",
+        "columns": {k: v for k, v in CATALOG["columns"].items() if k != "c_phantom"},
+    }
+    for batch in ([Row(c_custkey=1, c_name="a", c_acctbal=1.0)],
+                  [Row(c_custkey=2, c_name="b", c_acctbal=2.0)]):
+        (registered.createDataFrame(batch).write.format("hbasekv")
+            .option("catalog", json.dumps(sink_catalog))
+            .option("path", str(dst)).mode("append").save())
+    back = (registered.read.format("hbasekv")
+            .option("catalog", json.dumps(sink_catalog))
+            .option("path", str(dst)).load())
+    assert {(r.c_custkey, r.c_name) for r in back.collect()} == {(1, "a"), (2, "b")}
