@@ -17,6 +17,7 @@ from spark_hbase_connector_spark.queries import (  # noqa: F401,E402
     scans,
     relational,
     relational_extra,
+    modern_sql,
     tpch_extra,
     indexing,
     windows,

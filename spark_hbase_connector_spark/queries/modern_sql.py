@@ -1,0 +1,222 @@
+"""Modern SQL surface: recursive CTEs, VARIANT JSON, array higher-order
+functions, and distinct-over-window — the Spark 4 additions a user of the
+reference connector gets for free once their tables load through this
+engine (the reference delegates ALL SQL to Spark: SURVEY.md §2.2,
+``ScalaDatasourceTest.scala:84-94``), exercised here as differential
+entries so the oracle gate covers them like any operator.
+
+Scale notes:
+- recursive CTEs compile to ``UnionLoop``: one narrow projection per
+  iteration, iteration count = recursion depth (log10(keys) for the tree
+  entry, #months for the spine) — never data-squared, and each step is a
+  map-only pass until the final aggregation's single shuffle;
+- VARIANT parse/extract is a JVM expression inside whole-stage codegen
+  (no Python, no shuffle);
+- array higher-order functions run per-row JVM-side; they are the right
+  tool for *short* arrays (tokens of one document). For corpus-wide
+  per-token statistics the Arrow-pass pattern wins (see
+  ``quality.py:text_repetition_signals`` — the measured counterexample);
+- distinct-over-window keeps a per-partition running set bounded by the
+  frame length (5 rows here); the only shuffle is the window's
+  ``partitionBy`` hash exchange, same as every other per-user window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.catalogs import load
+from spark_hbase_connector_spark.queries.registry import query
+
+
+@query(
+    "recursive_tree_rollup",
+    oracle="""
+    WITH RECURSIVE anc(c_custkey, node, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT c_custkey, node // 10, depth + 1 FROM anc WHERE node >= 10
+    )
+    SELECT depth, count(*) AS n_at_depth, count(DISTINCT node) AS n_ancestors
+    FROM anc GROUP BY depth ORDER BY depth
+    """,
+    tags=("sql", "recursive"),
+)
+def recursive_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE ancestor closure over a decimal-trim hierarchy
+    (parent(k) = k div 10 — a deterministic tree of depth log10(maxkey)),
+    rolled up to a per-depth histogram.
+
+    Spark 4 compiles this to ``UnionLoop``: each iteration is a narrow
+    3-column projection over the previous frontier (rows only shrink as
+    nodes reach the root), so cost is O(depth · |customer|) with ONE final
+    aggregation shuffle. This is the same fixpoint shape as
+    ``operators/graph.py`` connected components, expressed declaratively —
+    use this form when depth is bounded and known-small; use the
+    checkpointed operator loop when the frontier must be persisted."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(c_custkey, node, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer
+          UNION ALL
+          SELECT c_custkey, node DIV 10, depth + 1 FROM anc WHERE node >= 10
+        )
+        SELECT depth, count(*) AS n_at_depth, count(DISTINCT node) AS n_ancestors
+        FROM anc GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+@query(
+    "recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE m(month_start) AS (
+      SELECT DATE '1996-01-01'
+      UNION ALL
+      SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE)
+      FROM m WHERE month_start < DATE '1996-12-01'
+    )
+    SELECT strftime(m.month_start, '%Y-%m') AS month,
+           count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(round(sum(o.o_totalprice), 2), 0) AS DOUBLE) AS revenue
+    FROM m LEFT JOIN orders o
+      ON date_trunc('month', o.o_orderdate) = m.month_start
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("sql", "recursive", "timeseries"),
+)
+def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive date-spine generation (the gapfill idiom expressed as a
+    CTE instead of a worker-side grid — compare ``windows.py:gapfill_locf``)
+    then a LEFT JOIN so months with zero orders still appear.
+
+    The spine is 12 rows — Catalyst broadcasts it; the fact side keeps its
+    scan partitioning and the month-trunc join needs one partial-aggregated
+    shuffle. At 100 TB the spine stays 12 rows: cost is the aggregation,
+    identical to any monthly rollup."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE m(month_start) AS (
+          SELECT DATE '1996-01-01'
+          UNION ALL
+          SELECT CAST(month_start + INTERVAL '1' MONTH AS DATE)
+          FROM m WHERE month_start < DATE '1996-12-01'
+        )
+        SELECT date_format(m.month_start, 'yyyy-MM') AS month,
+               count(o.o_orderkey) AS n_orders,
+               CAST(coalesce(round(sum(o.o_totalprice), 2), 0) AS DOUBLE) AS revenue
+        FROM m LEFT JOIN orders o
+          ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.month_start
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+@query(
+    "scalar_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           json_extract_string(props, '$.k') AS k_str,
+           (json_extract(props, '$.missing') IS NULL) AS missing_is_null
+    FROM events WHERE event_id <= 1000
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once, then typed ``variant_get`` path extraction —
+    the binary-encoded replacement for per-path ``get_json_object``
+    string re-parsing (one parse per row instead of one per path).
+
+    Whole-stage-codegen JVM expressions; at 100 TB this is scan-bound.
+    For repeated analytics over the same JSON column, persist the parsed
+    VARIANT column once at ingest and every later path access skips the
+    parse entirely."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") <= 1000)
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'string')")
+        .isNull()
+        .alias("missing_is_null"),
+    )
+
+
+@query(
+    "scalar_array_hof",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS n_long,
+           CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+                AS BIGINT) AS total_chars,
+           round(CAST(list_sum(list_transform(string_split(text, ' '),
+                                              t -> length(t))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents WHERE doc_id <= 200 ORDER BY doc_id
+    """,
+    tags=("scalar", "array", "hof"),
+)
+def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions — ``filter`` / ``transform`` /
+    ``aggregate`` lambdas over per-document token arrays (DuckDB replays
+    them as list lambdas).
+
+    Correct tool here because each lambda runs ONCE per row over a short
+    array. The anti-pattern this engine documents (nested lambdas whose
+    inner lambda rescans per outer element — interpreted O(n²), see
+    ``quality.py``) is exactly what these entries avoid."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    toks = F.split(F.col("text"), " ")
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long"),
+            total.alias("total_chars"),
+            F.round(total.cast("double") / F.size(toks), 4).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "window_rolling_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS distinct_types_5
+    FROM events WHERE user_id <= 100
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "distinct"),
+)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-count per user (how many event types in the last
+    5 events). Spark has no DISTINCT window aggregate, so the idiomatic
+    form is ``size(collect_set(...))`` over the frame — the running set is
+    bounded by the frame length (5), so per-row state is O(frame), and the
+    only shuffle is the per-user hash exchange every keyed window pays.
+    DuckDB's native ``count(DISTINCT) OVER`` is the oracle."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") <= 100)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.size(F.collect_set("event_type").over(w)).alias("distinct_types_5"),
+        )
+        .orderBy("user_id", "event_id")
+    )
