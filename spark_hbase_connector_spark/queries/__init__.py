@@ -18,6 +18,7 @@ from spark_hbase_connector_spark.queries import (  # noqa: F401,E402
     relational,
     relational_extra,
     modern_sql,
+    corpus_pipeline,
     tpch_extra,
     indexing,
     windows,

@@ -1,0 +1,248 @@
+"""Corpus-preparation operators a training-data pipeline runs between raw
+ingest and shard export: vocabulary coverage gates, deterministic per-source
+sampling, hashed sparse features, and end-to-end semantic (embedding-space)
+dedup — each a registry entry with a DuckDB oracle, composing the engine's
+existing primitives (SURVEY.md §2.3).
+
+Scale notes:
+- `vocab_coverage` is two partial-aggregated token groupBys plus a
+  broadcast of the top-V vocabulary (V rows, key-sized) — hot tokens are
+  absorbed by map-side combine, the fact table shuffles once;
+- `sample_per_key_hash` is the distributed answer to per-key reservoir
+  sampling: rank by a uniform deterministic hash. Spark 4's
+  WindowGroupLimit pushes the rank<=k cut below the exchange, so only
+  ~k rows per partition per key shuffle (same plan family as
+  `dedup_latest_by_key`);
+- `text_hash_features` is the hashing trick at corpus scale: bounded
+  feature space (no vocabulary build, no second pass), one explode + one
+  partial-aggregated groupBy; output is the sparse exploded form so
+  downstream can pivot per model;
+- `pipeline_semantic_dedup` chains the IVF-bucketed cosine pair search
+  (candidates ~ sum of squared cell sizes, never all-pairs) into the
+  checkpointed connected-components loop (node-sized shuffles) — the
+  full SemDeDup-style pass over an embedded corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.catalogs import load
+from spark_hbase_connector_spark.operators.graph import connected_components
+from spark_hbase_connector_spark.operators.similarity import cosine_pairs_lsh
+from spark_hbase_connector_spark.queries.northstar import _DUCK_VECS
+from spark_hbase_connector_spark.queries.registry import query
+
+_VOCAB_SIZE = 500
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    t AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    counts AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS r FROM counts
+      ) WHERE r <= {_VOCAB_SIZE}
+    )
+    SELECT t.source,
+           count(*) AS total_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS oov_rate
+    FROM t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.source ORDER BY t.source
+    """,
+    tags=("text", "pipeline", "vocab"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage gate: build the top-V corpus
+    vocabulary by frequency (deterministic count-then-token tiebreak),
+    then measure each source's out-of-vocabulary token rate — the QA
+    check run before committing to a tokenizer or mixing a new source in.
+
+    Two token-keyed groupBys (both partial-aggregated), a V-row broadcast
+    for the membership join, one final source-keyed aggregation."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    vocab = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _VOCAB_SIZE)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "sample_per_key_hash",
+    oracle="""
+    SELECT source, doc_id, rnk FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rnk
+      FROM documents
+    ) WHERE rnk <= 5 ORDER BY source, rnk
+    """,
+    tags=("sampling", "pipeline"),
+)
+def sample_per_key_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-key sample — the distributed replacement for
+    per-key reservoir sampling: rank every row by a uniform hash of its id
+    and keep the first k. Same sample on every run and every engine (md5
+    is the cross-engine order), no rand() (which would break retry/replay
+    determinism at scale). WindowGroupLimit prunes to ~k rows per
+    partition before the per-key exchange."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 5)
+        .orderBy("source", "rnk")
+    )
+
+
+@query(
+    "text_hash_features",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id <= 100
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT % 64 AS INTEGER)
+               AS bucket
+      FROM t WHERE tok <> ''
+    )
+    SELECT doc_id, bucket, count(*) AS cnt
+    FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+    """,
+    tags=("text", "features", "pipeline"),
+)
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse features: token -> md5-derived bucket in a
+    fixed 64-dim space, emitted as (doc_id, bucket, count) sparse rows.
+    No vocabulary pass, no global state — the feature space is bounded by
+    construction, so this is one explode + one partial-aggregated groupBy
+    regardless of corpus size. md5's first 8 hex digits are the
+    cross-engine uniform hash (same buckets in Spark and DuckDB)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % 64
+    ).cast("int")
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+@query(
+    "pipeline_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_VECS},
+    cent AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 16),
+    sims AS (
+      SELECT x.vec_id, cent.cell_id,
+             list_sum(list_transform(range(1, len(x.e) + 1),
+                      i -> x.e[i] * cent.ce[i])) / (x.nrm * cent.cnrm) AS sim
+      FROM n x CROSS JOIN cent
+    ),
+    asgn AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+        FROM sims) WHERE r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM asgn a JOIN asgn b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    ),
+    prs AS (
+      SELECT id1, id2 FROM (
+        SELECT id1, id2,
+               list_sum(list_transform(range(1, len(x.e) + 1),
+                        i -> x.e[i] * y.e[i])) / (x.nrm * y.nrm) AS score
+        FROM cand JOIN n x ON x.vec_id = id1 JOIN n y ON y.vec_id = id2
+      ) WHERE score >= 0.4
+    ),
+    edges AS (SELECT id1 AS a, id2 AS b FROM prs
+              UNION ALL SELECT id2, id1 FROM prs),
+    enodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM enodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    assigned AS (
+      SELECT v.vec_id, coalesce(c.component, v.vec_id) AS component
+      FROM v LEFT JOIN comp c ON v.vec_id = c.id
+    )
+    SELECT component AS rep_id, count(*) AS n_members
+    FROM assigned GROUP BY component ORDER BY component
+    """,
+    tags=("similarity", "dedup", "pipeline"),
+)
+def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end: IVF-bucketed cosine pair
+    search (cosine >= 0.4) -> connected components -> keep the lowest id
+    per cluster as the representative; singletons survive as their own
+    representative. Output is the survivor manifest (rep_id, cluster size).
+
+    Composition of two audited scale paths: candidate volume is bounded by
+    the cell assignment (never all-pairs), and the component loop shuffles
+    node-sized labels. The oracle replays the identical candidate
+    generation plus a recursive-CTE reachability closure."""
+    e = load(spark, sf_dir, "embeddings")
+    centroids = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    pairs = cosine_pairs_lsh(e, threshold=0.4, centroids=centroids, nprobe=2)
+    comp = connected_components(pairs.select("id1", "id2"))
+    assigned = (
+        e.select("vec_id")
+        .join(comp, e.vec_id == comp.id, "left")
+        .select(
+            "vec_id", F.coalesce(F.col("comp"), F.col("vec_id")).alias("component")
+        )
+    )
+    return (
+        assigned.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .select(F.col("component").alias("rep_id"), "n_members")
+        .orderBy("rep_id")
+    )
