@@ -410,3 +410,35 @@ def streaming_hbasekv_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_custkey").alias("max_key"),
     )
     return run_stream_to_memory(agg, spark)
+
+
+@query(
+    "streaming_dropdup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id,
+           make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour_start
+    FROM events
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def streaming_dropdup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-BOUNDED streaming dedup: ``dropDuplicatesWithinWatermark``
+    emits each (user_id, hour) once and — unlike plain ``dropDuplicates``,
+    whose key state grows forever — evicts a key's state once the
+    watermark passes its event time. That bound is what makes streaming
+    dedup viable on an unbounded 100 TB ingest: state is O(keys per
+    watermark horizon), not O(all keys ever). On this bounded input the
+    delay (30 days) exceeds the event-time span, so no key re-emits and
+    the result equals batch DISTINCT — the semantics the oracle replays;
+    in production the delay is the dedup horizon contract (duplicates
+    farther apart than the delay may re-emit, by design)."""
+    stream = events_stream(spark, sf_dir)
+    keyed = stream.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        F.col("ts"),
+    ).withWatermark("ts", "30 days")
+    dedup = keyed.dropDuplicatesWithinWatermark(["user_id", "hour_start"]).select(
+        "user_id", "hour_start"
+    )
+    return run_stream_to_memory(dedup, spark, mode="append")
