@@ -246,3 +246,43 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("component").alias("rep_id"), "n_members")
         .orderBy("rep_id")
     )
+
+
+@query(
+    "sample_bernoulli_hash",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               / 4294967296.0 AS u,
+             CASE WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0
+                  THEN 0.25 ELSE 0.5 END AS rate
+      FROM documents
+    )
+    SELECT doc_id, source FROM keyed WHERE u < rate ORDER BY doc_id
+    """,
+    tags=("sampling", "pipeline"),
+)
+def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based deterministic sampling (the mixture-weight downsampler):
+    keep a row iff hash(id)/2^32 < rate(source). Unlike ``rand()``-based
+    sampling this is reproducible across runs, retries, and engines — a
+    task that fails and replays keeps the SAME sample, which exactly-once
+    pipelines require. Map-only (no shuffle); the per-source rate here is
+    an expression (even sources 0.25, odd 0.5) — in production it is a
+    broadcast-joined rate table, e.g. the output of
+    `domain_mixture_weights`. Complements `sample_per_key_hash` (exact-k)
+    with proportional sampling."""
+    d = load(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(0.25)
+    ).otherwise(F.lit(0.5))
+    return (
+        d.select("doc_id", "source", u.alias("u"), rate.alias("rate"))
+        .where(F.col("u") < F.col("rate"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -220,3 +220,66 @@ def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "scalar_tz_convert",
+    oracle="""
+    SELECT event_id,
+           timezone('America/New_York', timezone('UTC', ts)) AS ny_time,
+           CAST(date_part('hour', timezone('America/New_York', timezone('UTC', ts)))
+                AS INTEGER) AS ny_hour
+    FROM events WHERE event_id <= 1000
+    """,
+    tags=("scalar", "datetime", "timezone"),
+)
+def scalar_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IANA-timezone conversion (UTC wall time -> America/New_York wall
+    time) through the engines' built-in tz databases — not offset
+    arithmetic, so DST rules apply when the span crosses a transition.
+    Both sides are written session-TZ-independent: Spark's 3-arg
+    ``convert_timezone`` names both zones explicitly; the oracle pairs
+    DuckDB's interpret-as-UTC and render-in-zone conversions."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") <= 1000)
+    ny = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), F.col("ts"))
+    return e.select(
+        "event_id",
+        ny.alias("ny_time"),
+        F.hour(ny).cast("int").alias("ny_hour"),
+    )
+
+
+@query(
+    "agg_collation_ci",
+    oracle="""
+    WITH cased AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE lower(p_type) END
+               AS t, p_retailprice
+      FROM part
+    )
+    SELECT lower(t) AS p_type_ci, count(*) AS n,
+           round(avg(p_retailprice), 4) AS avg_price
+    FROM cased GROUP BY lower(t) ORDER BY p_type_ci
+    """,
+    tags=("agg", "collation"),
+)
+def agg_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 collations: the column is
+    deterministically mixed-cased (even keys upper, odd lower), then
+    grouped under the ``UTF8_LCASE`` collation — the collation-aware hash
+    brings both casings to one group without rewriting the data. The
+    oracle replays it as lower() grouping (semantically identical for this
+    collation). Collation participates in the aggregation hash, so
+    partial aggregation and the single shuffle work exactly as for binary
+    strings."""
+    p = load(spark, sf_dir, "part")
+    cased = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_type")
+    ).otherwise(F.lower("p_type"))
+    return (
+        p.select(F.collate(cased, "UTF8_LCASE").alias("t"), "p_retailprice")
+        .groupBy("t")
+        .agg(F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+        .select(F.lower("t").alias("p_type_ci"), "n", "avg_price")
+        .orderBy("p_type_ci")
+    )
