@@ -110,3 +110,73 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list -> (id, rank).
+
+    rank_{t+1}(v) = (1-d)/N + d * sum_{u->v} rank_t(u) / outdeg(u),
+    initialized uniform 1/N over every node that appears in an edge.
+    Dangling nodes (no out-edges) keep receiving but stop propagating —
+    their mass is dropped, not redistributed (documented contract; it
+    keeps the computation one join+groupBy per iteration and lets a SQL
+    oracle replay it exactly).
+
+    Scale shape: the edge list is hash-partitioned by ``src`` once and
+    persisted together with the out-degree column, so every iteration's
+    contribution join reuses that layout and shuffles only node-sized
+    rank rows; the per-destination sum is partial-aggregated map-side.
+    ``iters`` is fixed (no convergence action), so the whole run is
+    iters * (1 join + 1 groupBy + 1 left join) with a bounded plan:
+    ranks are localCheckpointed per iteration to cut lineage.
+
+    For web-scale graphs add the standard refinements on the same
+    skeleton: treat hub out-edges with salting, redistribute dangling
+    mass from a driver-side scalar, and stop on an L1-delta action every
+    k iterations instead of a fixed count.
+    """
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ej = (
+        e.join(deg, "src")
+        .repartition(n_shuffle, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            ej.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    ej.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -283,3 +283,72 @@ def agg_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower("t").alias("p_type_ci"), "n", "avg_price")
         .orderBy("p_type_ci")
     )
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH edges AS (
+      SELECT c_custkey AS src, c_custkey // 10 AS dst
+      FROM customer WHERE c_custkey >= 10
+    ),
+    nodes AS (SELECT DISTINCT id FROM
+              (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    c1 AS (SELECT e.dst, sum(r.rank / d.deg) AS m
+           FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON r.id = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.id,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c1.m, 0) AS rank
+           FROM nodes LEFT JOIN c1 ON c1.dst = nodes.id),
+    c2 AS (SELECT e.dst, sum(r.rank / d.deg) AS m
+           FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON r.id = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.id,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c2.m, 0) AS rank
+           FROM nodes LEFT JOIN c2 ON c2.dst = nodes.id),
+    c3 AS (SELECT e.dst, sum(r.rank / d.deg) AS m
+           FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON r.id = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nodes.id,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c3.m, 0) AS rank
+           FROM nodes LEFT JOIN c3 ON c3.dst = nodes.id)
+    SELECT id, round(rank * (SELECT n FROM nn) + 0.000000001, 4) AS rank_scaled
+    FROM r3 ORDER BY id
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, d=0.85) over the decimal-trim
+    customer hierarchy, via the reusable `operators/graph.py:pagerank`
+    loop (per-iteration: one edge join reusing the persisted edge layout,
+    one partial-aggregated sum, one node-sized left join, ranks
+    localCheckpointed). The oracle unrolls the identical three iterations
+    as chained CTEs — fixed iteration count is what makes an iterative
+    algorithm exactly SQL-replayable (compare `kmeans_train_cells`, whose
+    convergence loop is the documented oracle exemption). Ranks are
+    scaled by N (so values are O(1)) and rounded to 4dp on both sides,
+    with a +1e-9 nudge first: tree-PageRank values are decimal-terminating
+    (denominators 2^a*5^b), so some land EXACTLY on a 4dp half-boundary
+    (e.g. 6.84375) where each engine's last-bit noise would round a
+    different way; the nudge moves every exact half deterministically up
+    on both sides while being far above the ~1e-15 cross-engine drift."""
+    from spark_hbase_connector_spark.operators.graph import pagerank
+
+    c = load(spark, sf_dir, "customer")
+    edges = c.where(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("src"),
+        F.expr("c_custkey DIV 10").alias("dst"),
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    n = ranks.agg(F.count("*").alias("n"))
+    return (
+        ranks.join(F.broadcast(n))
+        .select(
+            "id",
+            F.round(F.col("rank") * F.col("n") + F.lit(1e-9), 4).alias("rank_scaled"),
+        )
+        .orderBy("id")
+    )

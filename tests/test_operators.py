@@ -266,3 +266,28 @@ def test_incremental_neardup_excludes_reingested_self(spark):
     got = {(r.new_id, r.corpus_id) for r in rows}
     assert (1, 1) not in got          # self-pair excluded
     assert (3, 1) in got              # genuine cross near-dup still found
+
+
+def test_pagerank_two_node_cycle(spark):
+    """A<->B cycle: uniform rank 0.5 is the fixpoint, every iteration
+    preserves it exactly (rank/deg=0.5 in, 0.15/2 + 0.85*0.5 = 0.5)."""
+    from spark_hbase_connector_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    got = {r.id: r.rank for r in pagerank(df, iters=3).collect()}
+    assert got.keys() == {1, 2}
+    for v in got.values():
+        assert abs(v - 0.5) < 1e-12
+
+
+def test_pagerank_star_hand_computed(spark):
+    """3 leaves -> 1 hub, one iteration: N=4, base=0.15/4=0.0375;
+    hub receives 3 * (0.25/1) -> 0.0375 + 0.85*0.75 = 0.675,
+    leaves receive nothing -> 0.0375."""
+    from spark_hbase_connector_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 4), (2, 4), (3, 4)], ["src", "dst"])
+    got = {r.id: r.rank for r in pagerank(df, iters=1).collect()}
+    assert abs(got[4] - 0.675) < 1e-12
+    for leaf in (1, 2, 3):
+        assert abs(got[leaf] - 0.0375) < 1e-12
