@@ -442,3 +442,39 @@ def streaming_dropdup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
         "user_id", "hour_start"
     )
     return run_stream_to_memory(dedup, spark, mode="append")
+
+
+@query(
+    "streaming_chained_agg",
+    oracle="""
+    WITH q AS (
+      SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS w15,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT make_timestamp((epoch_us(w15) // 3600000000) * 3600000000)
+               AS hour_start,
+             event_type, max(n) AS max_15m_n, CAST(sum(n) AS BIGINT) AS hour_n
+      FROM q GROUP BY 1, 2
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT h.* FROM h, wm WHERE hour_start + INTERVAL 1 HOUR <= w
+    """,
+    tags=("streaming", "chained", "watermark"),
+)
+def streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming aggregation (15-min counts re-windowed
+    into hourly max/sum) in a single append-mode query — Spark 4's
+    multiple-stateful-operator support. The oracle replays agg-of-agg and
+    the append emission rule (hour end <= final watermark); see
+    `chained_window_agg` for why every inner window inside an emitted
+    hour is already final."""
+    from spark_hbase_connector_spark.streaming.events import chained_window_agg
+
+    stream = events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        chained_window_agg(stream, "15 minutes", "1 hour", "10 minutes"),
+        spark,
+        mode="append",
+    )

@@ -401,3 +401,37 @@ def running_totals_tws(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def chained_window_agg(
+    stream: DataFrame, inner: str = "15 minutes", outer: str = "1 hour",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """TWO chained stateful aggregations in one streaming query (Spark 4
+    multi-stateful-operator support): inner tumbling counts feed an outer
+    window-over-window rollup (``window(window, outer)`` re-windows the
+    inner window struct). Both operators share the event-time watermark;
+    the outer window emits (append mode) when the watermark passes ITS
+    end, by which point every inner window inside it is final — so a batch
+    oracle reproduces it as agg-of-agg filtered to outer_end <= final
+    watermark. Before multi-stateful support this required two jobs with
+    an intermediate sink; one query = one state store lifecycle, no
+    intermediate storage at 100 TB."""
+    inner_agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", inner), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        inner_agg.groupBy(F.window(F.col("window"), outer), "event_type")
+        .agg(
+            F.max("n").alias("max_15m_n"),
+            F.sum("n").cast("bigint").alias("hour_n"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "max_15m_n",
+            "hour_n",
+        )
+    )
