@@ -352,3 +352,42 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+from spark_hbase_connector_spark.functions.zorder import zorder_sql_expr
+
+_Z_EXPR = zorder_sql_expr("x", "y", bits=16)
+
+
+@query(
+    "scalar_zorder_key",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_id,
+             CAST(user_id % 65536 AS BIGINT) AS x,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) % 65536 AS y
+      FROM events WHERE event_id <= 2000
+    )
+    SELECT event_id, x, y, CAST({_Z_EXPR} AS BIGINT) AS zkey
+    FROM d ORDER BY event_id
+    """,
+    tags=("scalar", "clustering", "zorder"),
+)
+def scalar_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key over two dimensions (user bucket x
+    event attribute): the multi-dimensional extension of `write_table`'s
+    rowkey sort. Repartition-by-range + sort on ``zkey`` before writing
+    and row-group min/max stats prune on EITHER dimension — the
+    Delta/Iceberg OPTIMIZE ZORDER technique expressed as a plain column.
+    The bit-interleave expression is generated once
+    (`functions/zorder.py`) and evaluated verbatim by both engines —
+    32 codegen'd integer ops per row, no UDF, no shuffle."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
+    d = e.select(
+        "event_id",
+        (F.col("user_id") % 65536).cast("bigint").alias("x"),
+        (F.get_json_object("props", "$.k").cast("bigint") % 65536).alias("y"),
+    )
+    return d.select(
+        "event_id", "x", "y", F.expr(_Z_EXPR).cast("bigint").alias("zkey")
+    ).orderBy("event_id")
