@@ -73,7 +73,6 @@ DRIVER_WINDOW = [
     "dedup_components",
     "dedup_cluster_keep_best",
     "dedup_duplicated_spans",
-    "dedup_edit_distance",
     # similarity / ANN
     "embedding_cosine_pairs_lsh",
     "ann_topk_cosine",
@@ -98,6 +97,8 @@ DRIVER_WINDOW = [
     "streaming_session_windows",
     # secondary index / CDC
     "secondary_index_lookup",
+    # modern SQL (Spark 4): recursive CTE fixpoint
+    "recursive_tree_rollup",
 ]
 
 

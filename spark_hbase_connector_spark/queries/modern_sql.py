@@ -391,3 +391,131 @@ def scalar_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "event_id", "x", "y", F.expr(_Z_EXPR).cast("bigint").alias("zkey")
     ).orderBy("event_id")
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "bitmap", "sketch"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-style bitmap aggregates
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_count``): ids are bucketed into
+    32k-bit bitmap segments, per-bucket bitmaps OR-merge associatively,
+    and the final count sums per-bucket cardinalities.
+
+    Why it matters at 100 TB: unlike ``count(DISTINCT)`` (whose partial
+    state is the value set itself), bitmap partials are fixed-size and
+    MERGEABLE — they can be precomputed per partition/day, stored, and
+    re-merged for any grouping rollup (the materialized-view distinct
+    pattern; same role as `kv_snapshot_diff`'s incremental story). The
+    oracle is plain count(DISTINCT) — bitmaps are exact, not estimates."""
+    e = load(spark, sf_dir, "events")
+    per_bucket = (
+        e.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bk"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bk")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "hll_sketch_union_qa",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_2pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("sketch", "qa", "hll"),
+)
+def hll_sketch_union_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-DAY HLL sketches
+    (``hll_sketch_agg``) are ``hll_union_agg``-merged into a per-type
+    total and the estimate is gated against the exact count (<=2%
+    relative error). The merge step is the point: daily sketch columns
+    are tiny, storable, and re-unionable for any time rollup without
+    rescanning history — the incremental-distinct pattern for 100 TB
+    hypertables (`hypertable_rollup_merge`'s distinct-count analogue).
+    Oracle replays the exact count and asserts the gate held (the
+    estimate itself is sketch-parameter-dependent, so the CONTRACT, not
+    the estimate, is the compared output — same shape as
+    `approx_distinct_qa`)."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.02
+            ).alias("within_2pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "scalar_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang AS url
+      FROM documents WHERE doc_id <= 500
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u ORDER BY doc_id
+    """,
+    tags=("scalar", "url", "text"),
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with Spark's built-in ``parse_url`` (host / path
+    / single query parameter) — the first step of web-corpus curation
+    (canonicalization, per-domain caps, domain mixtures all key off the
+    host). JVM expression, map-only; the oracle replays it with regexes.
+    URLs are synthesized deterministically from catalog columns since the
+    harness tables carry no raw URLs."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 500)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")

@@ -37,6 +37,9 @@ _BNLJ_ALLOWED = {
     "funnel_steps",
     "approx_heavy_hitters_qa",
     "diag_key_skew",
+    # graph_pagerank broadcasts the single-row node-count aggregate into
+    # the node-sized rank relation to scale ranks by N
+    "graph_pagerank",
 }
 
 _SKIP_TAGS = {"streaming", "fixture"}
