@@ -32,13 +32,25 @@ def asof_join(
     value_cols: list[str],
     tiebreak: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right-side ``value_cols`` with
-    ``right_ts <= left_ts`` within the same ``on`` key (backward as-of).
+    """For each left row, attach right-side ``value_cols`` from the
+    nearest right row at-or-before (``direction="backward"``, the default:
+    latest ``right_ts <= left_ts``) or at-or-after
+    (``direction="forward"``: earliest ``right_ts >= left_ts``) within the
+    same ``on`` key.
+
+    Both directions are the SAME single-shuffle union+window plan — the
+    forward pass just traverses the (key, time) order descending, so the
+    carried right row is the nearest future one. (kdb's ``aj`` /
+    pd.merge_asof expose the same pair; "nearest" = run both and pick the
+    smaller delta.)
 
     Returns all left columns plus ``{value_col}{suffix}`` columns (NULL when
-    no prior right row exists).
+    no prior/next right row exists).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
 
     left_cols = left.columns
@@ -59,9 +71,16 @@ def asof_join(
         *[F.col(c) for c in left_cols if c not in keys],
     )
     unioned = marked_right.unionByName(marked_left)
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc()]
+    else:
+        # descending time: the most recently carried right row is the
+        # EARLIEST right_ts >= left_ts; right still sorts before left at
+        # equal ts so the boundary is inclusive both ways
+        order = [F.col("__ts").desc(), F.col("__side").asc(), F.col("__tie").desc()]
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side", "__tie")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Carry ONE struct per right row (NULL on left rows), not the value

@@ -809,3 +809,41 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med5"),
     )
+
+
+@query(
+    "asof_join_forward",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id,
+           round((SELECT p.value FROM p
+                  WHERE p.user_id = c.user_id AND p.ts >= c.ts
+                  ORDER BY p.ts ASC, p.event_id ASC LIMIT 1), 4)
+             AS value_asof
+    FROM c
+    """,
+    tags=("join", "asof"),
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click gets the value of the next purchase
+    at-or-after it for the same user (time-to-conversion attribution
+    shape). Same single-shuffle union/carry operator as the backward
+    entry, traversed in descending time (`operators/asof.py`
+    ``direction="forward"``) — still no range-join explosion."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    clicks = e.where(F.col("event_type") == "click")
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        tiebreak="event_id",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", F.round(F.col("value_asof"), 4).alias("value_asof")
+    )

@@ -291,3 +291,24 @@ def test_pagerank_star_hand_computed(spark):
     assert abs(got[4] - 0.675) < 1e-12
     for leaf in (1, 2, 3):
         assert abs(got[leaf] - 0.0375) < 1e-12
+
+
+def test_asof_join_forward_hand_computed(spark):
+    """left at t=5 attaches the EARLIEST right >= 5 (t=6, not t=9);
+    equal timestamps are inclusive; no future row -> NULL."""
+    from spark_hbase_connector_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 100, "b"), (2, 7, "c")], ["k", "t", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, 6, 60.0), (1, 9, 90.0), (2, 7, 70.0)], ["k", "t", "v"]
+    )
+    got = {
+        r.tag: r.v_asof
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            value_cols=["v"], tiebreak="t", direction="forward",
+        ).collect()
+    }
+    assert got == {"a": 60.0, "b": None, "c": 70.0}
