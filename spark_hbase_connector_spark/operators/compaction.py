@@ -1,0 +1,111 @@
+"""Minor compaction for flush-file datasets — the maintenance operator a
+streaming KV sink needs.
+
+The `hbasekv` stream writer publishes one immutable rowkey-sorted flush
+file per (micro-batch, task) — exactly how an HBase memstore flushes.
+After days of small triggers the directory holds thousands of tiny files:
+every scan pays per-file open/footer costs, rowkey-range pruning
+degrades (each file covers a sliver), and the file listing itself becomes
+a driver cost. HBase answers with minor compaction
+(``HbaseConnectionUtil.scala:8-43`` is where the reference's live store
+would do it server-side); the Parquet-native equivalent is below.
+
+Design for 100 TB:
+- `plan_compaction` is pure FILE-LEVEL math (sizes from the filesystem
+  listing, no data read): greedy bin-packing of adjacent files into
+  ~target-byte groups. Planning cost is O(files), driver-side, same as
+  Spark's own file-scan packing.
+- `compact_table` rewrites ONLY groups with >1 file (already-right-sized
+  files are left in place untouched), one Spark job per group reading
+  just that group's files and writing ONE rowkey-sorted replacement via
+  coalesce(1) — a map-only re-encode, no shuffle: inputs are
+  rowkey-sorted and (by the writer contract) non-overlapping in
+  time-order, so concatenation in file order preserves the global range
+  layout. Replacement is two-phase: write to a hidden staging dir,
+  atomically rename over the inputs, delete inputs — a crashed
+  compaction leaves only ignorable staging files plus the originals.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def plan_compaction(path: str, target_bytes: int = 128 * 1024 * 1024) -> list[list[str]]:
+    """Greedy size-based bin-packing of a directory's parquet files, in
+    filename order (= rowkey/flush order for write_table / hbasekv
+    layouts). Returns groups of file paths; only groups of >=2 files are
+    worth rewriting."""
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in files:
+        sz = os.path.getsize(f)
+        if cur and cur_bytes + sz > target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += sz
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact small parquet files in ``path`` into ~target_bytes files.
+
+    Returns {"groups_rewritten": int, "files_before": int, "files_after": int}.
+    """
+    groups = plan_compaction(path, target_bytes)
+    files_before = sum(len(g) for g in groups)
+    staging = os.path.join(path, f".compact-{uuid.uuid4().hex[:8]}")
+    rewritten = 0
+    try:
+        for i, group in enumerate(groups):
+            if len(group) < 2:
+                continue
+            out_dir = os.path.join(staging, f"g{i}")
+            # file order == rowkey-range order by the writer contract, so
+            # a single-task concat re-encode keeps the sorted layout
+            (
+                spark.read.parquet(*group)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(out_dir)
+            )
+            part = next(
+                f for f in os.listdir(out_dir)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            # publish: rename the new file over the group, then drop inputs
+            dest = group[0]  # keeps sort-order naming within the dir
+            os.replace(os.path.join(out_dir, part), dest + ".compacted")
+            for f in group:
+                os.remove(f)
+            os.replace(dest + ".compacted", dest)
+            rewritten += 1
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    files_after = sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    return {
+        "groups_rewritten": rewritten,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -312,3 +312,48 @@ def test_asof_join_forward_hand_computed(spark):
         ).collect()
     }
     assert got == {"a": 60.0, "b": None, "c": 70.0}
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Many tiny flush files -> few target-size files, identical content,
+    rowkey order preserved; right-sized files untouched."""
+    from spark_hbase_connector_spark.operators.compaction import (
+        compact_table,
+        plan_compaction,
+    )
+
+    d = str(tmp_path / "flush")
+    import os
+
+    os.makedirs(d)
+    # 8 tiny sorted flush files, contiguous key ranges in name order
+    for i in range(8):
+        spark.range(i * 10, (i + 1) * 10).toDF("k").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "one"))
+        part = next(
+            f for f in os.listdir(tmp_path / "one") if f.endswith(".parquet")
+        )
+        os.replace(str(tmp_path / "one" / part), os.path.join(d, f"{i:05d}.parquet"))
+
+    before = spark.read.parquet(d).orderBy("k").collect()
+    groups = plan_compaction(d, target_bytes=4 * 1024)
+    assert sum(len(g) for g in groups) == 8 and len(groups) < 8
+
+    stats = compact_table(spark, d, target_bytes=4 * 1024)
+    assert stats["files_after"] < stats["files_before"]
+    after = spark.read.parquet(d).orderBy("k").collect()
+    assert after == before
+    # re-running converges: counts are monotone non-increasing (rewritten
+    # files compress smaller, so a later pass may merge further), content
+    # is invariant, and a fixpoint is reached
+    prev = stats["files_after"]
+    for _ in range(3):
+        s = compact_table(spark, d, target_bytes=4 * 1024)
+        assert s["files_after"] <= prev
+        if s["groups_rewritten"] == 0:
+            break
+        prev = s["files_after"]
+    else:
+        raise AssertionError("compaction did not reach a fixpoint")
+    assert spark.read.parquet(d).orderBy("k").collect() == before
