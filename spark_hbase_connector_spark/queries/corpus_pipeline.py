@@ -60,6 +60,7 @@ _VOCAB_SIZE = 500
     GROUP BY t.source ORDER BY t.source
     """,
     tags=("text", "pipeline", "vocab"),
+    bench=True,
 )
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary coverage gate: build the top-V corpus
@@ -74,10 +75,13 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.col("c").desc(), "tok")
+    # top-V via sort+limit -> TakeOrderedAndProject: per-partition partial
+    # top-V then a V-row merge on the driver side — NOT a global window
+    # (row_number over an unpartitioned ordering would drag the whole
+    # vocabulary relation into one partition)
     vocab = (
-        counts.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= _VOCAB_SIZE)
+        counts.orderBy(F.col("c").desc(), "tok")
+        .limit(_VOCAB_SIZE)
         .select("tok", F.lit(True).alias("in_vocab"))
     )
     return (
@@ -147,6 +151,7 @@ def sample_per_key_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket
     """,
     tags=("text", "features", "pipeline"),
+    bench=True,
 )
 def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick sparse features: token -> md5-derived bucket in a

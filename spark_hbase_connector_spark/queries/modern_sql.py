@@ -319,6 +319,7 @@ def agg_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r3 ORDER BY id
     """,
     tags=("graph", "iterative"),
+    bench=True,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (3 rounds, d=0.85) over the decimal-trim
@@ -400,6 +401,7 @@ def scalar_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     tags=("agg", "bitmap", "sketch"),
+    bench=True,
 )
 def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distinct counting via roaring-style bitmap aggregates
@@ -439,6 +441,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     tags=("sketch", "qa", "hll"),
+    bench=True,
 )
 def hll_sketch_union_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting: per-DAY HLL sketches
