@@ -291,3 +291,73 @@ def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, i AS pos, e[i] AS val
+      FROM v, unnest(range(1, len(e) + 1)) AS t(i)
+    ),
+    cent AS (
+      SELECT label, pos, avg(val) AS c FROM ex GROUP BY label, pos
+    ),
+    dots AS (
+      SELECT ex.vec_id, ex.label,
+             sum(ex.val * cent.c) AS dot,
+             sqrt(sum(ex.val * ex.val)) AS vn,
+             sqrt(sum(cent.c * cent.c)) AS cn
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+      GROUP BY ex.vec_id, ex.label
+    )
+    SELECT label, count(*) AS n_members,
+           round(avg(dot / (vn * cn)), 4) AS avg_cos_to_centroid
+    FROM dots GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "centroid", "quality"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion — the embedding-space class-quality
+    report (avg cosine of members to their label centroid; low cohesion
+    flags mislabeled or noisy classes before training).
+
+    This is the VERTICAL array-aggregation pattern: posexplode to
+    (label, pos, val), one partial-aggregated avg per (label, pos) — a
+    labels x dims relation, broadcast back onto the exploded vectors for
+    the dot products, then per-vector and per-label rollups. Vectors
+    cross no Python boundary and the only data-sized shuffle is the
+    per-vector dot-product aggregation; everything else is key-sized.
+    (`train_centroids` is the k-means sibling that learns UNSUPERVISED
+    cells from the same layout.)"""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+    cent = ex.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    dots = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"),
+        )
+    )
+    return (
+        dots.groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg(F.col("dot") / (F.col("vn") * F.col("cn"))), 4).alias(
+                "avg_cos_to_centroid"
+            ),
+        )
+        .orderBy("label")
+    )

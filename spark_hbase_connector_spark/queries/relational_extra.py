@@ -472,3 +472,47 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
     )
     return old.unionByName(new, allowMissingColumns=True)
+
+
+@query(
+    "basket_pair_affinity",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, count(*) AS support
+    FROM p GROUP BY p1, p2 HAVING count(*) >= 2
+    ORDER BY support DESC, p1, p2
+    """,
+    tags=("join", "affinity", "basket"),
+)
+def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-ordered in the same order, kept
+    at support >= 2 — the co-occurrence join behind recommendation and
+    affinity analysis.
+
+    The self-join is keyed on the BASKET id, so candidate volume is
+    sum(basket_size^2) — bounded by TPC-H's ~7-line orders, one shuffle +
+    one partial-aggregated count. At 100 TB the guardrails are the same
+    as the shingle inverted index (`dedup.py`): cap or sample mega-baskets
+    and pre-prune items below min item support (a-priori monotonicity)
+    before pairing; the pair space never materializes beyond per-basket
+    pairs."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "p1", "p2")
+    )
