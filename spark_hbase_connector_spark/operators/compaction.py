@@ -8,14 +8,18 @@ every scan pays per-file open/footer costs, rowkey-range pruning
 degrades (each file covers a sliver), and the file listing itself becomes
 a driver cost. HBase answers with minor compaction
 (``HbaseConnectionUtil.scala:8-43`` is where the reference's live store
-would do it server-side); the Parquet-native equivalent is below.
+would do it server-side); the engine has two granularities: `sources/table.py:compact_table`
+rewrites a WHOLE table through the catalog (major compaction — one
+range-shuffled job, fresh global layout), while `compact_flush_files`
+below is the minor compaction: incremental, file-level, no shuffle,
+leaves right-sized files alone.
 
 Design for 100 TB:
 - `plan_compaction` is pure FILE-LEVEL math (sizes from the filesystem
   listing, no data read): greedy bin-packing of adjacent files into
   ~target-byte groups. Planning cost is O(files), driver-side, same as
   Spark's own file-scan packing.
-- `compact_table` rewrites ONLY groups with >1 file (already-right-sized
+- `compact_flush_files` rewrites ONLY groups with >1 file (already-right-sized
   files are left in place untouched), one Spark job per group reading
   just that group's files and writing ONE rowkey-sorted replacement via
   coalesce(1) — a map-only re-encode, no shuffle: inputs are
@@ -60,7 +64,7 @@ def plan_compaction(path: str, target_bytes: int = 128 * 1024 * 1024) -> list[li
     return groups
 
 
-def compact_table(
+def compact_flush_files(
     spark: SparkSession,
     path: str,
     target_bytes: int = 128 * 1024 * 1024,

@@ -85,6 +85,7 @@ def load_table(
     physical_naming: str = "column",
     data_format: str = "parquet",
     physical_overrides: dict | None = None,
+    on_malformed: str = "permissive",
 ) -> DataFrame:
     """Load a catalog-described dataset as a logical DataFrame.
 
@@ -106,7 +107,20 @@ def load_table(
     (epoch-micros contract for integral<->timestamp). csv/json carry no
     embedded schema, so pass ``physical_overrides`` — logical name -> type
     string actually stored in the file — and the same reconciliation runs.
+
+    ``on_malformed`` (text formats only — columnar files are checksummed,
+    a corrupt parquet/orc is an IO error, not a row problem): how a row
+    that does not parse under the catalog schema is treated. A 100 TB
+    ingest WILL contain broken lines; a job that dies at hour 9 on one of
+    them (FAILFAST) is operationally worse than an explicit policy.
+    ``"permissive"`` (default, Spark's own default) nulls the unparsable
+    fields; ``"drop"`` (DROPMALFORMED) silently skips the row — use with a
+    reject-count check; ``"fail"`` (FAILFAST) for correctness-critical
+    loads where a bad row must stop the job.
     """
+    modes = {"permissive": "PERMISSIVE", "drop": "DROPMALFORMED", "fail": "FAILFAST"}
+    if on_malformed not in modes:
+        raise ValueError(f"on_malformed must be one of {sorted(modes)}")
     cat = catalog if isinstance(catalog, TableCatalog) else parse_catalog(catalog)
     if data_format == "parquet":
         raw = spark.read.parquet(path)
@@ -115,11 +129,11 @@ def load_table(
     elif data_format == "csv":
         raw = spark.read.schema(
             _physical_schema(cat, physical_naming, physical_overrides)
-        ).csv(path, header=True)
+        ).csv(path, header=True, mode=modes[on_malformed])
     elif data_format == "json":
         raw = spark.read.schema(
             _physical_schema(cat, physical_naming, physical_overrides)
-        ).json(path)
+        ).json(path, mode=modes[on_malformed])
     else:
         raise ValueError(f"unknown data_format {data_format!r}")
     physical_types = {f.name: f.dataType for f in raw.schema.fields}

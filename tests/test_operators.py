@@ -318,7 +318,7 @@ def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
     """Many tiny flush files -> few target-size files, identical content,
     rowkey order preserved; right-sized files untouched."""
     from spark_hbase_connector_spark.operators.compaction import (
-        compact_table,
+        compact_flush_files,
         plan_compaction,
     )
 
@@ -340,7 +340,7 @@ def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
     groups = plan_compaction(d, target_bytes=4 * 1024)
     assert sum(len(g) for g in groups) == 8 and len(groups) < 8
 
-    stats = compact_table(spark, d, target_bytes=4 * 1024)
+    stats = compact_flush_files(spark, d, target_bytes=4 * 1024)
     assert stats["files_after"] < stats["files_before"]
     after = spark.read.parquet(d).orderBy("k").collect()
     assert after == before
@@ -349,7 +349,7 @@ def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
     # is invariant, and a fixpoint is reached
     prev = stats["files_after"]
     for _ in range(3):
-        s = compact_table(spark, d, target_bytes=4 * 1024)
+        s = compact_flush_files(spark, d, target_bytes=4 * 1024)
         assert s["files_after"] <= prev
         if s["groups_rewritten"] == 0:
             break

@@ -216,3 +216,92 @@ def test_ts_range_predicate_pushes_through_adaptation(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan, plan
+
+
+_MALFORMED_CAT = {
+    "table": "t:bad",
+    "rowkey": "id",
+    "columns": {
+        "id": {"cf": "rowkey", "col": "id", "type": "long"},
+        "amount": {"cf": "d", "col": "amount", "type": "double"},
+        "name": {"cf": "d", "col": "name", "type": "string"},
+    },
+}
+
+
+def _write_bad_csv(tmp_path):
+    p = tmp_path / "bad_csv"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "id,amount,name\n"
+        "1,10.5,ok\n"
+        "notanumber,2.5,broken-id\n"  # id fails to parse
+        "3,7.25,fine\n"
+    )
+    return str(p)
+
+
+def _write_bad_json(tmp_path):
+    p = tmp_path / "bad_json"
+    p.mkdir()
+    (p / "part.json").write_text(
+        '{"id": 1, "amount": 10.5, "name": "ok"}\n'
+        '{"id": 2, "amount": BROKEN\n'  # invalid JSON line
+        '{"id": 3, "amount": 7.25, "name": "fine"}\n'
+    )
+    return str(p)
+
+
+def test_malformed_csv_policies(spark, tmp_path):
+    """permissive nulls the unparsable field, drop skips the row, fail
+    raises — the explicit bad-line policy a 100 TB text ingest needs."""
+    path = _write_bad_csv(tmp_path)
+    perm = load_table(spark, _MALFORMED_CAT, path, data_format="csv")
+    rows = {r.name: r.id for r in perm.collect()}
+    assert rows == {"ok": 1, "broken-id": None, "fine": 3}
+
+    dropped = load_table(
+        spark, _MALFORMED_CAT, path, data_format="csv", on_malformed="drop"
+    )
+    assert {r.id for r in dropped.collect()} == {1, 3}
+
+    import pytest as _pytest
+
+    strict = load_table(
+        spark, _MALFORMED_CAT, path, data_format="csv", on_malformed="fail"
+    )
+    with _pytest.raises(Exception):
+        strict.collect()
+
+
+def test_malformed_json_policies(spark, tmp_path):
+    path = _write_bad_json(tmp_path)
+    perm = load_table(spark, _MALFORMED_CAT, path, data_format="json")
+    # broken line -> all-NULL row under PERMISSIVE (note: with a PRUNED
+    # projection Spark may salvage fields parsed before the syntax error,
+    # so assert on the full-row collect, not a pruned filter)
+    got = {(r.id, r.amount) for r in perm.collect()}
+    assert got == {(1, 10.5), (None, None), (3, 7.25)}
+
+    dropped = load_table(
+        spark, _MALFORMED_CAT, path, data_format="json", on_malformed="drop"
+    )
+    assert {r.id for r in dropped.collect()} == {1, 3}
+
+    import pytest as _pytest
+
+    strict = load_table(
+        spark, _MALFORMED_CAT, path, data_format="json", on_malformed="fail"
+    )
+    with _pytest.raises(Exception):
+        strict.collect()
+
+
+def test_malformed_rejects_unknown_policy(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_table(
+            spark, _MALFORMED_CAT, str(tmp_path), data_format="csv",
+            on_malformed="explode",
+        )
