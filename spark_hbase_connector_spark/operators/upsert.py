@@ -77,3 +77,57 @@ def overlay_cells(base: DataFrame, updates: DataFrame, rowkey: str) -> DataFrame
         if c != rowkey
     ]
     return joined.select(*out_cols)
+
+
+def major_compact_cells(
+    cells: DataFrame,
+    max_versions: int = 1,
+    ttl_micros: int | None = None,
+    now_micros: int | None = None,
+    ts_col: str = "ts",
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """HBase major-compaction semantics over a versioned cell relation
+    (rowkey, cf, qualifier, ``ts_col``, value, ...): keep the newest
+    ``max_versions`` cells per (rowkey, cf, qualifier) coordinate, drop
+    cells older than ``ttl_micros`` relative to the EXPLICIT ``now_micros``
+    (determinism: replaying the same compaction yields the same files —
+    wall-clock "now" would not), and, when ``tombstone_col`` names a
+    boolean delete-marker column, drop every version at-or-below the
+    newest tombstone and the tombstone itself.
+
+    This is what the reference's region server does server-side during
+    compaction (the store the connector reads, VERSIONS/TTL table
+    attributes); Parquet-native, it runs as the cell-level sibling of
+    `compact_flush_files`: one hash shuffle on the cell coordinate, a
+    rank window (WindowGroupLimit prunes to max_versions rows per
+    coordinate below the exchange), and map-side filters for TTL.
+    """
+    from pyspark.sql import Window
+
+    out = cells
+    if ttl_micros is not None:
+        if now_micros is None:
+            raise ValueError("ttl_micros requires an explicit now_micros")
+        out = out.where(
+            F.col(ts_col).cast("long") >= F.lit(now_micros - ttl_micros)
+        )
+    key = ["rowkey", "cf", "qualifier"]
+    if tombstone_col is not None:
+        newest_del = (
+            out.where(F.col(tombstone_col))
+            .groupBy(*key)
+            .agg(F.max(ts_col).alias("__del_ts"))
+        )
+        out = (
+            out.join(newest_del, key, "left")
+            .where(F.col("__del_ts").isNull() | (F.col(ts_col) > F.col("__del_ts")))
+            .drop("__del_ts")
+        )
+        out = out.where(~F.col(tombstone_col))
+    w = Window.partitionBy(*key).orderBy(F.col(ts_col).desc())
+    return (
+        out.withColumn("__v", F.row_number().over(w))
+        .where(F.col("__v") <= max_versions)
+        .drop("__v")
+    )

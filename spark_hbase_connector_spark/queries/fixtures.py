@@ -370,3 +370,74 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         root + "/batch1", root + "/batch2"
     )
     return merged.select("id", "name", "email")
+
+
+@query(
+    "kv_major_compact_versions",
+    oracle="""
+    WITH ks AS (SELECT k FROM range(1, 201) t(k)),
+    cells AS (
+      SELECT k AS rowkey, 'd' AS cf,
+             CASE WHEN k % 2 = 0 THEN 'x' ELSE 'y' END AS qualifier,
+             k * 10 + v AS ts, k * 1000 + v AS value,
+             (k % 7 = 0 AND v = k % 3 + 1) AS deleted
+      FROM ks, unnest(range(1, k % 3 + 2)) t(v)
+    ),
+    live AS (SELECT * FROM cells WHERE ts >= 500),
+    del AS (
+      SELECT rowkey, cf, qualifier, max(ts) AS del_ts
+      FROM live WHERE deleted GROUP BY 1, 2, 3
+    ),
+    kept AS (
+      SELECT l.* FROM live l LEFT JOIN del
+        ON l.rowkey = del.rowkey AND l.cf = del.cf AND l.qualifier = del.qualifier
+      WHERE (del.del_ts IS NULL OR l.ts > del.del_ts) AND NOT l.deleted
+    ),
+    ranked AS (
+      SELECT rowkey, qualifier, ts, value,
+             row_number() OVER (PARTITION BY rowkey, cf, qualifier
+                                ORDER BY ts DESC) AS v
+      FROM kept
+    )
+    SELECT rowkey, qualifier, ts, value FROM ranked WHERE v <= 2
+    ORDER BY rowkey, qualifier, ts
+    """,
+    tags=("kv", "compaction", "versions"),
+)
+def kv_major_compact_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase major-compaction read view (VERSIONS=2 + TTL + delete
+    markers) over a deterministic generated cell history, via
+    `operators/upsert.py:major_compact_cells`: newest tombstone hides all
+    versions at-or-below it, expired cells (explicit now, never
+    wall-clock) drop map-side, then the newest 2 versions per
+    (rowkey, cf, qualifier) survive. One coordinate-keyed shuffle;
+    WindowGroupLimit prunes to max_versions rows per coordinate below
+    the exchange. The oracle replays the identical policy in SQL."""
+    from spark_hbase_connector_spark.operators.upsert import major_compact_cells
+
+    ks = spark.range(1, 201).select(F.col("id").alias("k"))
+    cells = (
+        ks.select(
+            "k", F.explode(F.sequence(F.lit(1), F.col("k") % 3 + 1)).alias("v")
+        )
+        .select(
+            F.col("k").alias("rowkey"),
+            F.lit("d").alias("cf"),
+            F.when(F.col("k") % 2 == 0, "x").otherwise("y").alias("qualifier"),
+            (F.col("k") * 10 + F.col("v")).alias("ts"),
+            (F.col("k") * 1000 + F.col("v")).alias("value"),
+            ((F.col("k") % 7 == 0) & (F.col("v") == F.col("k") % 3 + 1)).alias(
+                "deleted"
+            ),
+        )
+    )
+    compacted = major_compact_cells(
+        cells,
+        max_versions=2,
+        ttl_micros=2500,
+        now_micros=3000,
+        tombstone_col="deleted",
+    )
+    return compacted.select("rowkey", "qualifier", "ts", "value").orderBy(
+        "rowkey", "qualifier", "ts"
+    )

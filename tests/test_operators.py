@@ -357,3 +357,35 @@ def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
     else:
         raise AssertionError("compaction did not reach a fixpoint")
     assert spark.read.parquet(d).orderBy("k").collect() == before
+
+
+def test_major_compact_cells_versions_ttl_tombstones(spark):
+    """VERSIONS=2 keeps the two newest per coordinate; TTL drops old
+    cells against the explicit now; a tombstone hides everything at or
+    before it but not a later re-put (HBase delete semantics)."""
+    from spark_hbase_connector_spark.operators.upsert import major_compact_cells
+
+    rows = [
+        # key a: 3 versions -> keep ts 30, 20
+        (b"a", "d", "x", 10, b"v10", False),
+        (b"a", "d", "x", 20, b"v20", False),
+        (b"a", "d", "x", 30, b"v30", False),
+        # key b: delete at 25 hides 10,20; re-put at 40 survives
+        (b"b", "d", "x", 10, b"v10", False),
+        (b"b", "d", "x", 20, b"v20", False),
+        (b"b", "d", "x", 25, None, True),
+        (b"b", "d", "x", 40, b"v40", False),
+        # key c: expired by TTL (now=100, ttl=90 -> cutoff 10)
+        (b"c", "d", "x", 5, b"old", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "rowkey binary, cf string, qualifier string, ts long, value binary, deleted boolean"
+    )
+    got = {
+        (bytes(r.rowkey), r.ts)
+        for r in major_compact_cells(
+            df, max_versions=2, ttl_micros=90, now_micros=100,
+            tombstone_col="deleted",
+        ).collect()
+    }
+    assert got == {(b"a", 30), (b"a", 20), (b"b", 40)}
