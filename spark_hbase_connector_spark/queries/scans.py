@@ -261,3 +261,42 @@ def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column pruning parity (HbaseScanBuilder.scala:54-59): a 1-column
     projection reads exactly one column from the file (audited in tests)."""
     return load(spark, sf_dir, "customer").select("c_name")
+
+
+@query(
+    "region_split_plan_qa",
+    oracle="""
+    SELECT 8 AS n_regions, count(*) AS total_rows, TRUE AS balanced_ok
+    FROM orders
+    """,
+    tags=("scan", "planning", "qa"),
+)
+def region_split_plan_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region pre-split planning: derive 7 rowkey split points from the
+    key distribution (approx percentile sketch — ONE pass, fixed-size
+    state, the only viable way at 100 TB), bucket every row by its split
+    range, and gate the plan on balance (max/min region ≤ 1.5×). This is
+    how an HBase table is pre-split before bulk load — and how
+    `write_table`'s `num_partitions` should be chosen; the reference
+    consumes region boundaries (`HbaseScan.scala:27-45`), this plans
+    them. The oracle asserts the CONTRACT (row conservation + the gate),
+    not the sketch values — same pattern as `approx_quantiles_qa`."""
+    k = 8
+    o = load(spark, sf_dir, "orders")
+    fracs = [i / k for i in range(1, k)]
+    bounds = o.agg(
+        F.percentile_approx("o_orderkey", fracs, 10000).alias("bs")
+    )
+    bucketed = o.join(F.broadcast(bounds)).select(
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("o_orderkey") > b, 1).otherwise(0),
+        ).alias("bucket")
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n"))
+    return counts.agg(
+        F.count("*").cast("int").alias("n_regions"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        ((F.max("n") / F.min("n")) <= 1.5).alias("balanced_ok"),
+    )

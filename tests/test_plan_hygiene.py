@@ -40,6 +40,9 @@ _BNLJ_ALLOWED = {
     # graph_pagerank broadcasts the single-row node-count aggregate into
     # the node-sized rank relation to scale ranks by N
     "graph_pagerank",
+    # region_split_plan_qa broadcasts the single-row split-boundary sketch
+    # against the fact table to bucket rows
+    "region_split_plan_qa",
 }
 
 _SKIP_TAGS = {"streaming", "fixture"}
