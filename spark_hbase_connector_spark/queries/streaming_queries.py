@@ -5,7 +5,7 @@ results on a bounded input must equal the batch computation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_hbase_connector_spark.queries.registry import query
@@ -477,4 +477,38 @@ def streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         chained_window_agg(stream, "15 minutes", "1 hour", "10 minutes"),
         spark,
         mode="append",
+    )
+
+
+@query(
+    "streaming_latest_per_key",
+    oracle="""
+    SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+           round(value, 4) AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "cdc", "stateful"),
+)
+def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC read model: per-user latest event (by event time,
+    event_id tiebreak) maintained as custom keyed state across
+    micro-batches (`latest_per_key_stateful`). The memory sink accretes
+    one update row per touched key per batch; reading the view takes the
+    newest update per key — exactly how a downstream store would apply
+    the update stream. Oracle = batch latest-row-per-key."""
+    from spark_hbase_connector_spark.streaming.events import latest_per_key_stateful
+
+    stream = events_stream(spark, sf_dir)
+    emitted = run_stream_to_memory(latest_per_key_stateful(stream), spark, mode="update")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_ts_us").desc(), F.col("last_event_id").desc()
+    )
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )

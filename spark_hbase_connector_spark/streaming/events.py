@@ -435,3 +435,54 @@ def chained_window_agg(
             "hour_n",
         )
     )
+
+
+def latest_per_key_stateful(stream: DataFrame) -> DataFrame:
+    """Materialized latest-row-per-key view over a changefeed — the CDC
+    read model (`dedup_latest_by_key`'s streaming twin), via
+    ``applyInPandasWithState``: state = the (ts, event_id, value) of the
+    best row seen so far per user; each micro-batch emits the user's
+    current latest row (update-mode semantics). Built-in
+    ``dropDuplicates`` can't express "keep NEWEST by event time" (it
+    keeps first-arrival), so this is the custom-stateful escape hatch;
+    state is one small tuple per key, partitioned like any keyed agg.
+    Timestamps cross the Arrow boundary as int64 nanos and are emitted
+    as epoch MICROS so no tz conversion ambiguity exists on either side."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        best = state.get if state.exists else None  # (ts_ns, event_id, value)
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values(["ts", "event_id"])
+        last = rows.iloc[-1]
+        cand = (int(pd.Timestamp(last["ts"]).value), int(last["event_id"]),
+                float(last["value"]))
+        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+            best = cand
+            state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_ts_us": [best[0] // 1000],
+                "last_event_id": [best[1]],
+                "last_value": [round(best[2], 4)],
+            }
+        )
+
+    return (
+        stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, last_ts_us long, last_event_id long, "
+                "last_value double"
+            ),
+            stateStructType="ts long, eid long, val double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
