@@ -180,3 +180,66 @@ def test_tws_gate_raises_clearly_without_protobuf(spark):
     stream = events_stream(spark, SF)
     with pytest.raises(ImportError, match="protobuf"):
         running_totals_tws(stream)
+
+
+def test_latest_per_key_state_across_batches(spark, tmp_path):
+    """The latest-per-key CDC view must track the newest row ACROSS
+    micro-batches: same input split time-ordered one file per trigger;
+    applying the update stream (newest update per key) equals the batch
+    latest-row-per-key — and a key updated in an early batch then again
+    later reflects the later value."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from spark_hbase_connector_spark.catalogs import load
+    from spark_hbase_connector_spark.streaming.events import latest_per_key_stateful
+
+    d, _ = _split_events_time_ordered(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = (
+        latest_per_key_stateful(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mb_latest")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    emitted = spark.table("mb_latest")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("last_ts_us").desc(), F.col("last_event_id").desc()
+    )
+    got = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "last_ts_us", "last_event_id", "last_value")
+    )
+    batch = load(spark, SF, "events")
+    want = (
+        batch.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("event_id").alias("last_event_id"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
+    assert n_batches >= 4
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # a key present in >1 batch must have emitted >1 update (state visibly
+    # revised across batches, not recomputed within one)
+    multi = emitted.groupBy("user_id").count().where(F.col("count") > 1).count()
+    assert multi > 0
