@@ -441,3 +441,65 @@ def kv_major_compact_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compacted.select("rowkey", "qualifier", "ts", "value").orderBy(
         "rowkey", "qualifier", "ts"
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey LIMIT 50
+    """,
+    tags=("fixture", "join", "bucketed"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ZERO-SHUFFLE fact-fact join: orders and lineitem written as
+    hash-bucketed tables on the join key (`write_bucketed`), then joined
+    with broadcast disabled — Spark proves co-location from the bucket
+    spec and plans a sort-merge join with NO Exchange on either side
+    (asserted at build time below, and unit-tested in
+    `tests/test_source.py`). At 100 TB this is the strategy for a join
+    repeated across a pipeline: bucket both fact tables once, and every
+    subsequent join/aggregation on that key is shuffle-free. Fixture
+    entry: rebuilds the bucketed tables from the sf parquet each run."""
+    import shutil
+
+    from spark_hbase_connector_spark.catalogs import load as _load
+    from spark_hbase_connector_spark.plans.audit import explain_string
+
+    orders = _load(spark, sf_dir, "orders")
+    lineitem = _load(spark, sf_dir, "lineitem")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        orders.repartition(8, "o_orderkey")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        lineitem.repartition(8, "l_orderkey")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("bkt_lineitem")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table("bkt_orders").where(F.col("o_orderstatus") == "O")
+        l = spark.table("bkt_lineitem")
+        j = o.join(l, o.o_orderkey == l.l_orderkey).groupBy("o_orderkey").agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        plan = explain_string(j)
+        assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
+        return j.orderBy(F.col("revenue").desc(), "o_orderkey").limit(50)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
