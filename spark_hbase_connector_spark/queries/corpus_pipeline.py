@@ -361,3 +361,60 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    pairs AS (
+      SELECT substring(tok, i, 2) AS pair, c
+      FROM vocab, unnest(range(1, length(tok))) t(i)
+      WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge decision: corpus-weighted adjacent character
+    pair frequencies (the pair with the max count is merge #1 when
+    training a byte-pair tokenizer on this corpus).
+
+    The trick that makes this cheap: pair statistics are computed over
+    the DISTINCT token vocabulary weighted by token counts — the char
+    explode runs over vocabulary-sized data ((|vocab| x avg_len) rows),
+    never corpus-sized; the corpus is touched once by the token count.
+    Full BPE iterates merge -> re-segment; each iteration is this same
+    plan over a re-segmented vocabulary (iterative like `graph_pagerank`,
+    driver-side loop, vocabulary-sized state)."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .where(F.length("tok") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
