@@ -503,3 +503,76 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         return j.orderBy(F.col("revenue").desc(), "o_orderkey").limit(50)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@query(
+    "dq_expectations_report",
+    oracle="""
+    WITH rowstats AS (
+      SELECT
+        CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS nn_qty,
+        CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END)
+             AS BIGINT) AS rng_disc,
+        CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
+             AS BIGINT) AS acc_flag,
+        CAST(sum(CASE WHEN regexp_matches(l_shipmode_like, '^[A-Z ]+$')
+                      THEN 0 ELSE 1 END) AS BIGINT) AS rx_status
+      FROM (SELECT l_quantity, l_discount, l_returnflag,
+                   upper(l_linestatus) AS l_shipmode_like
+            FROM lineitem)
+    ),
+    uq AS (
+      SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n FROM (
+        SELECT count(*) AS c FROM lineitem
+        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+      )
+    ),
+    fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem l
+      LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+    )
+    SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+      SELECT 'accepted_values(l_returnflag)' AS rule, acc_flag AS n_violations FROM rowstats
+      UNION ALL SELECT 'foreign_key(l_orderkey)', fk.n FROM fk
+      UNION ALL SELECT 'in_range(l_discount,0,0.1)', rng_disc FROM rowstats
+      UNION ALL SELECT 'matches(status_u)', rx_status FROM rowstats
+      UNION ALL SELECT 'not_null(l_quantity)', nn_qty FROM rowstats
+      UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', uq.n FROM uq
+    ) ORDER BY rule
+    """,
+    tags=("fixture", "quality", "expectations"),
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (`operators/expectations.py`): six
+    expectations over lineitem — four ROW-level rules compiled into ONE
+    aggregation pass (single scan regardless of rule count), one
+    uniqueness rule (one partial-aggregated groupBy), one referential
+    rule (broadcast anti join against orders keys). The report is the
+    publish gate: a pipeline promotes the table only when every row of
+    this result has passed=true. Oracle replays each rule in SQL."""
+    from spark_hbase_connector_spark.catalogs import load as _load
+    from spark_hbase_connector_spark.operators.expectations import (
+        accepted_values,
+        expect,
+        foreign_key,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    li = _load(spark, sf_dir, "lineitem").withColumn(
+        "status_u", F.upper("l_linestatus")
+    )
+    orders = _load(spark, sf_dir, "orders")
+    rules = [
+        not_null("l_quantity"),
+        in_range("l_discount", 0, 0.1),
+        accepted_values("l_returnflag", ["A", "N", "R"]),
+        matches("status_u", "^[A-Z ]+$"),
+        unique("l_orderkey", "l_linenumber"),
+        foreign_key("l_orderkey", orders, "o_orderkey"),
+    ]
+    return expect(li, rules)

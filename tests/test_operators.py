@@ -389,3 +389,50 @@ def test_major_compact_cells_versions_ttl_tombstones(spark):
         ).collect()
     }
     assert got == {(b"a", 30), (b"a", 20), (b"b", 40)}
+
+
+def test_expectations_each_rule_fires(spark):
+    """Each rule kind must actually count its violations (a gate that
+    can't fail is not a gate)."""
+    from pyspark.sql import Row
+
+    from spark_hbase_connector_spark.operators.expectations import (
+        accepted_values,
+        expect,
+        foreign_key,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, v=5.0, tag="A", code="OK"),
+            Row(id=1, v=50.0, tag="B", code="bad-code"),  # dup id, v out of range, tag not accepted, code not uppercase
+            Row(id=3, v=None, tag="A", code="YES"),       # null v
+            Row(id=99, v=1.0, tag="A", code="OK"),        # orphan fk
+        ]
+    )
+    dim = spark.createDataFrame([Row(k=1), Row(k=3)])
+    rep = {
+        r.rule: (r.n_violations, r.passed)
+        for r in expect(
+            df,
+            [
+                not_null("v"),
+                in_range("v", 0, 10),
+                accepted_values("tag", ["A"]),
+                matches("code", "^[A-Z]+$"),
+                unique("id"),
+                foreign_key("id", dim, "k"),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(v)"] == (1, False)
+    # NULL fails between() -> counted as violation alongside 50.0
+    assert rep["in_range(v,0,10)"] == (2, False)
+    assert rep["accepted_values(tag)"] == (1, False)
+    assert rep["matches(code)"] == (1, False)
+    assert rep["unique(id)"] == (1, False)
+    assert rep["foreign_key(id)"] == (1, False)
