@@ -847,3 +847,57 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", F.round(F.col("value_asof"), 4).alias("value_asof")
     )
+
+
+@query(
+    "sessionize_dynamic_gap",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >
+                     CASE WHEN event_type = 'click'
+                          THEN INTERVAL 10 MINUTE ELSE INTERVAL 30 MINUTE END
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM gaps
+    )
+    SELECT user_id, event_type, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 4) AS session_value
+    FROM sess GROUP BY user_id, event_type, sid
+    """,
+    tags=("window", "sessionize", "dynamic-gap"),
+)
+def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessionization: the inactivity threshold is a per-row
+    EXPRESSION (clicks time out after 10 minutes, everything else 30) —
+    Spark's ``session_window(ts, gap_expr)`` form, which fixed-gap
+    sessionize can't express. Keyed by (user, type), so the oracle
+    replays each partition as fixed-gap islands with a CASE gap; the
+    same expression drives true per-row gaps when keys mix types.
+    Same single-shuffle cost as any keyed session window; merge-at-
+    exactly-gap boundary matches the empirically pinned semantics
+    (strict > starts a new session, see `streaming_session_windows`)."""
+    e = load(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        e.groupBy("user_id", "event_type", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select(
+            "user_id", "event_type", "session_start", "n_events", "session_value"
+        )
+    )
