@@ -26,8 +26,15 @@ Design for 100 TB:
   rowkey-sorted and (by the writer contract) non-overlapping in
   time-order, so concatenation in file order preserves the global range
   layout. Replacement is two-phase: write to a hidden staging dir,
-  atomically rename over the inputs, delete inputs — a crashed
-  compaction leaves only ignorable staging files plus the originals.
+  atomically rename over the inputs, delete inputs. Crash contract:
+  before a group's inputs are removed, originals are intact and staging
+  is ignorable; in the narrow window between input removal and the final
+  publish rename, the group's data lives in ONE ``*.parquet.compacted``
+  file — `recover_compaction` (run automatically at the start of every
+  `compact_flush_files`) finishes the rename idempotently, so a crashed
+  compactor is healed by the next run and no ordering ever duplicates
+  rows (publish-first would: new file + not-yet-removed inputs would
+  both be visible).
 """
 
 from __future__ import annotations
@@ -64,6 +71,17 @@ def plan_compaction(path: str, target_bytes: int = 128 * 1024 * 1024) -> list[li
     return groups
 
 
+def recover_compaction(path: str) -> int:
+    """Finish any interrupted group publishes (``*.parquet.compacted`` ->
+    ``*.parquet``). Idempotent; returns the number recovered."""
+    n = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet.compacted"):
+            os.replace(os.path.join(path, f), os.path.join(path, f[: -len(".compacted")]))
+            n += 1
+    return n
+
+
 def compact_flush_files(
     spark: SparkSession,
     path: str,
@@ -73,6 +91,7 @@ def compact_flush_files(
 
     Returns {"groups_rewritten": int, "files_before": int, "files_after": int}.
     """
+    recover_compaction(path)
     groups = plan_compaction(path, target_bytes)
     files_before = sum(len(g) for g in groups)
     staging = os.path.join(path, f".compact-{uuid.uuid4().hex[:8]}")

@@ -436,3 +436,32 @@ def test_expectations_each_rule_fires(spark):
     assert rep["matches(code)"] == (1, False)
     assert rep["unique(id)"] == (1, False)
     assert rep["foreign_key(id)"] == (1, False)
+
+
+def test_compaction_recovery_heals_interrupted_publish(spark, tmp_path):
+    """A crash between input removal and publish leaves one
+    *.parquet.compacted file; the next compaction run must heal it before
+    planning, with no rows lost."""
+    import os
+
+    from spark_hbase_connector_spark.operators.compaction import (
+        compact_flush_files,
+        recover_compaction,
+    )
+
+    d = str(tmp_path / "flush")
+    os.makedirs(d)
+    spark.range(0, 10).toDF("k").coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "one")
+    )
+    part = next(f for f in os.listdir(tmp_path / "one") if f.endswith(".parquet"))
+    # simulate the crash window: the group's merged file sits under the
+    # .compacted name and the original inputs are already gone
+    os.replace(str(tmp_path / "one" / part), os.path.join(d, "00000.parquet.compacted"))
+    assert recover_compaction(d) == 1
+    assert spark.read.parquet(d).count() == 10
+    # and compact_flush_files self-heals end-to-end
+    os.replace(os.path.join(d, "00000.parquet"), os.path.join(d, "00000.parquet.compacted"))
+    stats = compact_flush_files(spark, d, target_bytes=1 << 20)
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(d).count() == 10
