@@ -512,3 +512,55 @@ def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@query(
+    "streaming_session_dynamic_gap",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >
+                     CASE WHEN event_type = 'click'
+                          THEN INTERVAL 10 MINUTE ELSE INTERVAL 30 MINUTE END
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM gaps
+    )
+    SELECT user_id, event_type, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 4) AS session_value
+    FROM sess GROUP BY user_id, event_type, sid
+    """,
+    tags=("streaming", "sessionize", "dynamic-gap"),
+)
+def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dynamic-gap sessionization: the same per-row gap
+    expression as batch `sessionize_dynamic_gap` (clicks 10 min, others
+    30) driven through a real readStream session_window aggregation —
+    per-key inactivity contracts with bounded streaming state, a shape
+    fixed-gap streaming sessions cannot express. Oracle = the batch
+    islands replay (streaming on bounded input == batch)."""
+    stream = events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = (
+        stream.groupBy("user_id", "event_type", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select(
+            "user_id", "event_type", "session_start", "n_events", "session_value"
+        )
+    )
+    return run_stream_to_memory(agg, spark)

@@ -901,3 +901,49 @@ def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", "session_start", "n_events", "session_value"
         )
     )
+
+
+@query(
+    "events_pattern_3seq",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, count(*) AS n_patterns
+    FROM seq
+    WHERE event_type = 'click' AND t1 = 'click' AND t2 = 'purchase'
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("window", "pattern"),
+)
+def events_pattern_3seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern detection (the MATCH_RECOGNIZE shape Spark
+    lacks natively): click -> click -> purchase as three CONSECUTIVE
+    events per user, via lead() over the per-user timeline — fixed-length
+    contiguous patterns compile to lead/lag columns on ONE keyed window
+    (single shuffle); variable-length patterns (A+ B* C) compile to the
+    gaps-and-islands cumulative-sum form `sessionize_events` uses.
+    Overlapping matches both count (each position starts its own
+    window), matching the oracle's semantics exactly."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.where(
+            (F.col("event_type") == "click")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_patterns"))
+        .orderBy("user_id")
+    )
