@@ -522,3 +522,43 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     ).orderBy("doc_id")
+
+
+@query(
+    "scalar_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS due_3mo,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1997-01-01') AS BIGINT)
+             AS days_to_97,
+           round(date_diff('day', date_trunc('month', o_orderdate),
+                           o_orderdate) * 1.0, 1) AS day_in_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    tags=("scalar", "datetime", "interval"),
+)
+def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware interval arithmetic parity: add-months (variable
+    month lengths), day difference against an anchor, day-of-month via
+    month truncation, and month-end — the datetime surface a time-series
+    user hits daily. All JVM expressions; the subtlety is
+    cross-engine convention (Spark datediff(end, start) vs DuckDB
+    date_diff('day', start, end) — argument order differs!), pinned here
+    by the shared oracle."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("due_3mo"),
+        F.datediff(F.lit("1997-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_97"),
+        F.round(
+            F.datediff(
+                F.col("o_orderdate"), F.date_trunc("month", "o_orderdate").cast("date")
+            )
+            * 1.0,
+            1,
+        ).alias("day_in_month"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+    )

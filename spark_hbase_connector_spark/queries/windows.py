@@ -947,3 +947,60 @@ def events_pattern_3seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_patterns"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_pattern_runs",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_id
+      FROM flags
+    ),
+    sized AS (
+      SELECT user_id, event_type, run_id, count(*) AS run_len
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type,
+           count(*) AS n_runs, max(run_len) AS longest_run
+    FROM sized WHERE run_len >= 3
+    GROUP BY user_id, event_type ORDER BY user_id, event_type
+    """,
+    tags=("window", "pattern", "runs"),
+)
+def events_pattern_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length pattern detection (the A+ shape): maximal runs of
+    >=3 consecutive same-type events per user — run-length encoding via
+    gaps-and-islands (break flag -> cumulative run id -> run sizes), the
+    compile target promised in `events_pattern_3seq` for unbounded
+    patterns. All three windows/aggregations share the per-user key:
+    one shuffle."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    brk = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = e.select(
+        "user_id", "event_type", F.sum(brk).over(wsum).alias("run_id")
+    )
+    sized = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        sized.where(F.col("run_len") >= 3)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_runs"), F.max("run_len").alias("longest_run")
+        )
+        .orderBy("user_id", "event_type")
+    )
