@@ -82,7 +82,8 @@ DRIVER_WINDOW = [
     "text_tfidf_topterms",
     "text_repetition_signals",
     "text_bigram_surprisal",
-    "text_langid",
+    # data-quality gate (expectations operator)
+    "dq_expectations_report",
     # corpus quality / curation
     "pii_scrub_customers",
     "contamination_ngram",

@@ -418,3 +418,44 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "dedup_normalized_exact",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                  ' +', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    grp AS (
+      SELECT nt, min(doc_id) AS keep_id, count(*) AS copies
+      FROM norm GROUP BY nt
+    )
+    SELECT keep_id, copies FROM grp WHERE copies >= 1 ORDER BY keep_id
+    """,
+    tags=("dedup", "normalization"),
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact-dedup — the first dedup pass of every web
+    pipeline: casefold, strip non-alphanumerics, collapse whitespace,
+    THEN hash-group. Catches trivially-reformatted copies (punctuation /
+    case / spacing variants) that byte-exact dedup misses, at exactly
+    the same single-shuffle cost; near-dup (MinHash) handles what
+    normalization can't. The normalization recipe is shared verbatim
+    with the oracle, because dedup recall is only as reproducible as the
+    normalizer."""
+    d = load(spark, sf_dir, "documents")
+    nt = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        d.select("doc_id", nt.alias("nt"))
+        .groupBy("nt")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("copies"))
+        .select("keep_id", "copies")
+        .orderBy("keep_id")
+    )
