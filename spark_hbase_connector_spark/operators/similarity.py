@@ -470,3 +470,86 @@ def cosine_pairs_lsh(
     # a pair can surface in up to nprobe shared cells; scores are identical
     # by construction so any representative survives
     return pairs.dropDuplicates(["id1", "id2"])
+
+
+def pca_project(
+    vectors: DataFrame,
+    k: int = 2,
+    v_id: str = "vec_id",
+    v_vec: str = "embedding",
+) -> tuple[DataFrame, "object"]:
+    """PCA dimensionality reduction for embedding columns ->
+    (projected DataFrame (id, proj: array<double>), explained-variance
+    ratios numpy array).
+
+    The distributed shape that makes PCA viable at 100 TB: the data-sized
+    work is ONE Arrow pass emitting per-batch covariance partials
+    (count, sum vector, flattened sum of outer products — d*(d+3)/2-ish
+    doubles per batch, NOT per row); the driver reduces n_batches
+    partial rows and runs the d x d eigendecomposition locally (d is the
+    embedding dim, <= a few thousand — the n x d corpus never leaves the
+    executors); the top-k components broadcast back into a second
+    map-only Arrow pass for projection. Two passes, zero shuffles.
+    Deterministic: partial sums are reduced with numpy float64 in a fixed
+    driver-side order and eigenvector sign is pinned (largest-|component|
+    coordinate made positive).
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = vectors.select(F.col(v_id).alias("id"), F.col(v_vec).alias("v"))
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "ss": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    parts = src.mapInPandas(
+        partials, schema="n long, s array<double>, ss array<double>"
+    ).toPandas()
+    if not len(parts):
+        raise ValueError("pca_project: empty input")
+    n = int(parts["n"].sum())
+    d = len(parts["s"].iloc[0])
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for _, row in parts.iterrows():
+        s += np.asarray(row["s"])
+        ss += np.asarray(row["ss"]).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order]  # d x k
+    # pin sign: make the largest-magnitude coordinate of each component positive
+    for j in range(comps.shape[1]):
+        i = int(np.abs(comps[:, j]).argmax())
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    total_var = float(np.clip(evals.sum(), 1e-300, None))
+    ratios = np.sort(evals)[::-1][:k] / total_var
+
+    spark = vectors.sparkSession
+    b_mean = spark.sparkContext.broadcast(mean)
+    b_comps = spark.sparkContext.broadcast(comps)
+
+    def project(batches):
+        mu, w = b_mean.value, b_comps.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            p = (m - mu) @ w
+            yield pd.DataFrame({"id": pdf["id"], "proj": [r.tolist() for r in p]})
+
+    id_type = vectors.schema[v_id].dataType.simpleString()
+    out = src.mapInPandas(project, schema=f"id {id_type}, proj array<double>")
+    return out.withColumnRenamed("id", v_id), ratios

@@ -459,3 +459,41 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_id", "copies")
         .orderBy("keep_id")
     )
+
+
+@query(
+    "embedding_pca_qa",
+    oracle="""
+    SELECT count(*) AS n_vectors, 8 AS k,
+           TRUE AS ratios_sorted, TRUE AS captures_above_uniform
+    FROM embeddings
+    """,
+    tags=("similarity", "pca", "qa"),
+)
+def embedding_pca_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA reduction QA gate (`operators/similarity.py:pca_project`):
+    project the corpus to k=8 components and certify the contract — one
+    projected row per input vector, explained-variance ratios sorted
+    non-increasing, and the top-8 capturing at least their uniform share
+    (8/64) of total variance (eigen-components are ordered by captured
+    variance, so this holds for ANY data; a violation means the
+    decomposition or the partial-covariance reduce broke). The
+    eigendecomposition itself is driver-side d x d — not
+    SQL-replayable — so, like `approx_quantiles_qa`, the ORACLE checks
+    the contract, not the numbers."""
+    from spark_hbase_connector_spark.operators.similarity import pca_project
+
+    e = load(spark, sf_dir, "embeddings")
+    proj, ratios = pca_project(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        k=8,
+    )
+    n = proj.agg(F.count("*").cast("bigint").alias("n"))
+    sorted_ok = bool(all(ratios[i] >= ratios[i + 1] for i in range(len(ratios) - 1)))
+    uniform_ok = bool(ratios.sum() >= 8.0 / 64.0)
+    return n.select(
+        F.col("n").alias("n_vectors"),
+        F.lit(8).alias("k"),
+        F.lit(sorted_ok).alias("ratios_sorted"),
+        F.lit(uniform_ok).alias("captures_above_uniform"),
+    )

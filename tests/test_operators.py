@@ -465,3 +465,39 @@ def test_compaction_recovery_heals_interrupted_publish(spark, tmp_path):
     stats = compact_flush_files(spark, d, target_bytes=1 << 20)
     assert stats["files_after"] == 1
     assert spark.read.parquet(d).count() == 10
+
+
+def test_pca_recovers_planted_axes(spark):
+    """Synthetic data with variance 100 along axis0, 25 along axis1, ~0
+    elsewhere: PCA must put >0.99 of the variance in the first two
+    components, project to (±10-ish, ±5-ish) coords, and be deterministic
+    (sign pinned)."""
+    import numpy as np
+
+    from spark_hbase_connector_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(400):
+        x = rng.normal(0, 10)
+        y = rng.normal(0, 5)
+        v = np.array([x, y, 0.01 * rng.normal(), 0.01 * rng.normal()])
+        rows.append((i, [float(t) for t in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj, ratios = pca_project(df, k=2)
+    assert ratios[0] > ratios[1] > 0
+    assert ratios[:2].sum() > 0.99
+    got = {r.vec_id: r.proj for r in proj.collect()}
+    assert len(got) == 400 and len(got[0]) == 2
+    # component 1 ~ axis0: projected coord correlates with original x
+    orig = {i: rows[i][1][0] for i in range(400)}
+    import statistics
+
+    xs = [orig[i] for i in range(400)]
+    ps = [got[i][0] for i in range(400)]
+    corr = statistics.correlation(xs, ps)
+    assert abs(corr) > 0.99
+    # deterministic across runs
+    proj2, ratios2 = pca_project(df, k=2)
+    got2 = {r.vec_id: r.proj for r in proj2.collect()}
+    assert got == got2 and list(ratios) == list(ratios2)
