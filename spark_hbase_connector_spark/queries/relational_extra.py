@@ -516,3 +516,74 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= 2)
         .orderBy(F.col("support").desc(), "p1", "p2")
     )
+
+
+@query(
+    "orders_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(revenue) OVER () AS cum_share
+      FROM rev
+    ),
+    classed AS (
+      SELECT l_partkey, revenue,
+             CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B'
+                  ELSE 'C' END AS klass
+      FROM ranked
+    )
+    SELECT klass, count(*) AS n_parts,
+           round(sum(revenue), 2) AS class_revenue
+    FROM classed GROUP BY klass ORDER BY klass
+    """,
+    tags=("window", "analytics", "pareto"),
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification: parts ranked by revenue, classed by
+    CUMULATIVE revenue share (A: first 80%, B: to 95%, C: tail) — the
+    inventory-analytics staple built on a running-total-over-total
+    window. The cumulative window is GLOBAL (unpartitioned ordering) but
+    runs over the per-part AGGREGATE (parts, not lineitems) — acceptable
+    because the part relation is key-sized; at 100 TB class the
+    aggregate, never the fact table, and if even the key relation is too
+    large swap the global window for `assign_prefix_sums`' bucketed
+    distributed prefix sums (same output, no single-partition sort)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    w_cum = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "revenue",
+        (F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all)).alias(
+            "cum_share"
+        ),
+    )
+    classed = ranked.select(
+        "revenue",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("klass"),
+    )
+    return (
+        classed.groupBy("klass")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        )
+        .orderBy("klass")
+    )

@@ -1004,3 +1004,49 @@ def events_pattern_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "events_rolling_active_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    ),
+    du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, count(DISTINCT u.user_id) AS wau
+    FROM days d JOIN du u
+      ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("window", "distinct", "timeseries"),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the rolling-DISTINCT
+    problem, which no window frame can express exactly (distinct doesn't
+    decompose over sliding frames). The scalable exact form: reduce to
+    per-day distinct (user, day) pairs FIRST (one shuffle, corpus ->
+    day x users), then a day-spine range join fans each day-user row to
+    <=7 trailing days before the final distinct count — join volume is
+    7 x |daily active|, independent of raw event count. The approximate
+    path at extreme scale is per-day HLL sketches union-merged over the
+    trailing window (`hll_sketch_union_qa`'s mergeability is exactly
+    what enables it)."""
+    e = load(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().alias("d")
+    u = du.alias("u")
+    return (
+        days.join(
+            u,
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.date_format(F.col("d.day"), "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+        .orderBy("day")
+    )
