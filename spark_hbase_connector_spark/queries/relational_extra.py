@@ -587,3 +587,41 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("klass")
     )
+
+
+@query(
+    "table_checksum_orders",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(('0x' || substring(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 o_orderstatus || '|' || o_orderpriority
+               ), 1, 8))::UBIGINT) AS BIGINT) AS checksum
+    FROM orders
+    """,
+    tags=("ops", "checksum", "reconciliation"),
+)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the cross-system reconciliation
+    tool a migration needs (did every row survive the HBase -> engine
+    move?): hash a canonical row rendering, SUM the hashes (commutative,
+    so partitioning/ordering never matters), compare one number per
+    side. One aggregation pass, partial-aggregated; the canonical
+    rendering sticks to exactly-representable columns (keys, strings) —
+    floats would need an epsilon-free decimal rendering contract first.
+    md5-derived 32-bit words keep the hash cross-engine (xxhash64 is
+    Spark-only)."""
+    o = load(spark, sf_dir, "orders")
+    rendering = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    word = F.conv(F.substring(F.md5(rendering), 1, 8), 16, 10).cast("bigint")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(word).cast("bigint").alias("checksum"),
+    )
