@@ -562,3 +562,82 @@ def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day_in_month"),
         F.last_day("o_orderdate").cast("string").alias("month_end"),
     )
+
+
+@query(
+    "scalar_haversine_nearest",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             -60 + (user_id % 120) * 1.0 AS lat,
+             -170 + ((user_id * 7) % 340) * 1.0 AS lon
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id <= 300) t
+    ),
+    anchors(name, alat, alon) AS (VALUES
+      ('nyc', 40.7, -74.0), ('lon', 51.5, -0.1), ('sgp', 1.35, 103.8),
+      ('syd', -33.9, 151.2), ('gru', -23.5, -46.6)
+    ),
+    dists AS (
+      SELECT p.user_id, a.name,
+             2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(a.alat - p.lat) / 2), 2)
+               + cos(radians(p.lat)) * cos(radians(a.alat))
+                 * pow(sin(radians(a.alon - p.lon) / 2), 2)
+             )) AS km
+      FROM pts p CROSS JOIN anchors a
+    )
+    SELECT user_id, name AS nearest, round(km, 1) AS km
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY km, name) AS rn FROM dists)
+    WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=("scalar", "geo"),
+)
+def scalar_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-lite: great-circle (haversine) distance classification of each
+    point to its nearest anchor city — broadcast nearest-neighbor over a
+    tiny anchor table, the geo-enrichment shape (nearest warehouse /
+    datacenter / store). Spherical trig is all JVM math functions;
+    coordinates are synthesized deterministically from user ids (the
+    harness schema carries no geo columns). At scale the anchor set
+    broadcasts and the cross join is |rows| x |anchors| map-side — for
+    LARGE anchor sets switch to a geohash-bucketed join (the z-order
+    trick of `scalar_zorder_key` applied to lat/lon bits)."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") <= 300)
+    pts = e.select("user_id").distinct().select(
+        "user_id",
+        (-60 + (F.col("user_id") % 120) * 1.0).alias("lat"),
+        (-170 + ((F.col("user_id") * 7) % 340) * 1.0).alias("lon"),
+    )
+    anchors = pts.sparkSession.createDataFrame(
+        [
+            ("nyc", 40.7, -74.0),
+            ("lon", 51.5, -0.1),
+            ("sgp", 1.35, 103.8),
+            ("syd", -33.9, 151.2),
+            ("gru", -23.5, -46.6),
+        ],
+        ["name", "alat", "alon"],
+    )
+    km = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("alat") - F.col("lat")) / 2), 2)
+                + F.cos(F.radians("lat"))
+                * F.cos(F.radians("alat"))
+                * F.pow(F.sin(F.radians(F.col("alon") - F.col("lon")) / 2), 2)
+            )
+        )
+    )
+    dists = pts.crossJoin(F.broadcast(anchors)).select(
+        "user_id", "name", km.alias("km")
+    )
+    w = Window.partitionBy("user_id").orderBy("km", "name")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("name").alias("nearest"), F.round("km", 1).alias("km"))
+        .orderBy("user_id")
+    )

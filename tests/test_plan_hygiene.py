@@ -43,6 +43,9 @@ _BNLJ_ALLOWED = {
     # region_split_plan_qa broadcasts the single-row split-boundary sketch
     # against the fact table to bucket rows
     "region_split_plan_qa",
+    # scalar_haversine_nearest: 5-row anchor table broadcast-crossed for
+    # nearest-neighbor classification
+    "scalar_haversine_nearest",
 }
 
 _SKIP_TAGS = {"streaming", "fixture"}
