@@ -576,3 +576,50 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreign_key("l_orderkey", orders, "o_orderkey"),
     ]
     return expect(li, rules)
+
+
+@query(
+    "kv_time_travel_read",
+    oracle="""
+    WITH ks AS (SELECT k FROM range(1, 201) t(k)),
+    cells AS (
+      SELECT k AS rowkey, k * 10 + v AS ts, k * 1000 + v AS value
+      FROM ks, unnest(range(1, k % 3 + 2)) t(v)
+    ),
+    st AS (
+      SELECT rowkey, max_by(value, ts) AS value_asof, max(ts) AS ts_asof
+      FROM cells WHERE ts <= 1000 GROUP BY rowkey
+    )
+    SELECT rowkey, value_asof, ts_asof FROM st ORDER BY rowkey
+    """,
+    tags=("kv", "versions", "time-travel"),
+)
+def kv_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read over versioned cells: table state AS OF ts=1000 —
+    filter versions to ts <= T (map-side, rides the scan; at rest the
+    row-group ts min/max prunes whole files), then newest-version-wins
+    per rowkey via max_by (one partial-aggregated shuffle, the same
+    VERSIONS=1 read view `from_kv(ts_col=...)` implements). Rows whose
+    every version is later than T are absent — exactly HBase's
+    timerange scan semantics. Deterministic generated history shared
+    with the oracle (same recipe as `kv_major_compact_versions`)."""
+    ks = spark.range(1, 201).select(F.col("id").alias("k"))
+    cells = (
+        ks.select(
+            "k", F.explode(F.sequence(F.lit(1), F.col("k") % 3 + 1)).alias("v")
+        )
+        .select(
+            F.col("k").alias("rowkey"),
+            (F.col("k") * 10 + F.col("v")).alias("ts"),
+            (F.col("k") * 1000 + F.col("v")).alias("value"),
+        )
+    )
+    return (
+        cells.where(F.col("ts") <= 1000)
+        .groupBy("rowkey")
+        .agg(
+            F.max_by("value", "ts").alias("value_asof"),
+            F.max("ts").alias("ts_asof"),
+        )
+        .orderBy("rowkey")
+    )

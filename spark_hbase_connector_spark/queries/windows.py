@@ -1050,3 +1050,46 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("u.user_id").alias("wau"))
         .orderBy("day")
     )
+
+
+@query(
+    "scd2_build_intervals",
+    oracle="""
+    SELECT user_id, ts AS valid_from,
+           coalesce(lead(ts) OVER w, TIMESTAMP '2100-01-01 00:00:00')
+             AS valid_to,
+           round(value, 4) AS value,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'purchase' AND user_id <= 200
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from
+    """,
+    tags=("window", "scd2", "cdc"),
+)
+def scd2_build_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history construction: a change stream (per-user
+    purchase values) becomes validity intervals [valid_from, valid_to)
+    with an is_current flag — each version closed by its successor's
+    timestamp, open tail pinned to a far-future sentinel (2100-01-01 — far enough for the contract, small enough for nanosecond engines: 9999-12-31 overflows int64 nanos). One lead()
+    per keyed window = one shuffle; this is the dimension-history build
+    step that pairs with the as-of join (`asof_join_events` queries the
+    SAME semantics without materializing intervals — materialize when
+    many readers share the history, as-of when one does)."""
+    e = load(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") <= 200)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        e.select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.coalesce(nxt, F.lit("2100-01-01 00:00:00").cast("timestamp")).alias(
+                "valid_to"
+            ),
+            F.round("value", 4).alias("value"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
