@@ -1990,3 +1990,34 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.where(F.col("source") == "src0")
     corpus = d.where(F.col("source") != "src0")
     return minhash_lsh_pairs_incremental(new, corpus, "text", "doc_id", threshold=0.85)
+
+
+@query(
+    "multimodal_payload_dedup",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS payload_hash FROM documents)
+    SELECT payload_hash, min(doc_id) AS keep_id, count(*) AS copies
+    FROM h GROUP BY payload_hash
+    ORDER BY keep_id
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact media dedup: hash the BINARY payload (not a text
+    rendering) and keep the lowest id per digest — the first dedup pass
+    of any image/audio corpus (identical files dominate crawled media).
+    The md5 runs JVM-side on the binary column during the scan, so only
+    32-char digests shuffle, never payload bytes — at 100 TB that is the
+    entire cost model (the shuffle is digest-sized regardless of asset
+    size). The oracle hashes the identical bytes (payloads are the UTF-8
+    text in this harness, `attach_payload`)."""
+    from spark_hbase_connector_spark.operators.multimodal import attach_payload
+
+    d = load(spark, sf_dir, "documents")
+    assets = attach_payload(d, "text", "doc_id")
+    return (
+        assets.select("id", F.md5("payload").alias("payload_hash"))
+        .groupBy("payload_hash")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("copies"))
+        .orderBy("keep_id")
+    )

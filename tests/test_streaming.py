@@ -243,3 +243,53 @@ def test_latest_per_key_state_across_batches(spark, tmp_path):
     # revised across batches, not recomputed within one)
     multi = emitted.groupBy("user_id").count().where(F.col("count") > 1).count()
     assert multi > 0
+
+
+def test_trigger_available_now_backfill_drains_and_stops(spark, tmp_path):
+    """trigger(availableNow=True) — the BACKFILL pattern: drain everything
+    currently in the source (across multiple rate-limited micro-batches),
+    then stop on its own; a second invocation picks up only files added
+    since. This is how a batch-cadence job reuses the streaming
+    checkpoint/exactly-once machinery."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    d, n_files = _split_events_time_ordered(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(d).schema
+
+    def run_once(qname):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive  # stopped by itself — the backfill contract
+        return q
+
+    total = spark.read.parquet(d).count()
+    run_once("an_first")
+    assert spark.table("an_first").collect()[0].n == total
+
+    # append one more file; a new availableNow run processes ONLY the delta
+    extra_src = spark.read.parquet(d).limit(7)
+    extra_src.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "extra"))
+    part = next(
+        f for f in os.listdir(tmp_path / "extra") if f.endswith(".parquet")
+    )
+    os.replace(
+        str(tmp_path / "extra" / part), os.path.join(d, "zzz-late.parquet")
+    )
+    run_once("an_second")
+    assert spark.table("an_second").collect()[0].n == total + 7
