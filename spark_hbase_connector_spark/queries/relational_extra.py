@@ -625,3 +625,86 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(word).cast("bigint").alias("checksum"),
     )
+
+
+@query(
+    "agg_distinct_salted",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "distinct", "skew"),
+)
+def agg_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase EXACT distinct for hot keys: salt by hash(user) % 16 so
+    each (event_type, salt) bucket deduplicates a DISJOINT slice of
+    users (same user -> same salt, so per-bucket distincts sum exactly),
+    then merge bucket counts. This is the manual skew treatment when one
+    group's value set outgrows a single aggregation task — 16 tasks each
+    hold 1/16th of the hot key's users instead of one task holding all.
+    Output-identical to plain count(DISTINCT) (the oracle), like
+    `join_salted_skew` for joins and `agg_bitmap_distinct` for the
+    mergeable-sketch road."""
+    e = load(spark, sf_dir, "events")
+    salted = e.select(
+        "event_type", "user_id", (F.xxhash64("user_id") % 16).alias("salt")
+    )
+    per_bucket = salted.groupBy("event_type", "salt").agg(
+        F.countDistinct("user_id").alias("d")
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum("d").cast("bigint").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "count_min_qa",
+    oracle="""
+    SELECT event_type, count(*) AS exact_count,
+           TRUE AS never_underestimates, TRUE AS within_1pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("sketch", "qa", "count-min"),
+)
+def count_min_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch acceptance gate: a fixed-size frequency sketch
+    (built distributed via Spark's ``count_min_sketch`` aggregate,
+    merged map-side like any partial agg) must (a) NEVER underestimate —
+    the CMS structural guarantee — and (b) stay within 1% here (width
+    8192 >> the 5-value type cardinality, so collisions are ~0). The
+    sketch answers point frequency queries without rescanning — the
+    streaming/telemetry companion to `approx_heavy_hitters_qa` (which
+    finds WHICH keys are heavy; CMS answers HOW OFTEN for any key).
+    Estimates are seed-deterministic but engine-specific, so the oracle
+    pins the CONTRACT, not the numbers."""
+    e = load(spark, sf_dir, "events")
+    sk_row = e.agg(
+        F.expr(
+            "hex(count_min_sketch(event_type, cast(0.0001 as double), "
+            "cast(0.99 as double), 42))"
+        ).alias("sk")
+    ).collect()[0]
+    jvm = e.sparkSession._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes.fromhex(sk_row.sk)
+    )
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    rows = []
+    for t in sorted(exact):
+        est = sketch.estimateCount(t)
+        rows.append(
+            (
+                t,
+                exact[t],
+                bool(est >= exact[t]),
+                bool(est <= exact[t] * 1.01),
+            )
+        )
+    return e.sparkSession.createDataFrame(
+        rows, "event_type string, exact_count long, never_underestimates boolean, within_1pct boolean"
+    )
