@@ -1033,21 +1033,25 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     7 x |daily active|, independent of raw event count. The approximate
     path at extreme scale is per-day HLL sketches union-merged over the
     trailing window (`hll_sketch_union_qa`'s mergeability is exactly
-    what enables it)."""
+    what enables it). The fan-out is an EXPLODE to the <=7 spine days
+    each day-user row contributes to — a pure equi-aggregation, so no
+    nested-loop range join ever enters the plan; the semi join against
+    the observed day spine drops fanned-out days beyond the data."""
     e = load(spark, sf_dir, "events")
     du = e.select(
         F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
     ).distinct()
-    days = du.select("day").distinct().alias("d")
-    u = du.alias("u")
+    days = du.select("day").distinct()
+    fan = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "day"
+        ),
+        "user_id",
+    )
     return (
-        days.join(
-            u,
-            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
-            & (F.col("u.day") <= F.col("d.day")),
-        )
-        .groupBy(F.date_format(F.col("d.day"), "yyyy-MM-dd").alias("day"))
-        .agg(F.countDistinct("u.user_id").alias("wau"))
+        fan.join(days, "day", "semi")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
         .orderBy("day")
     )
 
