@@ -497,3 +497,54 @@ def embedding_pca_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(sorted_ok).alias("ratios_sorted"),
         F.lit(uniform_ok).alias("captures_above_uniform"),
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH counts AS (
+      SELECT tok, count(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+      FROM counts
+    ),
+    top AS (SELECT ln(r) AS lr, ln(c) AS lc FROM ranked WHERE r <= 1000)
+    SELECT round(regr_slope(lc, lr), 4) AS zipf_slope,
+           round(regr_r2(lc, lr), 4) AS r2,
+           count(*) AS n_points
+    FROM top
+    """,
+    tags=("text", "stats", "zipf"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency distribution: log-log
+    regression of frequency on rank for the top-1000 tokens. Natural
+    corpora fit slope ~ -1; a large deviation (or a poor r2) flags
+    template/boilerplate-dominated or synthetic text — a corpus-level
+    QA signal complementing the per-document gates. The ranked relation
+    is vocabulary-sized; the regression is one partial-aggregated pass
+    (regr_* are algebraic aggregates)."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    # top-1000 FIRST via TakeOrderedAndProject (distributed partial
+    # top-k), THEN rank within the 1000-row result — the global
+    # row_number window only ever sees a bounded relation, never the
+    # whole vocabulary (the vocab_coverage lesson)
+    top1k = counts.orderBy(F.col("c").desc(), "tok").limit(1000)
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    top = top1k.withColumn("r", F.row_number().over(w)).select(
+        F.log(F.col("r")).alias("lr"), F.log(F.col("c")).alias("lc")
+    )
+    return top.agg(
+        F.round(F.expr("regr_slope(lc, lr)"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(lc, lr)"), 4).alias("r2"),
+        F.count("*").alias("n_points"),
+    )

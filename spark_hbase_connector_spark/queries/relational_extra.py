@@ -708,3 +708,61 @@ def count_min_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.sparkSession.createDataFrame(
         rows, "event_type string, exact_count long, never_underestimates boolean, within_1pct boolean"
     )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, any_value(med) AS med,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, round(any_value(d.med), 4) AS median_value,
+           round(any_value(m.mad), 4) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    tags=("agg", "robust-stats", "outliers"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: per-type
+    median, then the median of absolute deviations, then count values
+    beyond 3 MAD — the z-score's resistant cousin
+    (`events_anomaly_zscore` breaks when the outliers ARE the tail;
+    medians don't). Two exact-percentile aggregations + one broadcast of
+    the type-level medians (key-sized both times); Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the interpolation formula
+    (pinned by `window_rolling_median`)."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("median_value"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
