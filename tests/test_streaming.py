@@ -154,7 +154,16 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     q.processAllAvailable()
     write_batch(rows2, 1)  # arrives in a LATER micro-batch, after watermark moved
     q.processAllAvailable()
+    # observability: the drop must be VISIBLE in the state-operator
+    # metrics (numRowsDroppedByWatermark), not just inferable from absence
+    # — this is the counter a production monitor alerts on
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
     q.stop()
+    assert dropped >= 1, "late row not recorded in numRowsDroppedByWatermark"
     got = {(r.window_start.isoformat(), r.n, r.total_value) for r in spark.table("wm_late").collect()}
     # the 00:00 window was finalized with ONLY event 1; the late 03:00
     # event's window is beyond the final watermark and must never emit
