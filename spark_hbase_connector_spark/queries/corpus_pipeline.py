@@ -548,3 +548,120 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_r2(lc, lr)"), 4).alias("r2"),
         F.count("*").alias("n_points"),
     )
+
+
+@query(
+    "pipeline_lineage_report",
+    oracle="""
+    WITH norm AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                        ' +', ' ', 'g')) AS nt
+            FROM documents)
+      GROUP BY nt
+    ),
+    gated AS (
+      SELECT d.doc_id, d.source, d.text FROM documents d
+      JOIN norm USING (doc_id)
+      WHERE d.n_chars BETWEEN 100 AND 500
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(l) - 3),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                    l[i+3] || ' ' || l[i+4])) AS shs
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS l FROM gated)
+      WHERE len(l) >= 5
+    ),
+    post AS (SELECT doc_id, source, unnest(shs) AS s FROM sh),
+    contaminated AS (
+      SELECT DISTINCT tr.doc_id
+      FROM (SELECT doc_id, s FROM post WHERE source != 'src0') tr
+      JOIN (SELECT doc_id, s FROM post WHERE source = 'src0') ev USING (s)
+      GROUP BY tr.doc_id, ev.doc_id HAVING count(*) >= 3
+    ),
+    clean AS (
+      SELECT g.doc_id FROM gated g
+      WHERE g.source != 'src0'
+        AND g.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    train AS (
+      SELECT doc_id FROM clean
+      WHERE (('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100) < 80
+    )
+    SELECT stage, rows FROM (
+      SELECT '1_ingest' AS stage, (SELECT count(*) FROM documents) AS rows
+      UNION ALL SELECT '2_normalize_dedup', (SELECT count(*) FROM norm)
+      UNION ALL SELECT '3_length_gate', (SELECT count(*) FROM gated)
+      UNION ALL SELECT '4_decontaminated', (SELECT count(*) FROM clean)
+      UNION ALL SELECT '5_train_split', (SELECT count(*) FROM train)
+    ) ORDER BY stage
+    """,
+    tags=("pipeline", "lineage", "curation"),
+)
+def pipeline_lineage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE plan, reported as per-stage
+    lineage counts — ingest -> normalize+exact-dedup -> length gate ->
+    benchmark decontamination (drop eval source + any doc sharing >=3
+    distinct 5-grams with it) -> deterministic 80% train split. The
+    count-per-stage report is what a pipeline run publishes for audit
+    ("where did my rows go"), and the composition proves the stages —
+    each an audited standalone operator — actually chain. Each stage
+    reuses the standalone entry's exact semantics
+    (`dedup_normalized_exact`, `contamination_ngram`,
+    `split_train_val_test`), so the lineage is cross-checked against
+    their oracles transitively."""
+    from spark_hbase_connector_spark.operators.dedup import shingle_postings
+    from spark_hbase_connector_spark.queries.northstar import _SPARK_H100
+
+    d = load(spark, sf_dir, "documents")
+    nt = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    norm = (
+        d.select("doc_id", nt.alias("nt"))
+        .groupBy("nt")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    gated = d.join(norm, "doc_id").where(F.col("n_chars").between(100, 500))
+    gated = gated.persist()
+    ev = shingle_postings(
+        gated.where(F.col("source") == "src0"), "text", "doc_id", w=5
+    ).withColumnRenamed("id", "eval_id")
+    tr = shingle_postings(
+        gated.where(F.col("source") != "src0"), "text", "doc_id", w=5
+    ).withColumnRenamed("id", "train_id")
+    contaminated = (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = (
+        gated.where(F.col("source") != "src0")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+    clean = clean.persist()
+    train = clean.where(F.expr(_SPARK_H100.format(salt="split:")) < 80)
+
+    def stage(name, df):
+        return df.agg(F.count(F.lit(1)).alias("rows")).select(
+            F.lit(name).alias("stage"), F.col("rows").cast("bigint")
+        )
+
+    out = (
+        stage("1_ingest", d)
+        .unionByName(stage("2_normalize_dedup", norm))
+        .unionByName(stage("3_length_gate", gated))
+        .unionByName(stage("4_decontaminated", clean))
+        .unionByName(stage("5_train_split", train))
+        .orderBy("stage")
+    )
+    return out
