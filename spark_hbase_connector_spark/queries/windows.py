@@ -1097,3 +1097,66 @@ def scd2_build_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+@query(
+    "events_max_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, ts AS s,
+             ts + to_minutes(CAST(greatest(1.0, value) AS BIGINT)) AS e
+      FROM events WHERE user_id <= 500
+    ),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS delta FROM iv
+    ),
+    run AS (
+      SELECT event_type,
+             sum(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS live
+      FROM pts
+    )
+    SELECT event_type, CAST(max(live) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("window", "interval", "sweep"),
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per type — the interval-overlap sweep: each
+    interval (start = ts, end = ts + value minutes) contributes +1/-1
+    boundary points; a running sum over the time-ordered points peaks at
+    the max overlap. O(n log n) via one keyed window — never the O(n²)
+    interval self-join. Boundary ordering puts -1 before +1 at equal
+    timestamps (delta ascending), so back-to-back intervals don't count
+    as overlapping — the oracle pins that convention."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") <= 500)
+    iv = e.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (
+            F.col("ts")
+            + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.greatest(F.lit(1.0), F.col("value")).cast("bigint").cast("int")
+            )
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.select("event_type", F.sum("delta").over(w).alias("live"))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("bigint").alias("max_concurrent"))
+        .orderBy("event_type")
+    )
