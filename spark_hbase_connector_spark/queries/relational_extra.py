@@ -766,3 +766,56 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), TIMESTAMP '1998-08-02') AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             CAST(ntile(5) OVER (ORDER BY recency_days ASC,  o_custkey) AS INTEGER) AS r,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f,
+             CAST(ntile(5) OVER (ORDER BY monetary  DESC, o_custkey) AS INTEGER) AS m
+      FROM per_cust
+    )
+    SELECT r, f, m, count(*) AS n_customers
+    FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """,
+    tags=("window", "analytics", "segmentation"),
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since last
+    order vs the dataset's end date — an explicit anchor, never
+    wall-clock), Frequency, Monetary, each quintile-scored with ntile(5),
+    reported as segment-cell counts. The ntile windows are global but run
+    over the per-customer AGGREGATE (key-sized — the `orders_abc` rule);
+    ties broken by customer key so the quintile boundaries are
+    deterministic on both engines."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-08-02").cast("date"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    scored = per_cust.select(
+        F.ntile(5).over(wr).cast("int").alias("r"),
+        F.ntile(5).over(wf).cast("int").alias("f"),
+        F.ntile(5).over(wm).cast("int").alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
