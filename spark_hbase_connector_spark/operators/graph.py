@@ -108,6 +108,17 @@ def connected_components(
         labels = updated.select("id", "comp")
         if n_changed == 0:
             break
+    else:
+        # returning silently-unconverged labels is a correctness bug (a
+        # chain deeper than 2*max_iter would get WRONG components);
+        # surface it loudly and point at the O(log n) alternative
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} fused "
+            "double-hops (graph diameter > 2*max_iter). Raise max_iter or "
+            "use connected_components_star (O(log n) rounds) for "
+            "chain-heavy graphs."
+        )
     edges.unpersist()
     return labels
 
@@ -180,3 +191,94 @@ def pagerank(
     ej.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction — the O(log n)-round algorithm for graphs with LONG
+    chains, where plain min-label propagation (`connected_components`)
+    needs O(diameter) rounds. Same (id, comp) output contract.
+
+    Each round: large-star hangs every larger neighbor of u onto
+    min(N(u) ∪ {u}); small-star (on max-canonicalized edges) re-hangs all
+    smaller neighbors and u itself onto that minimum. The edge set
+    contracts toward stars rooted at component minima; at the fixpoint
+    every edge is (node, root). Convergence is detected with an
+    order-independent edge-set checksum (count + hash-sum) — one tiny
+    aggregation per round instead of a full set comparison.
+
+    Scale: each round is two groupBy-min aggregations + joins keyed on
+    node ids (all partial-aggregated), and the edge set only shrinks or
+    re-targets — no round ever multiplies edges beyond the symmetrized
+    input. Use this for diameter-heavy graphs; for dedup cliques the
+    propagation loop converges in fewer materializations.
+    """
+    E = (
+        pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # remember every vertex: star contraction drops edges of already-
+    # rooted nodes, but the output must cover all of them
+    all_nodes = (
+        E.select(F.col("u").alias("id"))
+        .unionByName(E.select(F.col("v").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    all_nodes.count()
+    prev = None
+    for _ in range(max_iter):
+        sym = E.unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        large = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        can = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m2 = can.groupBy("u").agg(F.min("v").alias("mn"))
+        hang_neighbors = (
+            can.join(m2, "u")
+            .where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        hang_self = m2.select("u", F.col("mn").alias("v"))
+        E = (
+            hang_neighbors.unionByName(hang_self)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # hash-sum in modular space: raw xxhash64 sums overflow ANSI
+        # long addition on large edge sets
+        chk = E.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        cur = (chk.n, chk.h)
+        if cur == prev:
+            break
+        prev = cur
+    labels = E.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    roots = all_nodes.join(labels, "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    out = labels.unionByName(roots)
+    all_nodes.unpersist()
+    return out
