@@ -819,3 +819,52 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("r", "f", "m")
     )
+
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    shifted AS (
+      SELECT strftime(m, '%Y-%m') AS month, revenue,
+             lag(revenue, 12) OVER (ORDER BY m) AS prior_year
+      FROM monthly
+    )
+    SELECT month, revenue,
+           round(revenue / prior_year - 1, 4) AS yoy_growth
+    FROM shifted WHERE prior_year IS NOT NULL
+    ORDER BY month
+    """,
+    tags=("window", "timeseries", "yoy"),
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per month: monthly revenue joined to itself
+    12 rows back (lag(12) over the month-ordered aggregate). The window
+    is global but month-grid-sized (the `orders_abc` rule: window the
+    AGGREGATE, never the fact table); months without a prior-year
+    comparison are excluded rather than reported as NULL growth."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("m")
+    shifted = monthly.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "revenue",
+        F.lag("revenue", 12).over(w).alias("prior_year"),
+    )
+    return (
+        shifted.where(F.col("prior_year").isNotNull())
+        .select(
+            "month",
+            "revenue",
+            F.round(F.col("revenue") / F.col("prior_year") - 1, 4).alias(
+                "yoy_growth"
+            ),
+        )
+        .orderBy("month")
+    )
