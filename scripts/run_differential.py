@@ -1,7 +1,12 @@
 """Run the DuckDB differential per-query with timings. Usage:
 python scripts/run_differential.py [sf_dir] [name ...]
+
+Set DIFF_JSON_OUT=<path> to also write a machine-readable per-query
+record (the committed-artifact form the round-2 advisor asked for).
 """
 
+import json
+import os
 import sys
 import time
 
@@ -19,6 +24,7 @@ def main():
     con = duckdb_connection(sf_dir)
     n_ok = 0
     n_run = 0
+    records = {}
     for name in names:
         spec = REGISTRY[name]
         if spec.oracle is None:
@@ -34,14 +40,29 @@ def main():
             r = compare_frames(name, spark_pdf, oracle_pdf)
             status = "PASS " if r.ok else "FAIL "
             n_ok += r.ok
+            records[name] = {
+                "ok": bool(r.ok),
+                "rows": int(len(spark_pdf)),
+                "spark_sec": round(t1 - t0, 2),
+                "detail": None if r.ok else r.detail[:300],
+            }
             print(
                 f"{status} {name}  spark={t1-t0:.1f}s oracle={t2-t1:.1f}s rows={len(spark_pdf)}"
                 + ("" if r.ok else f"\n      {r.detail[:400]}"),
                 flush=True,
             )
         except Exception as exc:
+            records[name] = {"ok": False, "error": str(exc)[:300]}
             print(f"ERROR {name}  {time.time()-t0:.1f}s: {str(exc)[:400]}", flush=True)
     print(f"== {n_ok}/{n_run} passed ==", flush=True)
+    out = os.environ.get("DIFF_JSON_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "passed": n_ok, "run": n_run,
+                 "queries": records},
+                f, indent=1,
+            )
     spark.stop()
 
 
