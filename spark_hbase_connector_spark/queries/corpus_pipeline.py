@@ -665,3 +665,53 @@ def pipeline_lineage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("stage")
     )
     return out
+
+
+@query(
+    "dedup_threshold_histogram",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(l) - 1),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shs
+      FROM t WHERE len(l) >= 3
+    ),
+    post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT round(floor((i * 1.0 / (sa.n + sb.n - i)) * 10) / 10.0, 1) AS bucket
+      FROM inter
+      JOIN sizes sa ON id1 = sa.doc_id
+      JOIN sizes sb ON id2 = sb.doc_id
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.1
+    )
+    SELECT bucket, count(*) AS n_pairs
+    FROM jac GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("dedup", "tuning", "histogram"),
+)
+def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold tuning curve: the histogram of candidate-pair
+    Jaccard scores (0.1-wide buckets, floor at 0.1) — ONE pass over the
+    pair relation answers "how many near-dups would each threshold
+    remove", instead of re-running the dedup per candidate threshold.
+    This is the knob-setting tool for `dedup_ngram_jaccard`'s threshold
+    and the LSH banding parameters; same inverted-index candidate
+    generation, so cost is the pair join it would run anyway."""
+    from spark_hbase_connector_spark.operators.dedup import shingle_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(d, "text", "doc_id", threshold=0.1)
+    bucket = F.round(F.floor(F.col("jaccard") * 10) / 10.0, 1)
+    return (
+        pairs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("bucket")
+    )

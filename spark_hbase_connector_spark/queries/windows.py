@@ -1160,3 +1160,47 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("live").cast("bigint").alias("max_concurrent"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    t AS (SELECT src, dst FROM seq WHERE dst IS NOT NULL)
+    SELECT src, dst, count(*) AS n,
+           round(count(*) * 1.0 /
+                 sum(count(*)) OVER (PARTITION BY src), 4) AS p
+    FROM t GROUP BY src, dst ORDER BY src, dst
+    """,
+    tags=("window", "sequence", "markov"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition statistics over per-user event
+    sequences: count and conditional probability of each (current ->
+    next) event-type pair — the behavioral-model fit that generalizes
+    the fixed patterns of `events_pattern_3seq` (any pattern's likelihood
+    falls out of this matrix). One keyed window for the successor, one
+    5x5-keyed aggregation, and a type-partitioned normalization window
+    over the TRANSITION MATRIX (25 rows), never the event stream."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    wsrc = Window.partitionBy("src")
+    return (
+        counts.select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(wsrc), 4).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
