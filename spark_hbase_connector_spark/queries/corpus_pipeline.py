@@ -715,3 +715,82 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "knn_label_qa",
+    oracle=f"""
+    WITH {_DUCK_VECS},
+    ev AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 10 = 0),
+    tr AS (SELECT vec_id, e, nrm FROM n WHERE vec_id % 10 != 0),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    scored AS (
+      SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+             list_sum(list_transform(range(1, len(ev.e) + 1),
+                      i -> ev.e[i] * tr.e[i])) / (ev.nrm * tr.nrm) AS score
+      FROM ev CROSS JOIN tr
+    ),
+    top3 AS (
+      SELECT eval_id, train_id FROM (
+        SELECT eval_id, train_id,
+               row_number() OVER (PARTITION BY eval_id
+                                  ORDER BY score DESC, train_id) AS rn
+        FROM scored) WHERE rn <= 3
+    ),
+    votes AS (
+      SELECT t.eval_id, l.label, count(*) AS v
+      FROM top3 t JOIN lbl l ON l.vec_id = t.train_id
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT eval_id, label AS predicted FROM (
+        SELECT eval_id, label,
+               row_number() OVER (PARTITION BY eval_id
+                                  ORDER BY v DESC, label) AS rn
+        FROM votes) WHERE rn = 1
+    )
+    SELECT count(*) AS n_eval,
+           CAST(sum(CASE WHEN p.predicted = l.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+    FROM pred p JOIN lbl l ON l.vec_id = p.eval_id
+    """,
+    tags=("similarity", "knn", "qa"),
+)
+def knn_label_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-transfer evaluation: every 10th vector is held out,
+    classified by majority vote of its 3 nearest labeled neighbors
+    (cosine), and scored against its true label — the standard quality
+    probe for an embedding space ("do nearest neighbors share labels?"),
+    run entirely through the engine's ANN surface. Deterministic ties
+    (neighbor id, then label) make the accuracy EXACTLY replayable, so
+    unlike the recall gates this oracle checks the numbers, not just a
+    contract. Scale path: swap the exact scoring for `ann_topk_ivf`
+    (identical downstream vote/score plan)."""
+    from spark_hbase_connector_spark.operators.similarity import brute_force_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    ev = e.where(F.col("vec_id") % 10 == 0)
+    tr = e.where(F.col("vec_id") % 10 != 0)
+    top3 = brute_force_topk(
+        ev.select("vec_id", "embedding"),
+        tr.select("vec_id", "embedding"),
+        k=3,
+    )
+    lbl = e.select("vec_id", "label")
+    votes = (
+        top3.join(lbl.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("v").desc(), "label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("query_id").alias("vec_id"), F.col("label").alias("predicted"))
+    )
+    return pred.join(lbl, "vec_id").agg(
+        F.count("*").alias("n_eval"),
+        F.sum(F.when(F.col("predicted") == F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+    )

@@ -641,3 +641,53 @@ def scalar_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("name").alias("nearest"), F.round("km", 1).alias("km"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "calendar_dim_build",
+    oracle="""
+    WITH RECURSIVE d(dt) AS (
+      SELECT DATE '1996-01-01'
+      UNION ALL SELECT dt + INTERVAL 1 DAY FROM d WHERE dt < DATE '1996-03-31'
+    )
+    SELECT strftime(dt, '%Y-%m-%d') AS date_key,
+           CAST(isodow(dt) AS INTEGER) AS iso_dow,
+           CAST(date_part('week', dt) AS INTEGER) AS iso_week,
+           CAST(date_part('month', dt) AS INTEGER) AS month,
+           CAST(date_part('quarter', dt) AS INTEGER) AS quarter,
+           (isodow(dt) >= 6) AS is_weekend,
+           strftime(dt, '%Y-%m') AS month_key
+    FROM d ORDER BY date_key
+    """,
+    tags=("sql", "dimension", "calendar"),
+)
+def calendar_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generation — the conformed date table every
+    warehouse joins against (ISO day-of-week/week, month, quarter,
+    weekend flag), built from a recursive day spine with calendar-aware
+    functions rather than loaded from a file. Dimension tables are
+    key-sized by construction (a century is ~36.5k rows): generate,
+    write once via `write_table`, broadcast everywhere. Cross-engine
+    pitfall pinned by the oracle: Spark's ``dayofweek`` is 1=Sunday,
+    DuckDB's ``isodow`` is 1=Monday — both sides use the ISO convention
+    (via ``weekday`` arithmetic on the Spark side)."""
+    spark.conf.get("spark.sql.session.timeZone")  # session already pinned by load callers
+    d = spark.sql(
+        """
+        WITH RECURSIVE d(dt) AS (
+          SELECT DATE '1996-01-01'
+          UNION ALL SELECT dt + INTERVAL '1' DAY FROM d WHERE dt < DATE '1996-03-31'
+        )
+        SELECT dt FROM d
+        """
+    )
+    iso_dow = (F.weekday("dt") + 1).cast("int")
+    return d.select(
+        F.date_format("dt", "yyyy-MM-dd").alias("date_key"),
+        iso_dow.alias("iso_dow"),
+        F.weekofyear("dt").cast("int").alias("iso_week"),
+        F.month("dt").cast("int").alias("month"),
+        F.quarter("dt").cast("int").alias("quarter"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.date_format("dt", "yyyy-MM").alias("month_key"),
+    ).orderBy("date_key")
