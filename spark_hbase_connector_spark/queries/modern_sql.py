@@ -671,7 +671,6 @@ def calendar_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pitfall pinned by the oracle: Spark's ``dayofweek`` is 1=Sunday,
     DuckDB's ``isodow`` is 1=Monday — both sides use the ISO convention
     (via ``weekday`` arithmetic on the Spark side)."""
-    spark.conf.get("spark.sql.session.timeZone")  # session already pinned by load callers
     d = spark.sql(
         """
         WITH RECURSIVE d(dt) AS (
