@@ -868,3 +868,42 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "events_user_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events WHERE user_id <= 300
+      GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, sum(n) AS t FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           round(sum(-(n * 1.0 / t) * ln(n * 1.0 / t)), 4) AS behavior_entropy,
+           CAST(count(*) AS INTEGER) AS n_types
+    FROM c JOIN tot USING (user_id)
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    tags=("agg", "entropy", "features"),
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy per user — Shannon entropy of the event-type
+    distribution (0 = does one thing, ln(5) = uniform over all types),
+    the diversity feature a segmentation or anomaly model consumes
+    (`text_char_entropy`'s user-behavior sibling). Two partial-aggregated
+    groupBys on (user, type) then user; the per-user total re-joins on
+    the already-shuffled user key."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") <= 300)
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(-p * F.log(p)), 4).alias("behavior_entropy"),
+            F.count("*").cast("int").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
