@@ -564,3 +564,51 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return run_stream_to_memory(agg, spark)
+
+
+@query(
+    "streaming_hourly_unique_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id,
+             make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour_start
+      FROM events
+    ),
+    agg AS (
+      SELECT hour_start, count(*) AS unique_users FROM du GROUP BY hour_start
+    ),
+    wm AS (SELECT max(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000))
+                  - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT agg.* FROM agg, wm WHERE hour_start + INTERVAL 1 HOUR <= w
+    """,
+    tags=("streaming", "dedup", "chained"),
+)
+def streaming_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DAU-style metric: dropDuplicatesWithinWatermark on
+    (user, hour) feeding a watermarked hourly count — the OTHER
+    multi-stateful chain (dedup -> aggregation in one query; the
+    agg -> agg case is `streaming_chained_agg`). Both operators share
+    the watermark: dedup state evicts an hour after it passes, the
+    window emits once final — exact unique-user counts on an unbounded
+    stream with bounded state, no approximate sketch needed when the key
+    space per window fits state. Oracle: batch distinct-then-count with
+    the append emission rule."""
+    stream = events_stream(spark, sf_dir)
+    # ONE watermark, attached to the column BOTH stateful operators key
+    # their event time on (redefining a watermark mid-query is
+    # disallowed): hour_start floors ts, so the effective watermark is
+    # max(observed hour) - delay — the oracle replays exactly that
+    keyed = (
+        stream.select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        )
+        .withWatermark("hour_start", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "hour_start"])
+    )
+    agg = (
+        keyed.groupBy(F.window("hour_start", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("unique_users"))
+        .select(F.col("window.start").alias("hour_start"), "unique_users")
+    )
+    return run_stream_to_memory(agg, spark, mode="append")

@@ -1204,3 +1204,53 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@query(
+    "events_gap_percentiles",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    ),
+    g AS (SELECT event_type, gap_us / 60000000.0 AS gap_min
+          FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT event_type,
+           round(quantile_cont(gap_min, 0.5), 4) AS p50_min,
+           round(quantile_cont(gap_min, 0.9), 4) AS p90_min,
+           round(quantile_cont(gap_min, 0.99), 4) AS p99_min,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("window", "timeseries", "calibration"),
+)
+def events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per type (P50/P90/P99 minutes) — the
+    calibration tool for sessionization: the inactivity threshold should
+    sit in the gap distribution's valley, and this is the query that
+    finds it (pairs with `sessionize_events` / `sessionize_dynamic_gap`,
+    whose 10-vs-30-minute knobs this justifies empirically). One keyed
+    lag window + one exact-percentile aggregation, both on the same
+    (user, type)-then-type key family."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+            / 60000000.0
+        ).alias("gap_min"),
+    ).where(F.col("gap_min").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(gap_min, 0.5)"), 4).alias("p50_min"),
+            F.round(F.expr("percentile(gap_min, 0.9)"), 4).alias("p90_min"),
+            F.round(F.expr("percentile(gap_min, 0.99)"), 4).alias("p99_min"),
+            F.count("*").alias("n_gaps"),
+        )
+        .orderBy("event_type")
+    )
