@@ -302,3 +302,38 @@ def test_trigger_available_now_backfill_drains_and_stops(spark, tmp_path):
     )
     run_once("an_second")
     assert spark.table("an_second").collect()[0].n == total + 7
+
+
+def test_dedup_state_metrics_visible(spark, tmp_path):
+    """Stateful dedup must report its state size (numRowsTotal) in query
+    progress — the number capacity planning watches; a silent state store
+    is unoperable at scale."""
+    import pyspark.sql.functions as F
+
+    d, _ = _split_events_time_ordered(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(d)
+    )
+    dedup = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("state_metrics")
+        .start()
+    )
+    q.processAllAvailable()
+    state_rows = max(
+        (
+            op.get("numRowsTotal", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        ),
+        default=0,
+    )
+    q.stop()
+    distinct_keys = spark.read.parquet(d).select("user_id", "event_type").distinct().count()
+    assert state_rows == distinct_keys, (state_rows, distinct_keys)
