@@ -690,3 +690,46 @@ def calendar_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         (iso_dow >= 6).alias("is_weekend"),
         F.date_format("dt", "yyyy-MM").alias("month_key"),
     ).orderBy("date_key")
+
+
+@query(
+    "scalar_inline_structs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE doc_id <= 50
+    ),
+    z AS (
+      SELECT doc_id, i AS pos, l[i] AS tok, length(l[i]) AS tok_len
+      FROM t, unnest(range(1, least(len(l), 5) + 1)) u(i)
+    )
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos, tok,
+           CAST(tok_len AS INTEGER) AS tok_len
+    FROM z ORDER BY doc_id, pos
+    """,
+    tags=("scalar", "array", "struct"),
+)
+def scalar_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-of-structs construction and flattening: zip token/position/
+    length into struct elements (``arrays_zip`` over ``slice``/
+    ``sequence``) then ``inline`` them back to columns — the nested-type
+    round trip ETL uses for order-preserving array pipelines (build
+    structured elements, transform, flatten). Partition-local: explode
+    fan-out bounded to 5 per document, no shuffle."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
+    toks = F.slice(F.split("text", " "), 1, 5)
+    zipped = F.arrays_zip(
+        F.sequence(F.lit(1), F.least(F.size(toks), F.lit(5))).alias("pos"),
+        toks.alias("tok"),
+        F.transform(toks, lambda t: F.length(t)).alias("tok_len"),
+    )
+    return (
+        d.select("doc_id", F.inline(zipped))
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            "tok",
+            F.col("tok_len").cast("int").alias("tok_len"),
+        )
+        .orderBy("doc_id", "pos")
+    )
