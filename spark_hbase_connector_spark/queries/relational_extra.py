@@ -907,3 +907,38 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "agg_geomean_margin",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_extendedprice))), 2) AS geomean_price,
+           round(exp(avg(ln(1 - l_discount))) - 1, 6) AS geo_avg_discount_factor,
+           count(*) AS n
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "geometric"),
+)
+def agg_geomean_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric means via the log-space identity exp(avg(ln x)) — the
+    correct average for multiplicative quantities (price levels, compound
+    discount factors) that neither engine ships as a built-in aggregate.
+    Log-space summation is also the numerically safe path at 100 TB: the
+    direct product over 10^12 rows under/overflows doubles immediately,
+    while sum-of-logs is a plain partial-aggregated avg."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.exp(F.avg(F.log("l_extendedprice"))), 2).alias(
+                "geomean_price"
+            ),
+            F.round(
+                F.exp(F.avg(F.log(F.lit(1) - F.col("l_discount")))) - 1, 6
+            ).alias("geo_avg_discount_factor"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
