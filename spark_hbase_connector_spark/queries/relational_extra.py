@@ -942,3 +942,40 @@ def agg_geomean_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR)
+             AS total_price_exact,
+           CAST(sum(CAST(l_quantity AS DECIMAL(10,1))) AS VARCHAR)
+             AS total_qty_exact,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "decimal", "exact"),
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT money arithmetic through DECIMAL: prices summed as
+    DECIMAL(14,2) produce the same digits on every engine, every
+    partitioning, every run — no float summation-order noise, no 4dp
+    rounding convention needed (this entry's oracle is the only
+    aggregate one compared digit-for-digit WITHOUT rounding). The
+    catalog's decimal type support (SURVEY §2.1 S4 superset) feeds this
+    path; rendered as strings so the comparison is representation-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+            .cast("string")
+            .alias("total_price_exact"),
+            F.sum(F.col("l_quantity").cast("decimal(10,1)"))
+            .cast("string")
+            .alias("total_qty_exact"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
