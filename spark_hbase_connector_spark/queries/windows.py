@@ -515,8 +515,8 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) OVER w AS INTEGER) AS n_trailing_1h,
            round(sum(value) OVER w, 4) AS value_trailing_1h
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
     tags=("window", "timeseries"),
 )
@@ -525,12 +525,17 @@ def window_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANGE-frame window shape (frame bounded by event-TIME distance, not
     row offsets; ties in the order key share a frame, which ROWS frames
     get wrong). One shuffle on user_id; Spark's rangeBetween needs a
-    numeric order key, so both engines order by epoch seconds."""
+    numeric order key, so both engines order by epoch MICROSECONDS —
+    whole seconds (unix_timestamp/epoch) would FLOOR the key and create
+    false ties whenever two events share a second, silently changing
+    frame membership (found by the full sf0.1 sweep; sub-second
+    precision differences between the engines' key functions are a
+    classic range-frame trap)."""
     e = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600_000_000, 0)
     )
     return e.select(
         "event_id",
