@@ -137,14 +137,17 @@ def window_rank_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute inactivity gap starts a new session
-    (lag + cumulative-sum pattern; single shuffle on user_id)."""
+    (lag + cumulative-sum pattern; single shuffle on user_id). Gap is
+    measured in epoch MICROSECONDS — casting a timestamp to long floors
+    to whole seconds, which silently shifts the boundary for sub-second
+    gaps over the threshold (the `window_trailing_1h` precision trap)."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)
     is_new = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000),
         1,
     ).otherwise(0)
     sess = e.select(
