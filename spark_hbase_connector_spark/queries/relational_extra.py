@@ -979,3 +979,27 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "scalar_mask_pii",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS name_masked
+    FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey
+    """,
+    tags=("scalar", "pii", "masking"),
+)
+def scalar_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-preserving PII masking via the built-in ``mask()`` (upper ->
+    X, lower -> x, digit -> n, punctuation kept) — the irreversible
+    display-safe redaction that keeps string SHAPE for downstream parsers
+    and tests, complementing `pii_scrub_customers`' pattern-targeted
+    scrub. JVM expression, map-only; the oracle replays the mask as three
+    regex classes."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey", F.expr("mask(c_name)").alias("name_masked")
+    ).orderBy("c_custkey")
