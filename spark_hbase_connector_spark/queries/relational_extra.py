@@ -1003,3 +1003,34 @@ def scalar_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", F.expr("mask(c_name)").alias("name_masked")
     ).orderBy("c_custkey")
+
+
+@query(
+    "agg_modern_aliases",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(median(o_totalprice) AS DOUBLE) AS median_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("agg", "modern"),
+)
+def agg_modern_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern aggregate alias family — ``count_if`` / ``bool_and`` /
+    ``bool_or`` / ``median`` — SQL-standard names both engines now share,
+    replacing the older sum(case when) / min(bool) circumlocutions
+    one-for-one (all partial-aggregated; median is the exact interpolated
+    percentile both engines compute identically)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("count_if(o_totalprice > 200000)").cast("bigint").alias("n_big"),
+            F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+            F.expr("bool_or(o_orderstatus = 'F')").alias("any_finished"),
+            F.expr("median(o_totalprice)").cast("double").alias("median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
