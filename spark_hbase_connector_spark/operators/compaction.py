@@ -25,16 +25,23 @@ Design for 100 TB:
   coalesce(1) — a map-only re-encode, no shuffle: inputs are
   rowkey-sorted and (by the writer contract) non-overlapping in
   time-order, so concatenation in file order preserves the global range
-  layout. Replacement is two-phase: write to a hidden staging dir,
-  atomically rename over the inputs, delete inputs. Crash contract:
-  before a group's inputs are removed, originals are intact and staging
-  is ignorable; in the narrow window between input removal and the final
-  publish rename, the group's data lives in ONE ``*.parquet.compacted``
-  file — `recover_compaction` (run automatically at the start of every
-  `compact_flush_files`) finishes the rename idempotently, so a crashed
-  compactor is healed by the next run and no ordering ever duplicates
-  rows (publish-first would: new file + not-yet-removed inputs would
-  both be visible).
+  layout. Replacement is two-phase with a per-group MANIFEST: first the
+  group's input-file list is written atomically (tmp + rename) as
+  ``<dest>.parquet.compacted.manifest``, then the merged file lands as
+  ``<dest>.parquet.compacted``, then the inputs are deleted, then the
+  final rename publishes, then the manifest is removed. Crash contract
+  (`recover_compaction` runs at the start of every `compact_flush_files`
+  and is idempotent):
+  - manifest only, no ``.compacted`` file: nothing was published — drop
+    the orphan manifest, inputs are intact. (This state also occurs
+    AFTER a successful publish rename but before manifest cleanup;
+    inputs are already gone then, so dropping the manifest is correct
+    in both.)
+  - ``.compacted`` file present: the merged data is durable — delete
+    every manifest-listed input still on disk, THEN finish the rename.
+    This closes the window where the merged file and some inputs
+    coexist; without the manifest delete-first step, recovery would
+    permanently duplicate the surviving inputs' rows.
 """
 
 from __future__ import annotations
@@ -71,14 +78,52 @@ def plan_compaction(path: str, target_bytes: int = 128 * 1024 * 1024) -> list[li
     return groups
 
 
+_MANIFEST_SUFFIX = ".parquet.compacted.manifest"
+
+
+def _write_manifest(manifest_path: str, inputs: list[str]) -> None:
+    # atomic publish: a manifest is either fully present or absent
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(os.path.basename(p) for p in inputs))
+    os.replace(tmp, manifest_path)
+
+
 def recover_compaction(path: str) -> int:
-    """Finish any interrupted group publishes (``*.parquet.compacted`` ->
-    ``*.parquet``). Idempotent; returns the number recovered."""
+    """Finish any interrupted group publishes. Idempotent; returns the
+    number of ``*.parquet.compacted`` files published.
+
+    Recovery order per group: if the merged ``.compacted`` file exists,
+    its manifest's inputs are deleted FIRST (some may survive a crash
+    mid-deletion — renaming before deleting them would duplicate their
+    rows), then the rename finishes, then the manifest is dropped. A
+    manifest without a ``.compacted`` file is an orphan from either side
+    of the publish window and is simply removed."""
     n = 0
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet.compacted"):
+            continue
+        compacted = os.path.join(path, f)
+        dest = compacted[: -len(".compacted")]
+        manifest = compacted + ".manifest"
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                listed = [line for line in fh.read().splitlines() if line]
+            for name in listed:
+                p = os.path.join(path, name)
+                # dest (group[0]) is overwritten by the rename below, but
+                # delete it too so a crash here re-enters the same state
+                if os.path.exists(p):
+                    os.remove(p)
+        os.replace(compacted, dest)
+        if os.path.exists(manifest):
+            os.remove(manifest)
+        n += 1
+    # orphan manifests: publish never started (inputs intact) or fully
+    # finished (inputs gone) — either way the manifest is stale
     for f in os.listdir(path):
-        if f.endswith(".parquet.compacted"):
-            os.replace(os.path.join(path, f), os.path.join(path, f[: -len(".compacted")]))
-            n += 1
+        if f.endswith(_MANIFEST_SUFFIX):
+            os.remove(os.path.join(path, f))
     return n
 
 
@@ -113,12 +158,16 @@ def compact_flush_files(
                 f for f in os.listdir(out_dir)
                 if f.endswith(".parquet") and not f.startswith(".")
             )
-            # publish: rename the new file over the group, then drop inputs
+            # publish: manifest first (names the inputs the merged file
+            # replaces), then the merged file, then drop inputs, then the
+            # final rename — recover_compaction can finish from any point
             dest = group[0]  # keeps sort-order naming within the dir
+            _write_manifest(dest + ".compacted.manifest", group)
             os.replace(os.path.join(out_dir, part), dest + ".compacted")
             for f in group:
                 os.remove(f)
             os.replace(dest + ".compacted", dest)
+            os.remove(dest + ".compacted.manifest")
             rewritten += 1
     finally:
         shutil.rmtree(staging, ignore_errors=True)

@@ -7,8 +7,8 @@ Rule catalogue: ``not_null``, ``in_range``, ``matches`` (regex),
 pass (conditional sums; the table is scanned once no matter how many
 rules); ``unique`` — one partial-aggregated groupBy per rule (duplicate
 keys found map-side first); ``foreign_key`` — one LEFT ANTI join per rule
-(broadcast when the dimension is small, exactly like every dimension
-join in the TPC-H suite).
+(join strategy left to AQE by default so fact-sized references shuffle
+instead of OOMing; pass ``broadcast=True`` for known-small dimensions).
 
 At 100 TB: row-level rules are free (they ride the single scan); each
 unique/FK rule is one keyed shuffle you opted into — the report says
@@ -33,6 +33,7 @@ class Rule:
     keys: list[str] = field(default_factory=list)
     ref: DataFrame | None = None
     ref_col: str | None = None
+    broadcast: bool = False
 
 
 def not_null(col: str) -> Rule:
@@ -60,14 +61,25 @@ def unique(*cols: str) -> Rule:
                 keys=list(cols))
 
 
-def foreign_key(col: str, ref: DataFrame, ref_col: str) -> Rule:
+def foreign_key(
+    col: str, ref: DataFrame, ref_col: str, broadcast: bool = False
+) -> Rule:
+    """``broadcast=True`` force-broadcasts the distinct reference keys —
+    opt-in for known-small dimensions only. Default lets AQE /
+    autoBroadcastJoinThreshold pick the join strategy, so a fact-sized
+    reference table (the 100 TB case) falls back to a shuffled anti join
+    instead of OOMing the driver."""
     return Rule(name=f"foreign_key({col})", kind="fk", col=col, ref=ref,
-                ref_col=ref_col)
+                ref_col=ref_col, broadcast=broadcast)
 
 
 def expect(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Evaluate every rule -> (rule, n_violations, passed), ordered by
     rule name. Row-level rules share one aggregation pass over ``df``."""
+    if not rules:
+        raise ValueError(
+            "expect: no rules given — an empty gate would vacuously pass"
+        )
     spark = df.sparkSession
     pieces: list[DataFrame] = []
 
@@ -109,9 +121,12 @@ def expect(df: DataFrame, rules: list[Rule]) -> DataFrame:
             )
             pieces.append(dup)
         elif r.kind == "fk":
+            ref_keys = r.ref.select(F.col(r.ref_col).alias(r.col)).distinct()
+            if r.broadcast:
+                ref_keys = F.broadcast(ref_keys)
             orphans = (
                 df.join(
-                    F.broadcast(r.ref.select(F.col(r.ref_col).alias(r.col)).distinct()),
+                    ref_keys,
                     r.col,
                     "left_anti",
                 )

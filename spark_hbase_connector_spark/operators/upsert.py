@@ -114,8 +114,12 @@ def major_compact_cells(
         )
     key = ["rowkey", "cf", "qualifier"]
     if tombstone_col is not None:
+        # NULL delete-marker means "not a tombstone" (common in changefeeds
+        # where only deletes set the flag) — coalesce to False so live cells
+        # with a NULL flag survive SQL three-valued logic
+        is_tomb = F.coalesce(F.col(tombstone_col), F.lit(False))
         newest_del = (
-            out.where(F.col(tombstone_col))
+            out.where(is_tomb)
             .groupBy(*key)
             .agg(F.max(ts_col).alias("__del_ts"))
         )
@@ -124,7 +128,7 @@ def major_compact_cells(
             .where(F.col("__del_ts").isNull() | (F.col(ts_col) > F.col("__del_ts")))
             .drop("__del_ts")
         )
-        out = out.where(~F.col(tombstone_col))
+        out = out.where(~is_tomb)
     w = Window.partitionBy(*key).orderBy(F.col(ts_col).desc())
     return (
         out.withColumn("__v", F.row_number().over(w))

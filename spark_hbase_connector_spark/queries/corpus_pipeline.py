@@ -664,7 +664,14 @@ def pipeline_lineage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("5_train_split", train))
         .orderBy("stage")
     )
-    return out
+    # materialize the 5-row report eagerly so the stage caches can be
+    # released now — without this every invocation leaks two persisted
+    # relations into the long-running registry session
+    try:
+        return out.localCheckpoint()
+    finally:
+        gated.unpersist()
+        clean.unpersist()
 
 
 @query(

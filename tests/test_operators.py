@@ -391,6 +391,64 @@ def test_major_compact_cells_versions_ttl_tombstones(spark):
     assert got == {(b"a", 30), (b"a", 20), (b"b", 40)}
 
 
+def test_major_compact_cells_null_tombstone_is_live(spark):
+    """A NULL delete-marker means 'not a tombstone' (changefeeds often set
+    the flag only on deletes); NULL-flagged cells must survive both the
+    newest-tombstone window and the final filter."""
+    from spark_hbase_connector_spark.operators.upsert import major_compact_cells
+
+    rows = [
+        (b"a", "d", "x", 10, b"v10", None),   # live, NULL flag
+        (b"a", "d", "x", 20, b"v20", None),   # live, NULL flag
+        (b"b", "d", "x", 10, b"v10", None),
+        (b"b", "d", "x", 25, None, True),     # tombstone hides ts<=25
+        (b"b", "d", "x", 40, b"v40", None),   # re-put survives
+    ]
+    df = spark.createDataFrame(
+        rows, "rowkey binary, cf string, qualifier string, ts long, value binary, deleted boolean"
+    )
+    got = {
+        (bytes(r.rowkey), r.ts)
+        for r in major_compact_cells(
+            df, max_versions=2, tombstone_col="deleted"
+        ).collect()
+    }
+    assert got == {(b"a", 10), (b"a", 20), (b"b", 40)}
+
+
+def test_expectations_empty_rules_raises(spark):
+    import pytest as _pytest
+
+    from spark_hbase_connector_spark.operators.expectations import expect
+
+    with _pytest.raises(ValueError, match="no rules"):
+        expect(spark.range(3), [])
+
+
+def test_expectations_fk_broadcast_opt_in(spark):
+    """Default FK join carries no broadcast hint (AQE decides — a
+    fact-sized reference must be able to shuffle); broadcast=True forces
+    the hint for known-small dimensions."""
+    from spark_hbase_connector_spark.operators.expectations import (
+        expect,
+        foreign_key,
+    )
+
+    df = spark.range(10).toDF("id")
+    dim = spark.range(8).toDF("k")
+    default_plan = expect(df, [foreign_key("id", dim, "k")])._jdf.queryExecution().logical().toString()
+    hinted_plan = expect(
+        df, [foreign_key("id", dim, "k", broadcast=True)]
+    )._jdf.queryExecution().logical().toString()
+    assert "broadcast" not in default_plan.lower()
+    assert "broadcast" in hinted_plan.lower()
+    # both still count the 2 orphans
+    for rules in ([foreign_key("id", dim, "k")],
+                  [foreign_key("id", dim, "k", broadcast=True)]):
+        rep = expect(df, rules).collect()[0]
+        assert rep.n_violations == 2 and not rep.passed
+
+
 def test_expectations_each_rule_fires(spark):
     """Each rule kind must actually count its violations (a gate that
     can't fail is not a gate)."""
@@ -465,6 +523,73 @@ def test_compaction_recovery_heals_interrupted_publish(spark, tmp_path):
     stats = compact_flush_files(spark, d, target_bytes=1 << 20)
     assert stats["files_after"] == 1
     assert spark.read.parquet(d).count() == 10
+
+
+def test_compaction_recovery_no_duplicates_pre_removal_crash(spark, tmp_path):
+    """Crash in the window where the merged .compacted file exists but the
+    group's inputs were NOT yet (or only partially) removed: recovery must
+    delete the manifest-listed inputs before publishing, never duplicating
+    their rows."""
+    import os
+
+    from spark_hbase_connector_spark.operators.compaction import (
+        compact_flush_files,
+        recover_compaction,
+    )
+
+    d = str(tmp_path / "flush")
+    os.makedirs(d)
+    # two input files (rows 0-4 and 5-9) plus their merged replacement
+    for lo, hi, name in [(0, 5, "00000.parquet"), (5, 10, "00001.parquet")]:
+        tmp = tmp_path / f"w{lo}"
+        spark.range(lo, hi).toDF("k").coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(str(tmp / part), os.path.join(d, name))
+    merged = tmp_path / "merged"
+    spark.range(0, 10).toDF("k").coalesce(1).write.mode("overwrite").parquet(str(merged))
+    part = next(f for f in os.listdir(merged) if f.endswith(".parquet"))
+    # simulate crash right after the merged file landed, before any input
+    # was removed: manifest + .compacted + BOTH inputs all present
+    with open(os.path.join(d, "00000.parquet.compacted.manifest"), "w") as fh:
+        fh.write("00000.parquet\n00001.parquet")
+    os.replace(str(merged / part), os.path.join(d, "00000.parquet.compacted"))
+    assert recover_compaction(d) == 1
+    assert sorted(r.k for r in spark.read.parquet(d).collect()) == list(range(10))
+    assert not any(f.endswith(".manifest") for f in os.listdir(d))
+
+    # partial-removal variant via compact_flush_files' auto-heal: only
+    # input[1] survived the crash
+    spark.range(0, 10).toDF("k").coalesce(1).write.mode("overwrite").parquet(str(merged))
+    part = next(f for f in os.listdir(merged) if f.endswith(".parquet"))
+    os.replace(
+        os.path.join(d, "00000.parquet"), os.path.join(d, "00001.parquet")
+    )  # stand-in surviving input holding duplicate rows 0..9
+    with open(os.path.join(d, "00000.parquet.compacted.manifest"), "w") as fh:
+        fh.write("00000.parquet\n00001.parquet")
+    os.replace(str(merged / part), os.path.join(d, "00000.parquet.compacted"))
+    stats = compact_flush_files(spark, d, target_bytes=1 << 20)
+    assert stats["files_after"] == 1
+    assert sorted(r.k for r in spark.read.parquet(d).collect()) == list(range(10))
+
+
+def test_compaction_orphan_manifest_is_harmless(spark, tmp_path):
+    """A manifest with no .compacted file (crash before the merged file
+    landed, or after the publish rename) must NOT delete inputs."""
+    import os
+
+    from spark_hbase_connector_spark.operators.compaction import recover_compaction
+
+    d = str(tmp_path / "flush")
+    os.makedirs(d)
+    tmp = tmp_path / "w"
+    spark.range(0, 7).toDF("k").coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.replace(str(tmp / part), os.path.join(d, "00000.parquet"))
+    with open(os.path.join(d, "00000.parquet.compacted.manifest"), "w") as fh:
+        fh.write("00000.parquet")
+    assert recover_compaction(d) == 0
+    assert spark.read.parquet(d).count() == 7
+    assert not any(f.endswith(".manifest") for f in os.listdir(d))
 
 
 def test_pca_recovers_planted_axes(spark):
