@@ -328,8 +328,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partial-aggregated sum, one node-sized left join, ranks
     localCheckpointed). The oracle unrolls the identical three iterations
     as chained CTEs — fixed iteration count is what makes an iterative
-    algorithm exactly SQL-replayable (compare `kmeans_train_cells`, whose
-    convergence loop is the documented oracle exemption). Ranks are
+    algorithm exactly SQL-replayable (`kmeans_train_cells` now uses the
+    same recipe for its Lloyd iterations). Ranks are
     scaled by N (so values are O(1)) and rounded to 4dp on both sides,
     with a +1e-9 nudge first: tree-PageRank values are decimal-terminating
     (denominators 2^a*5^b), so some land EXACTLY on a 4dp half-boundary

@@ -1558,15 +1558,79 @@ def dedup_sentence_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Lloyd's k-means is a fixpoint loop, but with a FIXED seed (init = k
+# smallest vec_ids) and a FIXED iteration count it is oracle-able the same
+# way graph_pagerank is: unroll each iteration as a CTE pair — assignment
+# (argmax cosine, ties to the smallest cell_id, zero-norm vectors
+# excluded) and centroid update (element-wise mean of the raw assigned
+# vectors; empty cells keep their previous centroid via COALESCE). The
+# final SELECT replays `assign_cells` (nprobe=1) against the trained
+# centroids and histograms cell occupancy. Tie-flip risk is float-noise
+# only (both sides compute double-precision cosines on the same
+# float32-cast values); verified bit-identical at sf0.01 AND sf0.1.
+_KMEANS_ITER = """
+    s{t} AS (
+      SELECT z.vec_id, z.e, z.nrm, c.cell_id,
+             list_sum(list_transform(range(1, len(z.e) + 1),
+                      i -> z.e[i] * c.c[i]))
+               / (z.nrm * sqrt(list_sum(list_transform(c.c, x -> x * x)))) AS sim
+      FROM nz z CROSS JOIN c{p} c
+    ),
+    a{t} AS (
+      SELECT vec_id, e, cell_id FROM (
+        SELECT vec_id, e, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell_id) AS r
+        FROM s{t}) WHERE r = 1
+    ),
+    m{t} AS (
+      SELECT cell_id, list(mx ORDER BY i) AS c FROM (
+        SELECT cell_id, i, avg(x) AS mx FROM (
+          SELECT cell_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS i
+          FROM a{t}
+        ) GROUP BY cell_id, i
+      ) GROUP BY cell_id
+    ),
+    c{t} AS (
+      SELECT p.cell_id, COALESCE(m{t}.c, p.c) AS c
+      FROM c{p} p LEFT JOIN m{t} ON p.cell_id = m{t}.cell_id
+    )"""
+
+_KMEANS_ORACLE = (
+    f"""
+    WITH {_DUCK_VECS},
+    nz AS (SELECT vec_id, e, nrm FROM n WHERE nrm > 0),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell_id,
+             e AS c
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)
+    ),"""
+    + ",".join(_KMEANS_ITER.format(t=t, p=t - 1) for t in (1, 2, 3))
+    + """,
+    sf AS (
+      SELECT z.vec_id, c.cell_id,
+             list_sum(list_transform(range(1, len(z.e) + 1),
+                      i -> z.e[i] * c.c[i]))
+               / (z.nrm * sqrt(list_sum(list_transform(c.c, x -> x * x)))) AS sim
+      FROM nz z CROSS JOIN c3 c
+    ),
+    af AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cell_id) AS r
+        FROM sf) WHERE r = 1
+    )
+    SELECT CAST(cell_id AS INTEGER) AS cell_id,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM af GROUP BY cell_id ORDER BY cell_id
+    """
+)
+
+
 @query(
     "kmeans_train_cells",
-    oracle=None,  # iterative algorithm — the documented oracle exemption:
-    # Lloyd's k-means is a fixpoint loop (assignment depends on the
-    # previous iteration's centroids), not a single SQL expression; the
-    # driver records the weaker rows-only check. Determinism IS tested
-    # (tests/test_operators.py::test_train_centroids_recovers_blobs), and
-    # the trained index's QUALITY is oracle-gated downstream by
-    # ann_recall_ivf (recall@5 vs the exact SQL ground truth).
+    oracle=_KMEANS_ORACLE,
     tags=("similarity", "ml"),
 )
 def kmeans_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1576,7 +1640,9 @@ def kmeans_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy histogram a capacity planner reads (skewed cells = raise k
     or salt). Each iteration is one map-side-combine Arrow pass — the
     driver reduces k x n_batches partial sums, never vectors; no shuffle
-    at any point (`operators/similarity.py:307`)."""
+    at any point (`operators/similarity.py:307`). Oracle: the fixed-seed
+    Lloyd loop unrolled as 3 CTE iterations (the graph_pagerank recipe),
+    so this entry is hash-compared like every other — no exemption."""
     from spark_hbase_connector_spark.operators.similarity import (
         assign_cells,
         train_centroids,

@@ -63,10 +63,10 @@ def test_every_query_has_entry_and_runs_registered():
     """Registry hygiene: unique names, callables, oracle coverage ratio."""
     assert len(REGISTRY) >= 50
     no_oracle = [n for n, s in REGISTRY.items() if s.oracle is None]
-    # only genuinely non-SQL-expressible ops may omit the oracle
-    # kmeans_train_cells: iterative Lloyd's loop — the documented
-    # oracle exemption (quality gated downstream by ann_recall_ivf)
-    assert set(no_oracle) <= {"dedup_simhash", "kmeans_train_cells"}
+    # every entry is oracle-checked — even the iterative ones
+    # (kmeans_train_cells/graph_pagerank unroll their fixed-seed loops
+    # as CTE iterations)
+    assert no_oracle == []
 
 
 def test_entry_contract(spark):
