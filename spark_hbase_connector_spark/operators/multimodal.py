@@ -1,12 +1,13 @@
 """Multimodal (binary) columns: decode/feature plumbing (north-star §2.3).
 
 Model: media are opaque ``binary`` payload columns + a typed metadata
-struct. The Spark-side plumbing — schema, Arrow batch shape, partitioning —
-is real and tested; the actual image/audio decode is STUBBED behind an
-import-try (decode libraries are not in this container): when PIL/librosa
-are absent, ``extract_media_meta`` computes deterministic pseudo-metadata
-from the raw bytes, so the pipeline is end-to-end testable and replayable
-by a SQL oracle.
+struct. Image HEADER decode (PNG / JPEG / GIF / BMP dimensions) is a real,
+dependency-free byte parse (`parse_image_dims`) — no PIL required; only
+payloads in none of those formats fall back to deterministic
+pseudo-metadata (documented fake) so the pipeline stays end-to-end
+testable and SQL-replayable on any payload mix. Pixel-level decode /
+audio feature extraction would still need a real codec library and is out
+of scope by design.
 
 Batch shape: ``mapInPandas`` with Arrow batches — payload bytes never pass
 through row-at-a-time Python. At 100 TB the payload column stays columnar
@@ -23,16 +24,60 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:  # decode libs absent in this container; keep the gate explicit
-    import PIL.Image  # type: ignore  # noqa: F401
-
-    _HAS_PIL = True
-except Exception:  # pragma: no cover
-    _HAS_PIL = False
-
 META_SCHEMA = (
-    "id long, n_bytes int, width int, height int, content_hash string"
+    "id long, n_bytes int, width int, height int, content_hash string, fmt string"
 )
+
+
+def parse_image_dims(b: bytes) -> tuple[str, int, int] | None:
+    """Header-only image dimension decode, pure Python (~40 lines, no
+    dependency): returns (format, width, height) for PNG / GIF / BMP /
+    JPEG payloads, None for anything else. JPEG is a real marker-segment
+    scan (skips APPn/quantization/etc. segments to the first SOF0-3
+    frame header), not a fixed-offset peek, so camera files with EXIF
+    blocks before the frame header parse correctly."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            "gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if b[:2] == b"BM" and len(b) >= 26:
+        # BITMAPINFOHEADER: signed width/height at 18/22; negative height
+        # means top-down row order — the magnitude is the pixel height
+        return (
+            "bmp",
+            int.from_bytes(b[18:22], "little", signed=True),
+            abs(int.from_bytes(b[22:26], "little", signed=True)),
+        )
+    if b[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                return None  # desynced — not a well-formed segment stream
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI before any frame header
+                return None
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone markers carry no length field
+                continue
+            if 0xC0 <= marker <= 0xC3 or 0xC5 <= marker <= 0xC7 \
+                    or 0xC9 <= marker <= 0xCB or 0xCD <= marker <= 0xCF:
+                # SOFn: len(2) precision(1) height(2) width(2)
+                return (
+                    "jpeg",
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        return None
+    return None
 
 
 def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -46,44 +91,36 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 def extract_media_meta(assets: DataFrame) -> DataFrame:
     """Decode payloads to typed metadata via Arrow-batched mapInPandas.
 
-    With PIL installed, image payloads get a REAL header-only decode
-    (width/height via ``Image.open().size`` — no pixel data is loaded);
-    payloads PIL can't open (and every payload when PIL is absent, as in
-    this container) fall back to deterministic pseudo-dimensions derived
-    from the byte length (documented fake — NOT a real decode). The
-    fallback keeps schema/batching/partitioning identical in both
-    environments, so the SQL oracle replays the container run exactly.
+    PNG / JPEG / GIF / BMP payloads get a REAL header-only dimension
+    decode (`parse_image_dims`, dependency-free — no pixel data is ever
+    touched) with ``fmt`` naming the detected container; any other
+    payload falls back to deterministic pseudo-dimensions derived from
+    the byte length (documented fake, ``fmt`` NULL) so non-image payload
+    mixes stay SQL-replayable.
     """
-
-    def _real_dims(b: bytes):  # pragma: no cover - PIL absent in container
-        """Header-only decode (PIL never loads pixel data for .size)."""
-        import io
-
-        try:
-            with PIL.Image.open(io.BytesIO(b)) as im:
-                return im.size
-        except Exception:
-            return None  # not an image payload -> deterministic fallback
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            ids, n_bytes, widths, heights, hashes = [], [], [], [], []
+            ids, n_bytes, widths, heights, hashes, fmts = [], [], [], [], [], []
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 if payload is None:
                     continue
                 b = bytes(payload)
-                dims = _real_dims(b) if _HAS_PIL else None
-                if dims is None:
+                parsed = parse_image_dims(b)
+                if parsed is None:
                     # documented fake — NOT a real decode: deterministic
                     # pseudo-dimensions from the byte length
-                    dims = (len(b) % 640 + 1, (len(b) * 7) % 480 + 1)
+                    fmt, dims = None, (len(b) % 640 + 1, (len(b) * 7) % 480 + 1)
+                else:
+                    fmt, dims = parsed[0], (parsed[1], parsed[2])
                 ids.append(i)
                 n_bytes.append(len(b))
                 widths.append(dims[0])
                 heights.append(dims[1])
                 hashes.append(hashlib.md5(b).hexdigest())
+                fmts.append(fmt)
             yield pd.DataFrame(
                 {
                     "id": ids,
@@ -91,10 +128,51 @@ def extract_media_meta(assets: DataFrame) -> DataFrame:
                     "width": pd.array(widths, dtype="int32"),
                     "height": pd.array(heights, dtype="int32"),
                     "content_hash": hashes,
+                    "fmt": fmts,
                 }
             )
 
     return assets.mapInPandas(decode_batches, schema=META_SCHEMA)
+
+
+def synth_image_payload(i: int) -> bytes:
+    """Deterministic known-dimension media payload for fixtures/tests:
+    ``i % 4`` cycles a real PNG header (sig + IHDR + CRC), a real JPEG
+    segment stream (SOI + APP0 + SOF0 + EOI), a real GIF89a header, and a
+    non-image payload (exercises the documented pseudo-metadata
+    fallback). Dimensions are ``(i % 300 + 1, i*3 % 200 + 1)`` — chosen
+    arithmetically so a SQL oracle can predict what a correct header
+    decode must return without re-parsing bytes."""
+    import zlib
+
+    w = i % 300 + 1
+    h = (i * 3) % 200 + 1
+    m = i % 4
+    if m == 0:  # 33 bytes: 8 sig + 4 len + 4 "IHDR" + 13 data + 4 crc
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+        )
+        crc = zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big")
+        return (
+            b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + ihdr + crc
+        )
+    if m == 1:  # 35 bytes: SOI + APP0(18) + SOF0(13) + EOI
+        app0 = (
+            b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00"
+            + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
+        )
+        sof0 = (
+            b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    if m == 2:  # 14 bytes: GIF89a + w/h (LE) + flags/bg/aspect + trailer
+        return (
+            b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0, 0, 0]) + b"\x3b"
+        )
+    # non-image: 16 + i % 7 bytes, no known signature
+    return b"RAW0" + bytes((i * 31 + j) % 256 for j in range(12 + i % 7))
 
 
 def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:

@@ -1194,18 +1194,65 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(strlen(text) AS INTEGER) AS n_bytes,
            CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
            CAST((strlen(text) * 7) % 480 + 1 AS INTEGER) AS height,
-           md5(text) AS content_hash
+           md5(text) AS content_hash,
+           CAST(NULL AS VARCHAR) AS fmt
     FROM documents
     """,
     tags=("multimodal",),
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata extraction via Arrow-batched mapInPandas.
-    Decode is a documented deterministic stub (no media libs in container);
-    the payload/schema/batching plumbing is real."""
+    Text payloads are not images, so every row exercises the documented
+    pseudo-metadata fallback (fmt NULL); real header decode is certified
+    by `multimodal_meta_images` on known-dimension binary payloads."""
     d = load(spark, sf_dir, "documents")
     assets = attach_payload(d, "text", "doc_id")
     return extract_media_meta(assets)
+
+
+@query(
+    "multimodal_meta_images",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 240)) AS id)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(CASE id % 4 WHEN 0 THEN 33 WHEN 1 THEN 35 WHEN 2 THEN 14
+                ELSE 16 + id % 7 END AS INTEGER) AS n_bytes,
+           CAST(CASE WHEN id % 4 = 3 THEN (16 + id % 7) % 640 + 1
+                ELSE id % 300 + 1 END AS INTEGER) AS width,
+           CAST(CASE WHEN id % 4 = 3 THEN ((16 + id % 7) * 7) % 480 + 1
+                ELSE (id * 3) % 200 + 1 END AS INTEGER) AS height,
+           CASE id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'gif' ELSE NULL END AS fmt
+    FROM ids
+    """,
+    tags=("multimodal",),
+)
+def multimodal_meta_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image header decode, certified: workers synthesize 240
+    deterministic binary payloads cycling actual PNG / JPEG / GIF headers
+    plus a non-image case (`synth_image_payload`), then
+    `extract_media_meta` parses dimensions back out of the BYTES with the
+    dependency-free header parser (`parse_image_dims` — a true JPEG
+    marker-segment scan, not a fixed-offset peek). The oracle predicts
+    width/height arithmetically from the generator formula, so any parser
+    or payload-construction defect is a hash mismatch. Payloads are built
+    AND parsed inside one Arrow pass per partition — bytes never leave
+    the workers."""
+    from spark_hbase_connector_spark.operators.multimodal import (
+        synth_image_payload,
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            yield pd.DataFrame(
+                {"id": ids, "payload": [synth_image_payload(i) for i in ids]}
+            )
+
+    assets = spark.range(0, 240).mapInPandas(build, schema="id long, payload binary")
+    return extract_media_meta(assets).drop("content_hash")
 
 
 @query(
