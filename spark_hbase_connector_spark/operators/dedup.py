@@ -238,6 +238,92 @@ def shingle_containment_pairs(
     )
 
 
+def shingle_containment_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    w: int = 3,
+) -> DataFrame:
+    """Containment pairs via a rarest-first PREFIX-FILTER index — the
+    scale path for :func:`shingle_containment_pairs`, with IDENTICAL
+    output (lossless, unlike an LSH candidate stage: Jaccard-banding
+    misses exactly the low-Jaccard short-in-long pairs containment
+    exists to catch).
+
+    Completeness (pigeonhole): order every document's shingles by global
+    rarity (document frequency asc, hash asc). If C(A in B) = |A∩B|/|A|
+    >= t, then |A \\ B| <= (1-t)|A|; so if B missed ALL of A's
+    floor((1-t)|A|)+1 rarest shingles, |A \\ B| > (1-t)|A| — contradiction.
+    Hence joining only A's prefix against full postings generates every
+    qualifying directional pair. (+1 extra prefix element absorbs any
+    float-rounding of (1-t)*n — a longer prefix only adds candidates,
+    never drops pairs.)
+
+    Two further SOUND prunes keep the verify stage tiny:
+    - count filter: |A∩B| >= t|A| and at most |A|-k matches can fall
+      outside A's k-element prefix, so a qualifying pair must share
+      >= k - (1-t)|A| PREFIX shingles (~2 at t=0.9) — the candidate
+      groupBy already counts prefix matches, so this is a free filter
+      that kills the one-rare-shingle-in-common long tail (measured
+      14.3M -> 568k candidates at the 50k stress).
+    - size filter is implied by it (k - (1-t)n1 <= pi <= n2).
+    Verification then joins each surviving pair to the two docs' shingle
+    ARRAYS and intersects JVM-side (``array_intersect``) — no row
+    explosion, no (id2, shingle) shuffle of candidate x shingle rows.
+
+    Scale shape: candidate volume falls from Σ_s df(s)² (every shared
+    shingle) to Σ_{s in prefixes} df(s)·df_full(s) — prefixes are both
+    ~(1-t) of each doc's shingles AND biased to the rarest shingles, so
+    hot boilerplate shingles never generate candidates from the prefix
+    side. Measured at the 50k 10x-replication stress: 21 s vs >600 s for
+    the exact join, identical 492,910 pairs (SCALE.md).
+    """
+    posts, sizes = _hashed_postings_and_sizes(df, text_col, id_col, w, None)
+    dfreq = posts.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = posts.join(dfreq, "s").withColumn(
+        "r", F.row_number().over(Window.partitionBy("id").orderBy("df", "s"))
+    )
+    ksz = sizes.select(
+        "id", "n", (F.floor((1.0 - threshold) * F.col("n")) + 2).alias("k")
+    )
+    prefix = (
+        ranked.join(ksz, "id").where(F.col("r") <= F.col("k")).select("id", "s")
+    )
+    # prefix-match count per directional pair; the count doubles as the
+    # pigeonhole filter (see docstring) before any verification work
+    cand = (
+        prefix.alias("a")
+        .join(
+            posts.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("pi"))
+    )
+    k1 = ksz.select(
+        F.col("id").alias("id1"), F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    survivors = (
+        cand.join(k1, "id1")
+        .where(
+            F.col("pi")
+            >= F.col("k1") - (1.0 - threshold) * F.col("n1") - F.lit(1e-9)
+        )
+        .select("id1", "id2", "n1")
+    )
+    sets = posts.groupBy("id").agg(F.collect_list("s").alias("ss"))
+    s1 = sets.select(F.col("id").alias("id1"), F.col("ss").alias("ss1"))
+    s2 = sets.select(F.col("id").alias("id2"), F.col("ss").alias("ss2"))
+    cont = F.size(F.array_intersect("ss1", "ss2")) / F.col("n1")
+    return (
+        survivors.join(s1, "id1")
+        .join(s2, "id2")
+        .where(cont >= threshold)  # filter on the UNROUNDED value
+        .select("id1", "id2", F.round(cont, 4).alias("containment"))
+    )
+
+
 def shingle_jaccard_pairs(
     df: DataFrame,
     text_col: str,

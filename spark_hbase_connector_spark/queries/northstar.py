@@ -142,6 +142,44 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment_prefix",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      FROM post a JOIN post b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2, round(i * 1.0 / sa.n, 4) AS containment
+    FROM inter JOIN sizes sa ON id1 = sa.doc_id
+    WHERE i * 1.0 / sa.n >= 0.9
+    """,
+    tags=("dedup", "containment", "prefix-filter"),
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for containment dedup: rarest-first prefix-filter
+    candidates (PPJoin family) + per-candidate exact verification —
+    lossless, so the oracle is the FULL exact containment relation, not a
+    candidate-restricted weakening. Candidate volume drops from
+    Σdf(shingle)² to Σ over prefix shingles only (~(1-t) of each doc,
+    biased to the rarest), which is what survives boilerplate-heavy
+    corpora at 100 TB. The round-3 audit suggested MinHash-LSH candidates
+    here; prefix filtering is strictly better for CONTAINMENT because
+    Jaccard banding systematically misses short-doc-inside-long-doc pairs
+    (the union term dilutes their Jaccard below any band threshold) while
+    the prefix bound is a theorem, not an s-curve
+    (`operators/dedup.py:shingle_containment_pairs_prefix`)."""
+    from spark_hbase_connector_spark.operators.dedup import (
+        shingle_containment_pairs_prefix,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return shingle_containment_pairs_prefix(d, "text", "doc_id", threshold=0.9)
+
+
+@query(
     "dedup_duplicated_spans",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -245,6 +245,40 @@ def test_shingle_containment_is_directional(spark):
     assert [(r.id1, r.id2, r.containment) for r in rows] == [(1, 2, 1.0)]
 
 
+def test_containment_prefix_equals_exact(spark):
+    """The prefix-filter scale path must be LOSSLESS vs the exact join —
+    including the short-doc-inside-long-doc pairs an LSH candidate stage
+    would miss (their Jaccard is far below any band threshold)."""
+    from spark_hbase_connector_spark.operators.dedup import (
+        shingle_containment_pairs,
+        shingle_containment_pairs_prefix,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"pad{i}" for i in range(60))
+    rows = [
+        Row(doc_id=1, text=short),
+        Row(doc_id=2, text=long),  # (1 in 2): containment 1.0, tiny Jaccard
+        Row(doc_id=3, text=long + " tail"),
+        Row(doc_id=4, text=" ".join(f"w{i}" for i in range(40))),
+        Row(doc_id=5, text=" ".join(f"w{i}" for i in range(40)) + " x"),
+        Row(doc_id=6, text="unrelated words entirely different content here"),
+    ]
+    docs = spark.createDataFrame(rows)
+    for t in (0.9, 0.7):
+        exact = {
+            (r.id1, r.id2, r.containment)
+            for r in shingle_containment_pairs(docs, "text", "doc_id", t).collect()
+        }
+        pref = {
+            (r.id1, r.id2, r.containment)
+            for r in shingle_containment_pairs_prefix(
+                docs, "text", "doc_id", t
+            ).collect()
+        }
+        assert pref == exact and (1, 2, 1.0) in pref
+
+
 def test_incremental_neardup_excludes_reingested_self(spark):
     """A document present in BOTH the delta and the corpus (re-ingest)
     must not be reported as a near-duplicate of itself."""
