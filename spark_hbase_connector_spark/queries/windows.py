@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from spark_hbase_connector_spark.catalogs import load
 from spark_hbase_connector_spark.operators.asof import asof_join
+from spark_hbase_connector_spark.operators.gapfill import dense_time_grid
 from spark_hbase_connector_spark.queries.registry import query
 
 
@@ -318,7 +319,9 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_events=0 and the previous bucket's total carried forward. The grid
     is `sequence(min, max, 15 min)` exploded per key — generated worker-
     side from each key's bounds (two rows per key shuffle, not a
-    calendar's worth of driver rows); LOCF is one `last(ignorenulls)`
+    calendar's worth of driver rows) and guarded by the operator's
+    `max_buckets_per_key` cap (a sentinel-timestamp key fails loudly
+    instead of OOMing a task); LOCF is one `last(ignorenulls)`
     window over the same user partitioning the aggregation already
     shuffled on."""
     e = load(spark, sf_dir, "events").where(F.col("user_id") < 5)
@@ -329,10 +332,7 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = agg.groupBy("user_id").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.expr("sequence(lo, hi, interval 15 minutes)")).alias("bucket"),
-    )
+    grid = dense_time_grid(bounds, ["user_id"], step_seconds=900)
     j = grid.join(agg, ["user_id", "bucket"], "left")
     w = (
         Window.partitionBy("user_id")
@@ -742,10 +742,7 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = agg.groupBy("user_id").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.expr("sequence(lo, hi, interval 15 minutes)")).alias("bucket"),
-    )
+    grid = dense_time_grid(bounds, ["user_id"], step_seconds=900)
     j = grid.join(agg, ["user_id", "bucket"], "left")
     wp = (
         Window.partitionBy("user_id")

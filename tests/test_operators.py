@@ -701,3 +701,43 @@ def test_star_components_random_graph_equivalence(spark):
     star = {(r.id, r.comp) for r in connected_components_star(df).collect()}
     prop = {(r.id, r.comp) for r in connected_components(df).collect()}
     assert star == prop
+
+
+def test_dense_time_grid_guard(spark):
+    """The gapfill grid must densify bounded ranges and FAIL LOUDLY on a
+    range that exceeds max_buckets_per_key (the 1970-sentinel-timestamp
+    failure mode) — never silently explode a task."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.errors import PySparkRuntimeError
+    from pyspark.sql import Row
+
+    from spark_hbase_connector_spark.operators.gapfill import dense_time_grid
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ok = spark.createDataFrame(
+        [Row(user_id=1, lo=t0, hi=t0 + dt.timedelta(minutes=45))]
+    )
+    rows = dense_time_grid(ok, ["user_id"], step_seconds=900).collect()
+    assert [r.bucket for r in rows] == [
+        t0 + dt.timedelta(minutes=15 * i) for i in range(4)
+    ]
+
+    # one healthy key + one sentinel key: the job must fail, and the
+    # message must name the offending key and the cap
+    bad = spark.createDataFrame(
+        [
+            Row(user_id=1, lo=t0, hi=t0 + dt.timedelta(minutes=45)),
+            Row(user_id=7, lo=dt.datetime(1970, 1, 1), hi=t0),
+        ]
+    )
+    with _pytest.raises(Exception, match="max_buckets_per_key") as exc:
+        dense_time_grid(bad, ["user_id"], step_seconds=900).collect()
+    assert "(7)" in str(exc.value)
+
+    # the cap is a parameter: tight cap trips even the healthy key
+    with _pytest.raises(Exception, match="max_buckets_per_key=2"):
+        dense_time_grid(
+            ok, ["user_id"], step_seconds=900, max_buckets_per_key=2
+        ).collect()
