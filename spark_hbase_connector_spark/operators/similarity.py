@@ -405,6 +405,7 @@ def cosine_pairs_lsh(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     nprobe: int = 2,
+    max_rows_per_cell: int = 8192,
 ) -> DataFrame:
     """Approximate pair search: only pairs sharing an IVF cell (``nprobe``
     nearest cells per vector) are scored. Recall < 1 by construction; the
@@ -417,14 +418,28 @@ def cosine_pairs_lsh(
     the full candidate pair set with vectors attached (measured 33s at
     sf0.1 vs ~3s for this). Emitted pairs are re-scored with a per-pair
     dot in a fixed fp op order so the same pair found in two shared cells
-    dedupes to the identical score. Skewed (hot) cells are bounded by the
-    centroid count — raise it, or split hot cells with a salted secondary
-    key, before cells outgrow a worker.
+    dedupes to the identical score.
+
+    Hot cells are salted LOSSLESSLY: any cell with more than
+    ``max_rows_per_cell`` rows is hash-split into B = ceil(n/cap) blocks
+    (deterministic xxhash64 of the id — no rand()), and every unordered
+    block pair (b1 <= b2) becomes its own task holding only those two
+    blocks' rows: the diagonal task (b,b) scores its in-block pairs, an
+    off-diagonal task (b1,b2) scores only cross-block pairs via a
+    rectangular matmul. Each in-cell pair lands in EXACTLY one task, so
+    the output is identical to the unsalted plan (per-pair dot products
+    are commutative in IEEE fp), while per-task memory is bounded by
+    2 x cap vectors and the cell's unavoidable O(n^2) scoring spreads
+    over B(B+1)/2 tasks instead of flattening one worker. The B-way row
+    fan-out only applies to oversized cells; cells under the cap take the
+    single-task path with B=1.
 
     Output columns: (id1, id2, score).
     """
     if centroids is None:
         raise ValueError("centroids DataFrame required")
+    if max_rows_per_cell < 2:
+        raise ValueError("max_rows_per_cell must be >= 2")
     import numpy as np
     import pandas as pd
 
@@ -432,31 +447,41 @@ def cosine_pairs_lsh(
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")).join(
         cells.withColumnRenamed(id_col, "id"), "id"
     )
+    # cell-sized relation (one row per cell) -> broadcast back for salting
+    counts = v.groupBy("cell_id").agg(F.count(F.lit(1)).alias("__cn"))
+    v = (
+        v.join(F.broadcast(counts), "cell_id")
+        .withColumn(
+            "__nb",
+            F.ceil(F.col("__cn") / F.lit(max_rows_per_cell)).cast("int"),
+        )
+        .withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col("id")), F.col("__nb")).cast("int")
+        )
+        # replicate each row into every task that needs its block: task key
+        # (least, greatest) pairs block b with every other block exactly once
+        .withColumn(
+            "__ob", F.explode(F.sequence(F.lit(0), F.col("__nb") - 1))
+        )
+        .select(
+            "cell_id",
+            "id",
+            "__v",
+            "__blk",
+            F.least("__blk", "__ob").alias("__b1"),
+            F.greatest("__blk", "__ob").alias("__b2"),
+        )
+    )
     id_type = df.schema[id_col].dataType.simpleString()
 
-    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id1": [], "id2": [], "score": []})
-        if len(pdf) < 2:
-            return empty
-        V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
-        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
-        ok = nrm > 0
-        if ok.sum() < 2:
-            return empty
-        V = V[ok]
-        nrm = nrm[ok]
-        ids = [pdf["id"].iloc[i] for i in np.flatnonzero(ok)]
-        S = (V @ V.T) / np.outer(nrm, nrm)
-        # small margin: the gram matmul only FINDS candidates; membership is
-        # decided by the deterministic per-pair recompute below
-        ii, jj = np.nonzero(np.triu(S >= threshold - 1e-9, k=1))
+    def _emit(ids1, ids2, V1, V2, n1, n2, ii, jj):
         o1: list = []
         o2: list = []
         os_: list = []
         for i, j in zip(ii, jj):
-            s = float(np.dot(V[i], V[j]) / (nrm[i] * nrm[j]))
+            s = float(np.dot(V1[i], V2[j]) / (n1[i] * n2[j]))
             if s >= threshold:
-                a, b = ids[i], ids[j]
+                a, b = ids1[i], ids2[j]
                 if b < a:
                     a, b = b, a
                 o1.append(a)
@@ -464,7 +489,51 @@ def cosine_pairs_lsh(
                 os_.append(s)
         return pd.DataFrame({"id1": o1, "id2": o2, "score": os_})
 
-    pairs = v.groupBy("cell_id").applyInPandas(
+    def score_cell(key, pdf):  # (key, batch) form; no hints so eval type
+        # is inferred from arity (partial hints raise a UserWarning)
+        empty = pd.DataFrame({"id1": [], "id2": [], "score": []})
+        if len(pdf) < 2:
+            return empty
+        _, b1, b2 = key
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        ok = nrm > 0
+        if ok.sum() < 2:
+            return empty
+        V = V[ok]
+        nrm = nrm[ok]
+        idx = np.flatnonzero(ok)
+        ids = [pdf["id"].iloc[i] for i in idx]
+        if b1 == b2:
+            # diagonal task: all in-block pairs (the B=1 fast path too)
+            S = (V @ V.T) / np.outer(nrm, nrm)
+            # small margin: the gram matmul only FINDS candidates;
+            # membership is decided by the per-pair recompute in _emit
+            ii, jj = np.nonzero(np.triu(S >= threshold - 1e-9, k=1))
+            return _emit(ids, ids, V, V, nrm, nrm, ii, jj)
+        # off-diagonal task: ONLY cross-block pairs (in-block pairs belong
+        # to the two diagonal tasks)
+        blk = pdf["__blk"].to_numpy()[idx]
+        m1 = blk == b1
+        m2 = blk == b2
+        if not (m1.any() and m2.any()):
+            return empty
+        i1 = np.flatnonzero(m1)
+        i2 = np.flatnonzero(m2)
+        S = (V[i1] @ V[i2].T) / np.outer(nrm[i1], nrm[i2])
+        ii, jj = np.nonzero(S >= threshold - 1e-9)
+        return _emit(
+            [ids[i] for i in i1],
+            [ids[j] for j in i2],
+            V[i1],
+            V[i2],
+            nrm[i1],
+            nrm[i2],
+            ii,
+            jj,
+        )
+
+    pairs = v.groupBy("cell_id", "__b1", "__b2").applyInPandas(
         score_cell, schema=f"id1 {id_type}, id2 {id_type}, score double"
     )
     # a pair can surface in up to nprobe shared cells; scores are identical

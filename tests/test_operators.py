@@ -741,3 +741,45 @@ def test_dense_time_grid_guard(spark):
         dense_time_grid(
             ok, ["user_id"], step_seconds=900, max_buckets_per_key=2
         ).collect()
+
+
+def test_cosine_pairs_lsh_hot_cell_salting_is_lossless(spark):
+    """A 90%-one-cell corpus with a tiny max_rows_per_cell must produce
+    EXACTLY the unsalted output (pair set and scores): the block-pair
+    decomposition assigns every in-cell pair to one task, and per-pair
+    dots are commutative, so salting changes task shape, never results."""
+    import math
+
+    from pyspark.sql import Row
+
+    from spark_hbase_connector_spark.operators.similarity import (
+        cosine_pairs_lsh,
+    )
+
+    # 2-D vectors: angles near 0 land in the hot cell (centroid (1,0)),
+    # a 10% tail near (0,1); deterministic synthesis, no rand()
+    rows = []
+    for i in range(200):
+        if i % 10 == 9:
+            a = math.pi / 2 - ((i * 29) % 17) * 0.01
+        else:
+            a = ((i * 37) % 83) * 0.004
+        rows.append(
+            Row(vec_id=i, embedding=[math.cos(a), math.sin(a)])
+        )
+    df = spark.createDataFrame(rows)
+    cents = spark.createDataFrame(
+        [Row(cell_id=0, embedding=[1.0, 0.0]), Row(cell_id=1, embedding=[0.0, 1.0])]
+    )
+
+    def run(cap):
+        out = cosine_pairs_lsh(
+            df, threshold=0.98, centroids=cents, nprobe=1,
+            max_rows_per_cell=cap,
+        ).collect()
+        return {(r.id1, r.id2, round(r.score, 12)) for r in out}
+
+    unsalted = run(100_000)          # every cell under the cap: B=1 path
+    salted = run(10)                 # hot cell splits into ~18 blocks
+    assert salted == unsalted
+    assert len(unsalted) > 500       # the hot cell really is pair-dense
