@@ -15,6 +15,7 @@ from spark_hbase_connector_spark.streaming.events import (
     ohlc_window_agg,
     run_stream_to_memory,
     running_totals_stateful,
+    running_totals_tws,
     session_window_agg,
     sliding_window_agg,
     stream_static_enrich_agg,
@@ -169,6 +170,28 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative-sum window (same sequential fp summation order)."""
     stream = events_stream(spark, sf_dir)
     return run_stream_to_memory(running_totals_stateful(stream), spark, mode="append")
+
+
+@query(
+    "streaming_running_totals_tws",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_value
+    FROM events
+    """,
+    tags=("streaming", "stateful", "transformWithState"),
+)
+def streaming_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract on the v2 arbitrary-state API (StatefulProcessor):
+    runs natively on transformWithStateInPandas where google.protobuf
+    exists, else on the vendor-free v1 shim
+    (`streaming/tws_shim.py`) — identical results either way, so this one
+    oracle certifies the processor on whichever engine the environment
+    provides."""
+    stream = events_stream(spark, sf_dir)
+    return run_stream_to_memory(running_totals_tws(stream), spark, mode="append")
 
 
 @query(

@@ -347,25 +347,17 @@ def running_totals_tws(stream: DataFrame) -> DataFrame:
     batch window-function oracle replays it exactly — the engine carries
     BOTH stateful APIs with one verified contract.
 
-    Environment gate: transformWithState talks to the JVM state server
-    over protobuf, so it needs BOTH the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass``) and the
-    ``google.protobuf`` Python package. This container ships neither
-    protobuf nor pip access (verified: the driver worker crashes with
-    ImportError from StateMessage_pb2), so this operator is NOT a
-    registry entry — the v1 ``running_totals_stateful`` carries the
-    oracle-verified contract; environments with protobuf run this one
-    unchanged."""
+    Engine selection: the native transformWithState runtime talks to the
+    JVM state server over protobuf, so it needs the ``google.protobuf``
+    package (plus the RocksDB state store provider). Where protobuf is
+    importable the native v2 engine runs; where it is not (this
+    container — no pip access), the SAME ``RunningTotals`` processor runs
+    on the vendor-free v1 shim (`streaming/tws_shim.py`:
+    ``applyInPandasWithState`` with named states pickled into one binary
+    state column). One processor class, one verified contract, no gated
+    dead code — the registry entry ``streaming_running_totals_tws`` is
+    oracle-checked through whichever engine the environment provides."""
     import pandas as pd
-
-    try:
-        from google import protobuf  # noqa: F401
-    except Exception as exc:  # pragma: no cover - absent in this container
-        raise ImportError(
-            "transformWithStateInPandas requires the google.protobuf package "
-            "(state-server protocol); install protobuf or use "
-            "running_totals_stateful (applyInPandasWithState)"
-        ) from exc
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class RunningTotals(StatefulProcessor):
@@ -391,16 +383,36 @@ def running_totals_tws(stream: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return (
-        stream.select("user_id", "event_id", "ts", "value")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
+    src = stream.select("user_id", "event_id", "ts", "value")
+    if tws_native_available():
+        return src.groupBy("user_id").transformWithStateInPandas(
             RunningTotals(),
             outputStructType="user_id long, event_id long, running_value double",
             outputMode="append",
             timeMode="None",
         )
+    from spark_hbase_connector_spark.streaming.tws_shim import (
+        transform_with_state_shim,
     )
+
+    return transform_with_state_shim(
+        src,
+        ["user_id"],
+        RunningTotals,
+        output_schema="user_id long, event_id long, running_value double",
+        output_mode="append",
+    )
+
+
+def tws_native_available() -> bool:
+    """True when the native transformWithStateInPandas runtime can run:
+    its worker-side state-server protocol imports google.protobuf."""
+    try:
+        from google import protobuf  # noqa: F401
+
+        return True
+    except Exception:
+        return False
 
 
 def chained_window_agg(

@@ -172,23 +172,74 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert not any(v == 100.0 for _, _, v in got), got
 
 
-def test_tws_gate_raises_clearly_without_protobuf(spark):
-    """transformWithStateInPandas needs google.protobuf (state-server
-    protocol); absent that, the operator must fail at construction with an
-    actionable ImportError, not crash the Python driver worker mid-query."""
+def test_tws_runs_on_either_engine_with_state_across_batches(spark, tmp_path):
+    """running_totals_tws must RUN in every environment: native
+    transformWithStateInPandas where google.protobuf exists, the
+    vendor-free v1 shim (tws_shim) otherwise — same StatefulProcessor,
+    same results. Multi-batch input proves the shim genuinely carries
+    named state across micro-batches (not per-batch recompute)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from spark_hbase_connector_spark.catalogs import load
+    from spark_hbase_connector_spark.streaming.events import (
+        running_totals_tws,
+        run_stream_to_memory,
+        tws_native_available,
+    )
+
+    d, _ = _split_events_time_ordered(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    got = run_stream_to_memory(running_totals_tws(stream), spark, mode="append")
+    batch = load(spark, SF, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = batch.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # in THIS container the shim path is what just ran; elsewhere native
+    assert isinstance(tws_native_available(), bool)
+
+
+def test_tws_shim_refuses_timers_and_ttl_loudly(spark):
+    """The shim's non-goals must fail loudly at construction, never drift
+    silently: timeMode other than 'None', TTL'd value states, and the v2
+    handle surfaces the v1 state model cannot express (list/map state,
+    timers)."""
     import pytest
 
-    try:
-        from google import protobuf  # noqa: F401
-
-        pytest.skip("protobuf present: gate inactive, operator usable")
-    except ImportError:
-        pass
-    from spark_hbase_connector_spark.streaming.events import running_totals_tws
+    from spark_hbase_connector_spark.streaming.tws_shim import (
+        ShimHandle,
+        transform_with_state_shim,
+    )
 
     stream = events_stream(spark, SF)
-    with pytest.raises(ImportError, match="protobuf"):
-        running_totals_tws(stream)
+    with pytest.raises(NotImplementedError, match="timeMode"):
+        transform_with_state_shim(
+            stream, ["user_id"], object, "user_id long", time_mode="EventTime"
+        )
+    h = ShimHandle({})
+    with pytest.raises(NotImplementedError, match="TTL"):
+        h.getValueState("v", "v double", ttl_duration_ms=1000)
+    with pytest.raises(NotImplementedError, match="getListState"):
+        h.getListState("l", "l double")
+    # the supported surface round-trips
+    s = h.getValueState("total", "total double")
+    assert not s.exists()
+    s.update((1.5,))
+    assert s.exists() and s.get() == (1.5,)
+    s.clear()
+    assert not s.exists()
 
 
 def test_latest_per_key_state_across_batches(spark, tmp_path):
