@@ -37,6 +37,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order — all are equally oracle-checked by the in-repo
 # differential (scripts/run_differential.py).
 DRIVER_WINDOW = [
+    # Round-4 rotation: entries driver-green in r03 that are unchanged
+    # since (q3/q6, agg_quantiles, rollup/pivot, dedup_exact/simhash,
+    # text_token_stats, sample_stratified, ...) rotated out in favor of
+    # the round-3 heavyweights that had never been driver-checked
+    # (pipeline_semantic_dedup, dedup_components_star, graph_pagerank,
+    # agg_decimal_exact, window_trailing_1h, kv_time_travel_read,
+    # scalar_mask_pii, agg_modern_aliases, streaming_hourly_unique_users)
+    # and the round-4 additions (dedup_containment_prefix,
+    # kmeans_train_cells now oracled, multimodal_meta real header decode,
+    # streaming_running_totals_tws). Rotated-out entries remain
+    # oracle-checked by the in-repo differential.
     # scan/pushdown parity (reference flagship shapes)
     "scan_flagship",
     "scan_hbasekv_flagship",
@@ -45,40 +56,38 @@ DRIVER_WINDOW = [
     "scan_and_or",
     # TPC-H planner shapes (light + heavy)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
     "q9_product_profit",
     "q21_waiting_suppliers",
     # relational surface
-    "agg_quantiles",
-    "scalar_json",
     "join_salted_skew",
-    "rollup_orders",
-    "pivot_lineitem",
     "not_in_null_aware",
     "correlated_scalar_subquery",
+    "agg_decimal_exact",
+    "agg_modern_aliases",
+    "scalar_mask_pii",
     # windows / time-series
-    "window_topk_per_group",
     "window_time_weighted_avg",
+    "window_trailing_1h",
     "sessionize_events",
     "asof_join_events",
     "range_join_windows",
     "gapfill_locf",
     "hypertable_rollup_merge",
     # dedup family
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_containment_prefix",
     "dedup_components",
-    "dedup_cluster_keep_best",
+    "dedup_components_star",
     "dedup_duplicated_spans",
-    # similarity / ANN
+    # similarity / ANN / clustering
     "embedding_cosine_pairs_lsh",
     "ann_topk_cosine",
     "ann_recall_ivf",
+    "kmeans_train_cells",
+    # graph
+    "graph_pagerank",
     # text analysis
-    "text_token_stats",
     "text_tfidf_topterms",
     "text_repetition_signals",
     "text_bigram_surprisal",
@@ -87,17 +96,20 @@ DRIVER_WINDOW = [
     # corpus quality / curation
     "pii_scrub_customers",
     "contamination_ngram",
-    "sample_stratified",
     "pack_token_bins",
-    "assign_contiguous_ids",
     "pipeline_curation",
+    "pipeline_semantic_dedup",
     # multimodal bridge
     "multimodal_feature_ann",
+    "multimodal_meta",
     # streaming
     "streaming_tumbling_counts",
     "streaming_session_windows",
-    # secondary index / CDC
+    "streaming_running_totals_tws",
+    "streaming_hourly_unique_users",
+    # secondary index / CDC / time travel
     "secondary_index_lookup",
+    "kv_time_travel_read",
     # modern SQL (Spark 4): recursive CTE fixpoint
     "recursive_tree_rollup",
 ]
