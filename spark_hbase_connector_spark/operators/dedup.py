@@ -369,6 +369,85 @@ def shingle_jaccard_pairs(
     )
 
 
+def shingle_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.85,
+    w: int = 3,
+) -> DataFrame:
+    """Exact Jaccard pairs via a rarest-first PREFIX-FILTER self-join
+    (PPJoin family) — the LOSSLESS scale path for
+    :func:`shingle_jaccard_pairs`, with identical output. MinHash-LSH
+    (:func:`minhash_lsh_pairs`) stays the probabilistic alternative; this
+    one is a theorem, not an s-curve, so it can replace the exact
+    baseline wherever exactness is the contract.
+
+    Completeness: order every document's shingles by global rarity
+    (document frequency asc, hash asc — one shared total order). If
+    J(A,B) >= t then the overlap alpha = |A∩B| satisfies
+    alpha >= t/(1+t)(|A|+|B|) >= ceil(t·max(|A|,|B|)) (using the size
+    bound |A| >= t|B|), and the prefix lemma gives: two ordered sets with
+    overlap >= alpha must share an element within their
+    (n - alpha + 1)-prefixes. Each side's own alpha_x = ceil(t·n_x) is
+    <= alpha, and a smaller alpha only LENGTHENS the prefix, so joining
+    the per-doc (n - ceil(t·n) + 1)-prefixes generates every qualifying
+    pair. (+1 extra element absorbs float rounding of ceil(t·n) — longer
+    prefixes add candidates, never drop pairs.)
+
+    Plan shape: candidate volume falls from Σ_s df(s)² (every shared
+    shingle — the exact join's wall) to Σ_s pf(s)² over PREFIX postings
+    only (~(1-t) of each doc's shingles, biased to the rarest, so hot
+    boilerplate shingles never reach the join). Survivors pass the
+    size-ratio filter (min(n1,n2) >= t·max(n1,n2)) and are verified
+    JVM-side with one ``array_intersect`` per pair — no candidate×shingle
+    row explosion. Every shuffle is prefix-postings- or candidate-sized.
+    """
+    posts, sizes = _hashed_postings_and_sizes(df, text_col, id_col, w, None)
+    dfreq = posts.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = posts.join(dfreq, "s").withColumn(
+        "r", F.row_number().over(Window.partitionBy("id").orderBy("df", "s"))
+    )
+    ksz = sizes.select(
+        "id",
+        "n",
+        (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 2).alias("k"),
+    )
+    prefix = (
+        ranked.join(ksz, "id").where(F.col("r") <= F.col("k")).select("id", "s")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
+    cand = (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .where(
+            F.least("n1", "n2")
+            >= threshold * F.greatest("n1", "n2") - F.lit(1e-9)
+        )
+    )
+    sets = posts.groupBy("id").agg(F.collect_list("s").alias("ss"))
+    g1 = sets.select(F.col("id").alias("id1"), F.col("ss").alias("ss1"))
+    g2 = sets.select(F.col("id").alias("id2"), F.col("ss").alias("ss2"))
+    i = F.size(F.array_intersect("ss1", "ss2"))
+    jac = i / (F.col("n1") + F.col("n2") - i)
+    return (
+        cand.join(g1, "id1")
+        .join(g2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_band_buckets(
     df: DataFrame,
     text_col: str,

@@ -116,6 +116,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_ngram_jaccard_prefix",
+    oracle=_DUCK_JACCARD_PAIRS,
+    tags=("dedup", "prefix-filter"),
+)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOSSLESS scale path for exact Jaccard dedup: rarest-first
+    prefix-filter self-join (PPJoin family) + size-ratio filter +
+    `array_intersect` verification — identical output to
+    `dedup_ngram_jaccard` (same oracle, the FULL exact relation), with
+    candidate volume Σ prefix-frequency² instead of Σ document-
+    frequency², which is what survives boilerplate-heavy corpora at
+    100 TB. MinHash-LSH remains the probabilistic alternative when even
+    exact verification is too expensive
+    (`operators/dedup.py:shingle_jaccard_pairs_prefix`)."""
+    from spark_hbase_connector_spark.operators.dedup import (
+        shingle_jaccard_pairs_prefix,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs_prefix(d, "text", "doc_id", threshold=0.85)
+    return pairs.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
     "dedup_containment",
     oracle=f"""
     WITH {_DUCK_SHINGLES},

@@ -783,3 +783,39 @@ def test_cosine_pairs_lsh_hot_cell_salting_is_lossless(spark):
     salted = run(10)                 # hot cell splits into ~18 blocks
     assert salted == unsalted
     assert len(unsalted) > 500       # the hot cell really is pair-dense
+
+
+def test_jaccard_prefix_equals_exact(spark):
+    """The prefix-filter Jaccard path must be LOSSLESS vs the exact
+    inverted-index join at multiple thresholds — pair set AND scores."""
+    from pyspark.sql import Row
+
+    from spark_hbase_connector_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+        shingle_jaccard_pairs_prefix,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),                       # exact dup: J=1.0
+        Row(doc_id=3, text=base + " extra"),            # near dup
+        Row(doc_id=4, text=base.replace("delta", "DELTA")),
+        Row(doc_id=5, text=" ".join(f"w{i}" for i in range(30))),
+        Row(doc_id=6, text=" ".join(f"w{i}" for i in range(30)) + " tail"),
+        Row(doc_id=7, text="entirely different content with no overlap at all"),
+    ]
+    docs = spark.createDataFrame(rows)
+    for t in (0.85, 0.6):
+        exact = {
+            (r.id1, r.id2, round(r.jaccard, 10))
+            for r in shingle_jaccard_pairs(docs, "text", "doc_id", t).collect()
+        }
+        pref = {
+            (r.id1, r.id2, round(r.jaccard, 10))
+            for r in shingle_jaccard_pairs_prefix(
+                docs, "text", "doc_id", t
+            ).collect()
+        }
+        assert pref == exact and (1, 2, 1.0) in pref
+        assert len(exact) >= 3
