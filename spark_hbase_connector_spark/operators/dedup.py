@@ -276,8 +276,8 @@ def shingle_containment_pairs_prefix(
     shingle) to Σ_{s in prefixes} df(s)·df_full(s) — prefixes are both
     ~(1-t) of each doc's shingles AND biased to the rarest shingles, so
     hot boilerplate shingles never generate candidates from the prefix
-    side. Measured at the 50k 10x-replication stress: 21 s vs >600 s for
-    the exact join, identical 492,910 pairs (SCALE.md).
+    side. Measured at the 50k 10x-replication stress: ~28 s vs >600 s
+    for the exact join, identical 492,910 pairs (SCALE.md).
     """
     posts, sizes = _hashed_postings_and_sizes(df, text_col, id_col, w, None)
     dfreq = posts.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
