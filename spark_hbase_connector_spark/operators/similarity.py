@@ -622,3 +622,248 @@ def pca_project(
     id_type = vectors.schema[v_id].dataType.simpleString()
     out = src.mapInPandas(project, schema=f"id {id_type}, proj array<double>")
     return out.withColumnRenamed("id", v_id), ratios
+
+
+def pq_sampled_codebooks(
+    vectors: DataFrame,
+    n_codes: int = 16,
+    m: int = 8,
+    v_id: str = "vec_id",
+    v_vec: str = "embedding",
+):
+    """Deterministic PQ codebooks WITHOUT training: the sub-vectors of the
+    first ``n_codes`` vectors (by id) become the codewords of each of the
+    ``m`` subspaces. Returns numpy (m, n_codes, d/m) float64.
+
+    This is the SQL-replayable variant (a DuckDB oracle can reconstruct
+    it exactly — see `ann_topk_pq`); :func:`train_pq_codebooks` is the
+    quality path (per-subspace Lloyd) for production indexes."""
+    import numpy as np
+
+    rows = vectors.orderBy(v_id).limit(n_codes).select(v_vec).collect()
+    if len(rows) < n_codes:
+        raise ValueError(f"pq_sampled_codebooks: need {n_codes} vectors")
+    C = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    d = C.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    # (n_codes, m, dsub) -> (m, n_codes, dsub)
+    return C.reshape(n_codes, m, dsub).transpose(1, 0, 2).copy()
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    n_codes: int = 16,
+    m: int = 8,
+    iters: int = 3,
+    v_id: str = "vec_id",
+    v_vec: str = "embedding",
+):
+    """Product-quantization codebooks via per-subspace Lloyd iterations —
+    the quality path (lower reconstruction distortion than sampling).
+
+    Same 100 TB shape as ``train_centroids``: initialization is the
+    deterministic sample (:func:`pq_sampled_codebooks`); each iteration
+    is ONE ``mapInPandas`` pass emitting per-batch (subspace, code,
+    count, sum-vector) partials for ALL m subspaces at once — the driver
+    reduces m x n_codes x batches partial rows (never vectors), so the
+    corpus is scanned ``iters`` times and nothing shuffles. Empty cells
+    keep their previous codeword. Returns numpy (m, n_codes, d/m)."""
+    import numpy as np
+    import pandas as pd
+
+    C = pq_sampled_codebooks(vectors, n_codes, m, v_id, v_vec)
+    dsub = C.shape[2]
+    sc = vectors.sparkSession.sparkContext
+    src = vectors.select(F.col(v_vec).alias("__v"))
+
+    for _ in range(iters):
+        bC = sc.broadcast(C)
+
+        def gen(batches):
+            Cl = bC.value  # (m, k, dsub)
+            mm, kk, ds = Cl.shape
+            sums = np.zeros((mm, kk, ds))
+            counts = np.zeros((mm, kk), dtype=np.int64)
+            for pdf in batches:
+                vals = [v for v in pdf["__v"] if v is not None]
+                if not vals:
+                    continue
+                V = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in vals]
+                ).reshape(len(vals), mm, ds)
+                for j in range(mm):
+                    # (b, k) squared L2 distances in subspace j
+                    D = (
+                        np.einsum("bd,bd->b", V[:, j], V[:, j])[:, None]
+                        - 2.0 * V[:, j] @ Cl[j].T
+                        + np.einsum("kd,kd->k", Cl[j], Cl[j])[None, :]
+                    )
+                    a = np.argmin(D, axis=1)
+                    np.add.at(sums[j], a, V[:, j])
+                    counts[j] += np.bincount(a, minlength=kk)
+            recs = []
+            for j in range(mm):
+                for c in range(kk):
+                    recs.append((j, c, int(counts[j, c]), sums[j, c].tolist()))
+            yield pd.DataFrame(
+                recs, columns=["j", "c", "cnt", "vsum"]
+            )
+
+        parts = src.mapInPandas(
+            gen, schema="j int, c int, cnt long, vsum array<double>"
+        ).toPandas()
+        sums = np.zeros_like(C)
+        counts = np.zeros(C.shape[:2], dtype=np.int64)
+        for _, r in parts.iterrows():
+            sums[r["j"], r["c"]] += np.asarray(r["vsum"])
+            counts[r["j"], r["c"]] += r["cnt"]
+        nonempty = counts > 0
+        C = np.where(
+            nonempty[:, :, None],
+            sums / np.maximum(counts, 1)[:, :, None],
+            C,
+        )
+    return C
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks,
+    v_id: str = "vec_id",
+    v_vec: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook indices -> (id, codes:
+    array<int>). One broadcast (the codebooks are m x k x d/m floats —
+    KBs) + one Arrow pass; at 100 TB the 100x-smaller code table is what
+    ships to the ADC scorer, not the float vectors. Ties break to the
+    lowest code (matches the SQL oracle's ORDER BY d2, code)."""
+    import numpy as np
+    import pandas as pd
+
+    sc = vectors.sparkSession.sparkContext
+    bC = sc.broadcast(np.asarray(codebooks, dtype=np.float64))
+    id_type = vectors.schema[v_id].dataType.simpleString()
+    src = vectors.select(F.col(v_id).alias("id"), F.col(v_vec).alias("__v"))
+
+    def gen(batches):
+        C = bC.value  # (m, k, dsub)
+        mm, kk, ds = C.shape
+        for pdf in batches:
+            ids = []
+            codes = []
+            for i, v in zip(pdf["id"], pdf["__v"]):
+                if v is None:
+                    continue
+                V = np.asarray(v, dtype=np.float64).reshape(mm, ds)
+                row = []
+                for j in range(mm):
+                    D = np.einsum(
+                        "kd,kd->k", C[j] - V[j][None, :], C[j] - V[j][None, :]
+                    )
+                    row.append(int(np.argmin(D)))  # argmin takes lowest index on ties
+                ids.append(i)
+                codes.append(row)
+            yield pd.DataFrame({"id": ids, "codes": codes})
+
+    return src.mapInPandas(gen, schema=f"id {id_type}, codes array<int>")
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    k: int = 5,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation over PQ codes:
+    score(q, x) ~= dot(q, x_hat) / (|q| |x_hat|) where x_hat is x's
+    codeword reconstruction — the corpus contributes only its m-byte-ish
+    code rows, never float vectors.
+
+    Scale shape mirrors ``brute_force_topk``: the per-query lookup tables
+    T[q, j, c] = dot(q_sub_j, codeword_{j,c}) (|Q| x m x k doubles) are
+    built driver-side and broadcast; ONE Arrow pass over the codes does
+    m gathers + adds per batch and keeps per-batch top-k per query
+    (ordered by ROUNDED score desc, neighbor_id asc — the same total
+    order as the final window, so the global top-k is exact w.r.t. the
+    ADC scores); the final window ranks n_batches x |Q| x k candidate
+    rows. Ranking on the 4dp-rounded score makes the result robust to
+    sub-ulp summation differences against the SQL oracle.
+
+    Output: (query_id, neighbor_id, score, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    mm, kk, ds = C.shape
+    q_rows = queries.select(q_id, q_vec).collect()  # small by contract
+    qids = [r[0] for r in q_rows]
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    keep = qn > 0
+    qids = [i for i, ok in zip(qids, keep) if ok]
+    Q, qn = Q[keep], qn[keep]
+    nq = len(qids)
+    Qs = Q.reshape(nq, mm, ds)
+    # T[q, j, c] = dot(q_sub_j, codeword_{j,c}); cbn2[j, c] = |codeword|^2
+    T = np.einsum("qjd,jkd->qjk", Qs, C)
+    cbn2 = np.einsum("jkd,jkd->jk", C, C)
+    sc = codes.sparkSession.sparkContext
+    b = sc.broadcast((qids, T, cbn2, qn))
+    q_type = queries.schema[q_id].dataType.simpleString()
+    c_type = codes.schema["id"].dataType.simpleString()
+    src = codes.select(F.col("id").alias("neighbor_id"), "codes")
+
+    def gen(batches):
+        b_qids, b_T, b_n2, b_qn = b.value
+        m_ = b_n2.shape[0]
+        nq_ = len(b_qids)
+        if nq_ == 0:
+            return
+        for pdf in batches:
+            rows = [i for i in range(len(pdf)) if pdf["codes"].iloc[i] is not None]
+            if not rows:
+                continue
+            Cd = np.vstack(
+                [np.asarray(pdf["codes"].iloc[i], dtype=np.int64) for i in rows]
+            )  # (b, m)
+            cids = [pdf["neighbor_id"].iloc[i] for i in rows]
+            ip = np.zeros((nq_, Cd.shape[0]))
+            n2 = np.zeros(Cd.shape[0])
+            for j in range(m_):  # fixed j order = the oracle's ordered sum
+                ip += b_T[:, j, Cd[:, j]]
+                n2 += b_n2[j, Cd[:, j]]
+            xn = np.sqrt(n2)
+            ok = xn > 0
+            out_q, out_c, out_s = [], [], []
+            for qi in range(nq_):
+                s = np.where(ok, ip[qi] / (b_qn[qi] * np.where(ok, xn, 1.0)), -np.inf)
+                sr = np.round(s, 4) + 0.0
+                mask = [
+                    i
+                    for i in range(len(cids))
+                    if ok[i] and cids[i] != b_qids[qi]
+                ]
+                order = sorted(mask, key=lambda i: (-sr[i], cids[i]))[:k]
+                for i in order:
+                    out_q.append(b_qids[qi])
+                    out_c.append(cids[i])
+                    out_s.append(float(sr[i]))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_c, "score": out_s}
+            )
+
+    scored = src.mapInPandas(
+        gen, schema=f"query_id {q_type}, neighbor_id {c_type}, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -677,6 +677,77 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_pq",
+    oracle=f"""
+    WITH {_DUCK_VECS},
+    cb AS (SELECT vec_id AS code, e AS ce FROM n WHERE vec_id < 16),
+    subs AS (SELECT j FROM range(8) t(j)),
+    dists AS (
+      SELECT x.vec_id, s.j, cb.code,
+             list_sum(list_transform(range(1, 9),
+                      i -> (x.e[s.j*8 + i] - cb.ce[s.j*8 + i])
+                         * (x.e[s.j*8 + i] - cb.ce[s.j*8 + i]))) AS d2
+      FROM n x CROSS JOIN subs s CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS r
+        FROM dists) WHERE r = 1
+    ),
+    contrib AS (
+      SELECT q.vec_id AS query_id, ex.vec_id AS neighbor_id, ex.j,
+             list_sum(list_transform(range(1, 9),
+                      i -> q.e[ex.j*8 + i] * cb.ce[ex.j*8 + i])) AS ipj,
+             list_sum(list_transform(range(1, 9),
+                      i -> cb.ce[ex.j*8 + i] * cb.ce[ex.j*8 + i])) AS n2j
+      FROM (SELECT * FROM n WHERE vec_id < 10) q
+      JOIN enc ex ON ex.vec_id != q.vec_id
+      JOIN cb ON cb.code = ex.code
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(sum(ipj) / (any_value(q.nrm) * sqrt(sum(n2j))), 4) + 0.0
+               AS score
+      FROM contrib c JOIN n q ON q.vec_id = c.query_id
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "pq"),
+)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (IVF-PQ's memory half): the corpus is
+    encoded as m=8 codebook indices (codebooks = sub-vectors of vectors
+    0..15 — the deterministic, SQL-replayable sampling; Lloyd-trained
+    codebooks are the quality path, `train_pq_codebooks`), and queries
+    score candidates by Asymmetric Distance Computation — per-query
+    lookup tables broadcast, ONE Arrow pass over the CODE rows (never
+    the float vectors), per-batch top-k. At 100 TB this is what makes
+    embedding search memory-feasible: the scorer ships ~m bytes per
+    vector instead of 4·d. Ranks use the 4dp-rounded score (tie-break
+    neighbor_id) so both engines rank identical values
+    (`operators/similarity.py:pq_adc_topk`)."""
+    from spark_hbase_connector_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_sampled_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    cb = pq_sampled_codebooks(e, n_codes=16, m=8)
+    codes = pq_encode(e, cb)
+    return pq_adc_topk(q, codes, cb, k=5)
+
+
+@query(
     "ann_recall_ivf",
     oracle=f"""
     WITH {_DUCK_VECS},

