@@ -867,3 +867,110 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    k: int = 5,
+    nprobe: int = 2,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """The full IVF-PQ composition — the canonical production ANN shape
+    at 100 TB: IVF cells bound the SCAN (each query touches
+    ~nprobe/n_cells of the corpus) and PQ codes bound the MEMORY (the
+    scorer reads ~m small ints per vector, never the floats).
+
+    Plan: corpus vectors are assigned to their nearest cell (one Arrow
+    pass, nprobe=1) and PQ-encoded (one Arrow pass); the joined
+    (id, cell, codes) relation is the persistent index a real deployment
+    would store. Queries' probed cells and ADC lookup tables are
+    broadcast; ONE Arrow pass over the index rows scores each code row
+    only for the queries probing its cell and keeps per-batch top-k
+    (rounded-score order, the same total order as the final window).
+    A (query, vector) pair can surface via exactly one cell, so no dedup
+    pass is needed. Output: (query_id, neighbor_id, score, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(codebooks, dtype=np.float64)
+    mm, kk, ds = C.shape
+    cells = assign_cells(corpus, centroids, c_id, c_vec, nprobe=1)
+    codes = pq_encode(corpus, C, c_id, c_vec)
+    index = codes.join(cells.withColumnRenamed(c_id, "id"), "id")
+
+    probed: dict = {}
+    for r in assign_cells(queries, centroids, q_id, q_vec, nprobe=nprobe).collect():
+        probed.setdefault(r[0], set()).add(r["cell_id"])
+    q_rows = queries.select(q_id, q_vec).collect()
+    qids, qvecs = [], []
+    for r in q_rows:
+        v = np.asarray(r[1], dtype=np.float64)
+        n = float(np.sqrt(v @ v))
+        if n > 0 and r[0] in probed:
+            qids.append(r[0])
+            qvecs.append(v)
+    if not qids:
+        raise ValueError("ivf_pq_topk: no usable query vectors")
+    Q = np.vstack(qvecs)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    T = np.einsum("qjd,jkd->qjk", Q.reshape(len(qids), mm, ds), C)
+    cbn2 = np.einsum("jkd,jkd->jk", C, C)
+    sc = corpus.sparkSession.sparkContext
+    b = sc.broadcast((qids, [probed[q] for q in qids], T, cbn2, qn))
+    q_type = queries.schema[q_id].dataType.simpleString()
+    c_type = corpus.schema[c_id].dataType.simpleString()
+
+    def gen(batches):
+        b_qids, b_cells, b_T, b_n2, b_qn = b.value
+        m_ = b_n2.shape[0]
+        for pdf in batches:
+            rows = [i for i in range(len(pdf)) if pdf["codes"].iloc[i] is not None]
+            if not rows:
+                continue
+            Cd = np.vstack(
+                [np.asarray(pdf["codes"].iloc[i], dtype=np.int64) for i in rows]
+            )
+            cids = [pdf["id"].iloc[i] for i in rows]
+            ccell = [pdf["cell_id"].iloc[i] for i in rows]
+            ip = np.zeros((len(b_qids), Cd.shape[0]))
+            n2 = np.zeros(Cd.shape[0])
+            for j in range(m_):  # fixed j order = the oracle's ordered sum
+                ip += b_T[:, j, Cd[:, j]]
+                n2 += b_n2[j, Cd[:, j]]
+            xn = np.sqrt(n2)
+            ok = xn > 0
+            out_q, out_c, out_s = [], [], []
+            for qi, (qid, qcells) in enumerate(zip(b_qids, b_cells)):
+                s = ip[qi] / (b_qn[qi] * np.where(ok, xn, 1.0))
+                sr = np.round(s, 4) + 0.0
+                mask = [
+                    i
+                    for i in range(len(cids))
+                    if ok[i] and ccell[i] in qcells and cids[i] != qid
+                ]
+                order = sorted(mask, key=lambda i: (-sr[i], cids[i]))[:k]
+                for i in order:
+                    out_q.append(qid)
+                    out_c.append(cids[i])
+                    out_s.append(float(sr[i]))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_c, "score": out_s}
+            )
+
+    scored = index.mapInPandas(
+        gen, schema=f"query_id {q_type}, neighbor_id {c_type}, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -748,6 +748,100 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_ivf_pq",
+    oracle=f"""
+    WITH {_DUCK_VECS},
+    cb AS (SELECT vec_id AS code, e AS ce FROM n WHERE vec_id < 16),
+    subs AS (SELECT j FROM range(8) t(j)),
+    dists AS (
+      SELECT x.vec_id, s.j, cb.code,
+             list_sum(list_transform(range(1, 9),
+                      i -> (x.e[s.j*8 + i] - cb.ce[s.j*8 + i])
+                         * (x.e[s.j*8 + i] - cb.ce[s.j*8 + i]))) AS d2
+      FROM n x CROSS JOIN subs s CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS r
+        FROM dists) WHERE r = 1
+    ),
+    cent AS (SELECT vec_id AS cell_id, e AS ce2, nrm AS cnrm
+             FROM n WHERE vec_id < 16),
+    sims AS (
+      SELECT x.vec_id, cent.cell_id,
+             list_sum(list_transform(range(1, len(x.e) + 1),
+                      i -> x.e[i] * cent.ce2[i])) / (x.nrm * cent.cnrm) AS sim
+      FROM n x CROSS JOIN cent
+    ),
+    asgn AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+        FROM sims) WHERE r = 1
+    ),
+    qasgn AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+        FROM sims WHERE vec_id < 10) WHERE r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+      FROM qasgn qa JOIN asgn ca ON qa.cell_id = ca.cell_id
+      WHERE qa.vec_id != ca.vec_id
+    ),
+    contrib AS (
+      SELECT c.query_id, c.neighbor_id, ex.j,
+             list_sum(list_transform(range(1, 9),
+                      i -> q.e[ex.j*8 + i] * cb.ce[ex.j*8 + i])) AS ipj,
+             list_sum(list_transform(range(1, 9),
+                      i -> cb.ce[ex.j*8 + i] * cb.ce[ex.j*8 + i])) AS n2j
+      FROM cand c
+      JOIN n q ON q.vec_id = c.query_id
+      JOIN enc ex ON ex.vec_id = c.neighbor_id
+      JOIN cb ON cb.code = ex.code
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(sum(ipj) / (any_value(q2.nrm) * sqrt(sum(n2j))), 4) + 0.0
+               AS score
+      FROM contrib c JOIN n q2 ON q2.vec_id = c.query_id
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ composition — cells bound the SCAN (queries probe
+    2 of 16 cells), codes bound the MEMORY (the scorer reads m=8 code
+    ints per vector, never floats): the canonical production ANN at
+    100 TB. The (id, cell, codes) relation built here is exactly the
+    persistent index a deployment would store. Oracle replays coarse
+    assignment, PQ encoding and ADC scoring end-to-end
+    (`operators/similarity.py:ivf_pq_topk`)."""
+    from spark_hbase_connector_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_sampled_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    centroids = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    cb = pq_sampled_codebooks(e, n_codes=16, m=8)
+    return ivf_pq_topk(q, e, centroids, cb, k=5, nprobe=2)
+
+
+@query(
     "ann_recall_ivf",
     oracle=f"""
     WITH {_DUCK_VECS},
