@@ -48,12 +48,15 @@ DRIVER_WINDOW = [
     # kmeans_train_cells now oracled, multimodal_meta real header decode,
     # streaming_running_totals_tws). Rotated-out entries remain
     # oracle-checked by the in-repo differential.
-    # scan/pushdown parity (reference flagship shapes)
+    # scan/pushdown parity (reference flagship shapes) — r04 late rotation:
+    # scan_rowkey_range_sort / scan_and_or (driver-green r02/r03, unchanged
+    # since) rotate out for the new library-level aggregate/TopN pushdown
+    # entries, which have never been driver-checked
     "scan_flagship",
     "scan_hbasekv_flagship",
-    "scan_rowkey_range_sort",
+    "scan_agg_footer_pushdown",
+    "scan_limit_topn_pushdown",
     "scan_range_negative",
-    "scan_and_or",
     # TPC-H planner shapes (light + heavy)
     "q1_pricing_summary",
     "q9_product_profit",

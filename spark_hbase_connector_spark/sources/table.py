@@ -81,7 +81,7 @@ def _physical_schema(cat: TableCatalog, naming: str, overrides: dict | None = No
 def load_table(
     spark: SparkSession,
     catalog: str | dict | TableCatalog,
-    path: str,
+    path: str | list[str],
     physical_naming: str = "column",
     data_format: str = "parquet",
     physical_overrides: dict | None = None,
@@ -122,10 +122,13 @@ def load_table(
     if on_malformed not in modes:
         raise ValueError(f"on_malformed must be one of {sorted(modes)}")
     cat = catalog if isinstance(catalog, TableCatalog) else parse_catalog(catalog)
+    # a list of paths = an explicit file subset (planner-pruned read sets,
+    # e.g. stats_scan.head_by_rowkey); columnar formats only
+    paths = path if isinstance(path, list) else [path]
     if data_format == "parquet":
-        raw = spark.read.parquet(path)
+        raw = spark.read.parquet(*paths)
     elif data_format == "orc":
-        raw = spark.read.orc(path)
+        raw = spark.read.orc(*paths)
     elif data_format == "csv":
         raw = spark.read.schema(
             _physical_schema(cat, physical_naming, physical_overrides)
