@@ -21,6 +21,7 @@ from spark_hbase_connector_spark.queries import (  # noqa: F401,E402
     corpus_pipeline,
     tpch_extra,
     indexing,
+    kv_patterns,
     windows,
     northstar,
     quality,

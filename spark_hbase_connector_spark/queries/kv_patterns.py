@@ -1,0 +1,161 @@
+"""HBase client-pattern parity: Increment / Append mutations and salted
+rowkey tables.
+
+The reference connector serves tables its users mutate through the full
+HBase client verb set and lay out with the standard hot-region patterns;
+these entries express those patterns over the engine's immutable-Parquet
+kv layout (operators/mutations.py, sources/salting.py) and prove them
+against plain-SQL oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.catalogs import load
+from spark_hbase_connector_spark.queries.registry import query
+
+SALTED_CUST_CATALOG = {
+    "table": "fixtures:cust_salted",
+    "rowkey": "skey",
+    "columns": {
+        "skey": {"cf": "rowkey", "col": "skey", "type": "string"},
+        "c_name": {"cf": "info", "col": "c_name", "type": "string"},
+        "c_custkey": {"cf": "info", "col": "c_custkey", "type": "long"},
+        "c_acctbal": {"cf": "info", "col": "c_acctbal", "type": "double"},
+    },
+}
+
+
+@query(
+    "kv_counter_increments",
+    oracle="""
+    SELECT o_custkey,
+           count(*)::BIGINT AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("kv", "mutation", "increment"),
+)
+def kv_counter_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``Increment`` semantics (`operators/mutations.apply_increments`):
+    a counter table built from the order history up to key 30000, then the
+    remaining orders applied as single-row increment mutations. The deltas
+    collapse map-side (partial aggregation per rowkey BEFORE the shuffle —
+    a hot counter moves one partial per task, the memstore-coalescing
+    analogue), then one co-partitioned full-outer overlay. New custkeys
+    (first order after the cutoff) initialize from 0, exactly HBase's
+    absent-counter rule. Money counted in exact integer cents — counters
+    are longs, no float drift. The oracle is the plain full-history
+    aggregate: base + increments must reproduce it key-for-key."""
+    from spark_hbase_connector_spark.operators.mutations import apply_increments
+
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    head = orders.where(F.col("o_orderkey") <= 30000)
+    tail = orders.where(F.col("o_orderkey") > 30000)
+    base = head.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents).alias("total_cents"),
+    )
+    increments = tail.select(
+        "o_custkey",
+        F.lit(1).cast("bigint").alias("n_orders"),
+        cents.alias("total_cents"),
+    )
+    return apply_increments(
+        base, increments, "o_custkey", ["n_orders", "total_cents"]
+    ).select(
+        "o_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+    )
+
+
+@query(
+    "kv_append_mutation",
+    oracle="""
+    WITH p AS (
+        SELECT o_custkey,
+               string_agg(o_orderpriority, '|'
+                          ORDER BY lpad(o_orderkey::VARCHAR, 12, '0'),
+                                   o_orderpriority) AS app
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey,
+           CASE WHEN p.app IS NULL THEN c_mktsegment
+                ELSE c_mktsegment || '|' || p.app END AS journey
+    FROM customer LEFT JOIN p ON p.o_custkey = c_custkey
+    """,
+    tags=("kv", "mutation", "append"),
+)
+def kv_append_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``Append`` semantics (`operators/mutations.apply_appends`):
+    every order appends its priority onto the customer's journey cell, in
+    mutation order — ts = zero-padded orderkey (unique, so the order is
+    total; the operator additionally tie-breaks on the piece so ANY ts
+    collisions stay deterministic). Customers with no orders keep their
+    base cell untouched. Per-key state in the aggregation is the appended
+    payload itself (collect_list of this key's pieces), never the table —
+    the same reason HBase can apply Append under a row lock. The oracle
+    replays the concatenation with ordered string_agg."""
+    from spark_hbase_connector_spark.operators.mutations import apply_appends
+
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    base = customer.select(
+        "c_custkey", F.col("c_mktsegment").alias("journey")
+    )
+    appends = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("mut_ts"),
+        F.col("o_orderpriority").alias("journey"),
+    )
+    return apply_appends(
+        base, appends, "c_custkey", value_col="journey", ts_col="mut_ts", sep="|"
+    )
+
+
+@query(
+    "scan_salted_rowkey",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_name LIKE 'Customer#00000001%'
+    """,
+    tags=("scan", "salting", "kv"),
+)
+def scan_salted_rowkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted rowkey table round trip (`sources/salting.py` — the HBase
+    hot-region pattern / Phoenix SALT_BUCKETS): customer written under
+    ``{xxhash64(c_name)%8:02d}#c_name`` so a monotone key stream spreads
+    over 8 buckets, then the prefix scan ``c_name LIKE 'Customer#00000001%'``
+    fans out into 8 ``startswith`` ranges (one per salt — each sargable,
+    each pruned by its own row-group stats). The oracle runs the unsalted
+    LIKE: salting must change the layout, never the answer."""
+    from spark_hbase_connector_spark.sources.salting import (
+        add_salt,
+        salted_prefix_predicate,
+    )
+    from spark_hbase_connector_spark.sources.table import load_table, write_table
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        "spark_hbase_connector_fixtures",
+        f"cust_salted_{sf}",
+    )
+    customer = load(spark, sf_dir, "customer")
+    salted = add_salt(
+        customer.select("c_name", "c_custkey", "c_acctbal"),
+        rowkey="c_name",
+        n_salts=8,
+        out_col="skey",
+    )
+    write_table(salted, SALTED_CUST_CATALOG, path, num_partitions=8)
+    tbl = load_table(spark, SALTED_CUST_CATALOG, path, physical_naming="cf:col")
+    return tbl.where(
+        salted_prefix_predicate("Customer#00000001", n_salts=8, key_col="skey")
+    ).select("c_custkey", "c_name", "c_acctbal")
