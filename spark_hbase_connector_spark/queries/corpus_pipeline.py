@@ -294,6 +294,95 @@ def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_mixture_temperature",
+    oracle="""
+    WITH sizes AS (
+      SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS DOUBLE) AS n_corpus,
+             sum(pow(CAST(n_docs AS DOUBLE), 0.5)) AS s_alpha
+      FROM sizes
+    ),
+    rates AS (
+      SELECT source, n_docs,
+             round(least(1.0, 0.3 * n_corpus / s_alpha
+                              * pow(CAST(n_docs AS DOUBLE), -0.5)), 6) AS rate
+      FROM sizes, tot
+    ),
+    keyed AS (
+      SELECT d.source,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               / 4294967296.0 AS u
+      FROM documents d
+    ),
+    kept AS (
+      SELECT k.source, count(*)::BIGINT AS n_kept
+      FROM keyed k JOIN rates r ON k.source = r.source
+      WHERE k.u < r.rate GROUP BY k.source
+    )
+    SELECT r.source, r.n_docs, r.rate,
+           coalesce(n_kept, 0)::BIGINT AS n_kept,
+           round(coalesce(n_kept, 0) * 1.0 / r.n_docs, 4) AS frac_kept
+    FROM rates r LEFT JOIN kept USING (source)
+    """,
+    tags=("sampling", "mixture", "pipeline"),
+)
+def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual/multi-domain
+    rebalancer from the mBERT/XLM-R line of work, alpha = 0.5, budget =
+    30% of the corpus): per-source keep-rate proportional to
+    n_docs^(alpha-1), so small sources are upsampled relative to their
+    share and dominant sources capped — then DETERMINISTIC hash-Bernoulli
+    membership per doc at that rate (same md5-u convention as
+    `sample_bernoulli_hash`: replayable across runs, retries, engines).
+    Rates are rounded to 6dp BEFORE the membership comparison on both
+    engines, so the kept-set is bit-identical by construction. Plan: one
+    tiny partial-agg shuffle for source sizes, a single-row broadcast for
+    the normalizer, a broadcast rate join, then a map-only filter — no
+    data-sized shuffle anywhere; at 100 TB this is the shape that turns
+    `domain_mixture_weights` output into an actual training mix."""
+    d = load(spark, sf_dir, "documents")
+    sizes = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = sizes.agg(
+        F.sum("n_docs").cast("double").alias("n_corpus"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(0.5))).alias("s_alpha"),
+    )
+    rates = sizes.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.3)
+                * F.col("n_corpus")
+                / F.col("s_alpha")
+                * F.pow(F.col("n_docs").cast("double"), F.lit(-0.5)),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    kept = (
+        d.select("source", u.alias("u"))
+        .join(F.broadcast(rates.select("source", "rate")), "source")
+        .where(F.col("u") < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
+    return rates.join(F.broadcast(kept), "source", "left").select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "rate",
+        n_kept.alias("n_kept"),
+        F.round(n_kept * 1.0 / F.col("n_docs"), 4).alias("frac_kept"),
+    )
+
+
+@query(
     "embedding_label_centroids",
     oracle="""
     WITH v AS (

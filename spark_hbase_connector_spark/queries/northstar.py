@@ -2262,6 +2262,88 @@ def ann_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_recall_truncated",
+    oracle=f"""
+    WITH {_DUCK_VECS},
+    tr AS (
+      SELECT vec_id, e[1:32] AS e2,
+             sqrt(list_sum(list_transform(e[1:32], x -> x * x))) AS nrm2
+      FROM v
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(q.e) + 1),
+                          i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) DESC,
+                 c.vec_id) AS rank
+        FROM n q JOIN n c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10) WHERE rank <= 5
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 33),
+                          i -> q.e2[i] * c.e2[i])) / (q.nrm2 * c.nrm2) DESC,
+                 c.vec_id) AS rank
+        FROM tr q JOIN tr c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM exact e JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY 1
+    )
+    SELECT q.query_id,
+           coalesce(h.n_hits, 0) * 1.0 / 5 AS recall_at_5,
+           coalesce(h.n_hits, 0) * 1.0 / 5 >= 0.4 AS acceptable
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h ON q.query_id = h.query_id
+    """,
+    tags=("similarity", "ann", "truncation", "eval"),
+)
+def ann_recall_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of search over HALF-DIMENSION prefix-truncated vectors
+    (the Matryoshka-representation serving trick: store/search d/2 of the
+    dims, halve index bytes and matmul FLOPs) against exact full-dim
+    search. Truncation is a pure JVM ``slice`` — no Python stage at all;
+    cosine renormalization is implicit (both searches normalize their own
+    vectors). Completes the embedding-compression QA family:
+    `embedding_quantize_qa`/`ann_recall_quantized` certify the
+    precision-reduction axis, this certifies the dimension-reduction axis
+    — at 100 TB the two compose (PQ = both). Note the honest gate: on
+    RANDOM synthetic embeddings half the dims carry half the signal, so
+    the bar is recall >= 0.4 per query — the entry's value is the
+    measurement being exact and cheap, not a pretrained-embedding claim."""
+    e = load(spark, sf_dir, "embeddings")
+    trunc = e.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    q_exact = e.where(F.col("vec_id") < 10)
+    q_trunc = trunc.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(q_exact, e, k=5).select("query_id", "neighbor_id")
+    approx = brute_force_topk(q_trunc, trunc, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    recall = F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0 / 5
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            recall.alias("recall_at_5"),
+            (recall >= 0.4).alias("acceptable"),
+        )
+    )
+
+
+@query(
     "pipeline_chunk_search",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

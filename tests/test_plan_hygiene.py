@@ -46,6 +46,9 @@ _BNLJ_ALLOWED = {
     # scalar_haversine_nearest: 5-row anchor table broadcast-crossed for
     # nearest-neighbor classification
     "scalar_haversine_nearest",
+    # sample_mixture_temperature broadcasts the single-row (n_corpus,
+    # s_alpha) normalizer into the per-source size relation
+    "sample_mixture_temperature",
 }
 
 _SKIP_TAGS = {"streaming", "fixture"}
