@@ -294,6 +294,55 @@ def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                / 4294967296.0 + 5.421e-20)
+               / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, rnk FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (ORDER BY es_key DESC, doc_id) AS rnk
+      FROM keyed
+    ) WHERE rnk <= 100
+    """,
+    tags=("sampling", "weighted", "pipeline"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis-Spirakis A-ES:
+    per item draw u = hash-uniform(0,1), key = ln(u)/w (monotone in
+    u^(1/w)), keep the k largest keys — inclusion probability is exactly
+    proportional-to-size without replacement, and because u comes from
+    the md5 convention (not rand()) the sample is deterministic across
+    runs, retries, and engines. Weight = n_chars (byte-budget sampling:
+    long docs proportionally likelier — the shape used to draw eval/
+    inspection sets from a 100 TB corpus under a size budget). Plan:
+    map-side key computation + global top-k = TakeOrderedAndProject
+    (each task keeps its own top-100; only k rows per task reach the
+    driver-side merge — no global sort, no full shuffle). The +5.421e-20
+    epsilon guards ln(0) for the u=0 hash bucket, identically on both
+    engines."""
+    d = load(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    es_key = F.log(u + F.lit(5.421e-20)) / F.col("n_chars").cast("double")
+    keyed = d.select("doc_id", "source", "n_chars", es_key.alias("es_key"))
+    # top-k FIRST (TakeOrderedAndProject — per-task top-100, no global
+    # sort/exchange of the corpus), THEN rank the 100 survivors (the
+    # global window moves 100 rows, not the table)
+    top = keyed.orderBy(F.col("es_key").desc(), F.col("doc_id")).limit(100)
+    w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select("doc_id", "source", "n_chars", "rnk")
+    )
+
+
+@query(
     "sample_mixture_temperature",
     oracle="""
     WITH sizes AS (
