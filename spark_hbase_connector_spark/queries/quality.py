@@ -486,3 +486,78 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@query(
+    "dedup_unicode_nfc",
+    oracle="""
+    WITH docs(doc_id, text) AS (VALUES
+      (1, 'caf' || chr(233)),
+      (2, 'cafe' || chr(769)),
+      (3, chr(8486)),
+      (4, chr(937)),
+      (5, chr(54620)),
+      (6, chr(4370) || chr(4449) || chr(4523)),
+      (7, 'plain ascii'),
+      (8, 'plain ascii'),
+      (9, chr(8491)),
+      (10, 'A' || chr(778))
+    )
+    SELECT nfc_normalize(text) AS canon_text,
+           count(*)::BIGINT AS n_variants,
+           min(doc_id)::BIGINT AS first_doc
+    FROM docs GROUP BY 1
+    """,
+    tags=("dedup", "unicode", "quality"),
+)
+def dedup_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization-aware dedup: NFC-canonicalize before
+    digesting, so composed vs decomposed encodings of the SAME text
+    (e + U+0301 vs U+00E9, Hangul jamo vs precomposed syllables,
+    compatibility singletons like OHM/ANGSTROM signs) collapse into one
+    group — byte-level `dedup_exact` treats every one of these pairs as
+    distinct documents, which on a multilingual 100 TB crawl silently
+    halves dedup recall for the affected scripts. Normalization runs in
+    one Arrow pass (Python `unicodedata` — Spark has no NFC built-in);
+    at scale the md5 of the NORMALIZED text is what shuffles, never the
+    text (same discipline as `dedup_exact`). The harness corpus is
+    ASCII-only, so the entry carries its own 10-row multilingual
+    fixture, constructed from identical codepoints on both engines
+    (chr() in DuckDB, \\u escapes here); the oracle replays with
+    DuckDB's native nfc_normalize."""
+    import pandas as pd
+
+    # explicit \u escapes, not literal glyphs: an editor or linter that
+    # NFC-normalizes source text must not be able to destroy the fixture
+    rows = [
+        (1, "caf\u00e9"),  # precomposed e-acute
+        (2, "cafe\u0301"),  # e + combining acute (decomposed)
+        (3, "\u2126"),  # OHM SIGN (NFC singleton -> U+03A9)
+        (4, "\u03a9"),  # GREEK CAPITAL OMEGA
+        (5, "\ud55c"),  # precomposed Hangul syllable HAN
+        (6, "\u1112\u1161\u11ab"),  # the same syllable as conjoining jamo
+        (7, "plain ascii"),
+        (8, "plain ascii"),  # byte-exact dup (the case dedup_exact catches)
+        (9, "\u212b"),  # ANGSTROM SIGN (NFC singleton -> U+00C5)
+        (10, "A\u030a"),  # A + combining ring (decomposed)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "canon_text": [
+                        unicodedata.normalize("NFC", t) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    canon = docs.mapInPandas(norm, schema="doc_id long, canon_text string")
+    return canon.groupBy("canon_text").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
