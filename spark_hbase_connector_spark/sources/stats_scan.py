@@ -342,7 +342,18 @@ def head_by_rowkey(
     non-overlapping ranges it adds no extra files. Files without rowkey
     stats are always selected (unknown bounds). If the table has fewer
     than n rows, every file is selected and the head is the whole table.
+
+    String-statistics truncation is SAFE here: the Parquet spec requires a
+    writer that truncates column statistics to keep them valid bounds
+    (truncated min <= true min, truncated max >= true max — parquet-cpp
+    increments the last byte of a truncated max). The selection argument
+    only uses rk_min as a lower bound and rk_max as an upper bound, so
+    conservative bounds select a superset, never too few files. The same
+    holds for the row-group classification in footer_stats_agg's range
+    mode (skip/inside tests are all one-sided against the safe side).
     """
+    if n < 1:
+        raise ValueError("head_by_rowkey: n must be >= 1")
     cat = _as_catalog(catalog)
     manifest = file_manifest(spark, path, cat, physical_naming).collect()
     files_total = len(manifest)
