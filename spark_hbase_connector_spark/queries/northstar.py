@@ -119,6 +119,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard_prefix",
     oracle=_DUCK_JACCARD_PAIRS,
     tags=("dedup", "prefix-filter"),
+    bench=True,
 )
 def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LOSSLESS scale path for exact Jaccard dedup: rarest-first
@@ -181,6 +182,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE i * 1.0 / sa.n >= 0.9
     """,
     tags=("dedup", "containment", "prefix-filter"),
+    bench=True,
 )
 def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path for containment dedup: rarest-first prefix-filter
@@ -818,6 +820,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
     """,
     tags=("similarity", "ann", "ivf", "pq"),
+    bench=True,
 )
 def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full IVF-PQ composition — cells bound the SCAN (queries probe
