@@ -79,6 +79,79 @@ def overlay_cells(base: DataFrame, updates: DataFrame, rowkey: str) -> DataFrame
     return joined.select(*out_cols)
 
 
+def merge_rows(
+    base: DataFrame,
+    source: DataFrame,
+    rowkey: str,
+    update_set: dict,
+    delete_cond=None,
+    insert_values: dict | None = None,
+    insert_cond=None,
+) -> DataFrame:
+    """ANSI ``MERGE INTO`` as ONE co-partitioned transform — the
+    three-verb batch lakehouse engines expose::
+
+        MERGE INTO base b USING source s ON b.rowkey = s.rowkey
+        WHEN MATCHED AND <delete_cond> THEN DELETE
+        WHEN MATCHED THEN UPDATE SET <update_set>
+        WHEN NOT MATCHED [AND <insert_cond>] THEN INSERT <insert_values>
+
+    (The reference's HBase world runs this workload as interleaved
+    put/delete mutation batches; on immutable Parquet it is one
+    deterministic merge producing the post-MERGE table.)
+
+    ``update_set`` maps base column -> Column EXPRESSION over the joined
+    row (reference both sides: ``F.col("b.x") + F.col("s.y")`` — the
+    full ANSI SET form, not just source projection). ``insert_values``
+    maps base column -> Column over the source row; None means there is
+    no WHEN NOT MATCHED clause (source-only rows are dropped); an
+    insert-value mapping missing a column inserts NULL (sparse-cell
+    semantics). ``delete_cond`` / ``insert_cond`` are predicates over
+    the joined row; per ANSI three-valued logic a NULL condition means
+    the verb does NOT apply (coalesced to False internally). ``source``
+    must be unique per rowkey — MERGE's own precondition (ANSI raises
+    on duplicate matches; enforce upstream with `dedup_latest_by_key`).
+
+    Scale: ONE full-outer join on the rowkey — sort-merge without
+    re-sorting on two write_table layouts, AQE-broadcast when the
+    source batch is small. No verb needs its own pass: delete is a
+    filter, update and insert are projections of the same joined row.
+    """
+    b, s = base.alias("b"), source.alias("s")
+    joined = b.join(s, F.col(f"b.{rowkey}") == F.col(f"s.{rowkey}"), "full_outer")
+    matched = F.col(f"b.{rowkey}").isNotNull() & F.col(f"s.{rowkey}").isNotNull()
+    source_only = F.col(f"b.{rowkey}").isNull()
+    keep_matched = (
+        F.lit(True)
+        if delete_cond is None
+        else ~F.coalesce(delete_cond, F.lit(False))
+    )
+    if insert_values is None:
+        keep_insert = F.lit(False)  # no WHEN NOT MATCHED clause
+    elif insert_cond is None:
+        keep_insert = F.lit(True)
+    else:
+        keep_insert = F.coalesce(insert_cond, F.lit(False))
+    keep = (
+        F.when(matched, keep_matched)
+        .when(source_only, keep_insert)
+        .otherwise(F.lit(True))  # base-only rows always survive untouched
+    )
+    out_cols = [F.coalesce(F.col(f"b.{rowkey}"), F.col(f"s.{rowkey}")).alias(rowkey)]
+    for c in base.columns:
+        if c == rowkey:
+            continue
+        upd = update_set.get(c, F.col(f"b.{c}"))
+        ins = (insert_values or {}).get(c, F.lit(None))
+        expr = (
+            F.when(matched, upd)
+            .when(source_only, ins)
+            .otherwise(F.col(f"b.{c}"))
+        )
+        out_cols.append(expr.alias(c))
+    return joined.where(keep).select(*out_cols)
+
+
 def major_compact_cells(
     cells: DataFrame,
     max_versions: int = 1,

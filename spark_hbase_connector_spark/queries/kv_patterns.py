@@ -120,6 +120,87 @@ def kv_append_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kv_merge_into",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey AS k,
+             round(sum(o_totalprice), 2) AS s_total,
+             count(*)::BIGINT AS n_orders
+      FROM orders GROUP BY o_custkey
+      UNION ALL SELECT 10000001, 111.11, 1
+      UNION ALL SELECT 10000002, 222.22, 0
+    ),
+    surviving AS (
+      SELECT c.c_custkey,
+             CASE WHEN s.k IS NOT NULL
+                  THEN round(c.c_acctbal + s.s_total, 2)
+                  ELSE round(c.c_acctbal, 2) END AS c_acctbal,
+             CASE WHEN s.k IS NOT NULL THEN 'ACTIVE'
+                  ELSE c.c_mktsegment END AS c_mktsegment
+      FROM customer c LEFT JOIN src s ON s.k = c.c_custkey
+      WHERE NOT (s.k IS NOT NULL AND s.n_orders >= 25)
+    ),
+    inserted AS (
+      SELECT s.k AS c_custkey, round(s.s_total, 2) AS c_acctbal,
+             'NEW' AS c_mktsegment
+      FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
+      WHERE c.c_custkey IS NULL AND s.n_orders > 0
+    )
+    SELECT * FROM surviving UNION ALL SELECT * FROM inserted
+    """,
+    tags=("kv", "mutation", "merge"),
+)
+def kv_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE INTO over the kv layout (`operators/upsert.merge_rows`):
+    per-customer order aggregates merge into the customer table in ONE
+    full-outer join — WHEN MATCHED AND n_orders >= 25 THEN DELETE (close
+    over-limit accounts), WHEN MATCHED THEN UPDATE SET acctbal :=
+    b.acctbal + s.total (the full ANSI SET form referencing BOTH sides),
+    segment := 'ACTIVE'; WHEN NOT MATCHED AND n_orders > 0 THEN INSERT
+    (two synthetic prospect custkeys ride along in the source; the
+    zero-order one proves the insert condition gates). Base-only
+    customers pass through byte-untouched. The oracle replays the MERGE
+    as surviving ∪ inserted CTEs. HBase expresses this workload as
+    interleaved put/delete batches — here it is one deterministic
+    transform whose output can be written straight back via
+    write_table."""
+    from spark_hbase_connector_spark.operators.upsert import merge_rows
+
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("s_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    synth = spark.createDataFrame(
+        [(10000001, 111.11, 1), (10000002, 222.22, 0)],
+        "c_custkey long, s_total double, n_orders long",
+    )
+    source = agg.unionByName(synth)
+    base = customer.select("c_custkey", "c_acctbal", "c_mktsegment")
+    merged = merge_rows(
+        base,
+        source,
+        "c_custkey",
+        update_set={
+            "c_acctbal": F.round(F.col("b.c_acctbal") + F.col("s.s_total"), 2),
+            "c_mktsegment": F.lit("ACTIVE"),
+        },
+        delete_cond=F.col("s.n_orders") >= 25,
+        insert_values={
+            "c_acctbal": F.round(F.col("s.s_total"), 2),
+            "c_mktsegment": F.lit("NEW"),
+        },
+        insert_cond=F.col("s.n_orders") > 0,
+    )
+    return merged.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+@query(
     "scan_salted_rowkey",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -122,3 +122,90 @@ def test_prefix_fanout_equals_unsalted_filter(spark):
     )
     exp = sorted(r.rk for r in df.where(F.col("rk").startswith("user1")).collect())
     assert got == exp and len(got) == 100
+
+
+# ------------------------------------------------------ merge_rows ----
+
+
+def _merge_fixtures(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "k long, bal double, seg string",
+    )
+    src = spark.createDataFrame(
+        [(2, 5.0, False), (3, 7.0, True), (4, 9.0, False), (5, 1.0, None)],
+        "k long, delta double, kill boolean",
+    )
+    return base, src
+
+
+def test_merge_three_verbs(spark):
+    from spark_hbase_connector_spark.operators.upsert import merge_rows
+    from pyspark.sql import functions as F
+
+    base, src = _merge_fixtures(spark)
+    out = {
+        r.k: (r.bal, r.seg)
+        for r in merge_rows(
+            base,
+            src,
+            "k",
+            update_set={
+                "bal": F.col("b.bal") + F.col("s.delta"),
+                "seg": F.lit("upd"),
+            },
+            delete_cond=F.col("s.kill"),
+            insert_values={"bal": F.col("s.delta")},
+        ).collect()
+    }
+    assert out[1] == (10.0, "a")  # base-only untouched
+    assert out[2] == (25.0, "upd")  # matched update references BOTH sides
+    assert 3 not in out  # matched + delete_cond true -> deleted
+    assert out[4] == (9.0, None)  # inserted; unmapped column -> NULL cell
+    assert out[5] == (1.0, None)
+    assert len(out) == 4
+
+
+def test_merge_null_delete_cond_keeps_row(spark):
+    """ANSI: a NULL verb condition means the verb does not apply."""
+    from spark_hbase_connector_spark.operators.upsert import merge_rows
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame([(1, 10.0, "a")], "k long, bal double, seg string")
+    src = spark.createDataFrame([(1, 2.0, None)], "k long, delta double, kill boolean")
+    out = merge_rows(
+        base, src, "k",
+        update_set={"bal": F.col("b.bal") + F.col("s.delta")},
+        delete_cond=F.col("s.kill"),
+    ).collect()
+    assert len(out) == 1 and out[0].bal == 12.0  # kept AND updated
+
+
+def test_merge_no_insert_clause_drops_source_only(spark):
+    from spark_hbase_connector_spark.operators.upsert import merge_rows
+    from pyspark.sql import functions as F
+
+    base, src = _merge_fixtures(spark)
+    out = merge_rows(
+        base, src, "k", update_set={"bal": F.col("s.delta")}
+    ).collect()
+    assert sorted(r.k for r in out) == [1, 2, 3]  # 4,5 dropped, 3 not deleted
+
+
+def test_merge_insert_cond_null_means_no_insert(spark):
+    from spark_hbase_connector_spark.operators.upsert import merge_rows
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame([(1, 10.0, "a")], "k long, bal double, seg string")
+    src = spark.createDataFrame(
+        [(9, 5.0, None)], "k long, delta double, kill boolean"
+    )
+    out = merge_rows(
+        base, src, "k",
+        update_set={},
+        insert_values={"bal": F.col("s.delta")},
+        insert_cond=F.col("s.kill"),  # NULL -> verb does not apply
+    ).collect()
+    assert sorted(r.k for r in out) == [1]
