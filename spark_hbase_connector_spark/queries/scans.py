@@ -432,3 +432,128 @@ def scan_limit_topn_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _orders_kv_dataset(spark, sf_dir)
     plan = head_by_rowkey(spark, path, ORDERS_KV_CATALOG, n=25)
     return plan.df.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+CUST_FMT_CATALOG = {
+    "table": "tpch:customer_fmt",
+    "rowkey": "c_custkey",
+    "columns": {
+        "c_custkey": {"cf": "rowkey", "col": "c_custkey", "type": "long"},
+        "c_name": {"cf": "info", "col": "c_name", "type": "string"},
+        "c_acctbal": {"cf": "info", "col": "c_acctbal", "type": "double"},
+        "c_mktsegment": {"cf": "info", "col": "c_mktsegment", "type": "string"},
+    },
+}
+
+_FMT_ORACLE = """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE c_custkey IN (1, 2, 3, 4, 5) OR c_acctbal < 0
+"""
+
+
+def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from spark_hbase_connector_spark.sources.table import load_table, write_table
+
+    import os
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        "spark_hbase_connector_fixtures",
+        f"customer_{fmt}_{sf}",
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    write_table(cust, CUST_FMT_CATALOG, path, num_partitions=4, data_format=fmt)
+    t = load_table(
+        spark, CUST_FMT_CATALOG, path, physical_naming="cf:col", data_format=fmt
+    )
+    return t.where(
+        F.col("c_custkey").isin(1, 2, 3, 4, 5) | (F.col("c_acctbal") < 0)
+    ).select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+@query("scan_orc_flagship", oracle=_FMT_ORACLE, tags=("scan", "format", "orc"))
+def scan_orc_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship predicate through a full ORC round trip (write_table
+    -> load_table, cf:col physical naming) — the columnar peer format:
+    embedded schema, stripe statistics, predicate pushdown. The negative
+    c_acctbal disjunct is the typed-comparison case the reference's
+    byte-lexicographic filters get wrong (SURVEY §2.1 S9): it must
+    survive a change of storage format."""
+    return _format_roundtrip(spark, sf_dir, "orc")
+
+
+@query("scan_csv_typed", oracle=_FMT_ORACLE, tags=("scan", "format", "csv"))
+def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip with the catalog supplying the schema (typed read,
+    NO inference pass — at 100 TB an inference scan is a second full
+    read). The negative-balance disjunct proves values re-enter as
+    DOUBLE, not strings: '-9.47' < 0 is the comparison a stringly-typed
+    read silently breaks."""
+    return _format_roundtrip(spark, sf_dir, "csv")
+
+
+@query("scan_json_typed", oracle=_FMT_ORACLE, tags=("scan", "format", "json"))
+def scan_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round trip under the catalog schema — the interchange
+    format for sparse-cell data (an absent key IS the missing-cell
+    encoding, decoding to NULL like S10 requires). Same typed predicate
+    as the csv/orc twins; one oracle serves all three, so a format that
+    altered VALUES would fail its own differential row."""
+    return _format_roundtrip(spark, sf_dir, "json")
+
+
+@query(
+    "scan_zorder_pruning",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 140
+      AND o_orderkey BETWEEN 1000 AND 40000
+    """,
+    tags=("scan", "zorder", "layout"),
+)
+def scan_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D data-skipping layout: orders rewritten clustered by the Morton
+    key over (o_custkey, o_orderkey) (`functions/zorder.zorder_sql_expr`
+    — pure bit arithmetic, whole-stage codegen), then a 2-D box
+    predicate. Z-sorted files carry tight row-group min/max on BOTH
+    columns, so either conjunct prunes — a layout sorted by one key
+    leaves the other scattered across every file (the reason
+    `scalar_zorder_key` exists; this entry is its end-to-end layout
+    proof: the answer must be identical to the plain-layout oracle).
+    Pruning effectiveness is asserted in tests/test_pushdown.py-style
+    row-group accounting; here the differential guarantees the rewrite
+    changed the LAYOUT, never the rows."""
+    import os
+
+    from spark_hbase_connector_spark.functions.zorder import zorder_sql_expr
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        "spark_hbase_connector_fixtures",
+        f"orders_zorder_{sf}",
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    z = o.withColumn(
+        "zkey", F.expr(zorder_sql_expr("o_custkey", "o_orderkey", bits=16))
+    )
+    (
+        z.repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    t = spark.read.parquet(path)
+    return t.where(
+        F.col("o_custkey").between(100, 140) & F.col("o_orderkey").between(1000, 40000)
+    ).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
