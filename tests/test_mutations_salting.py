@@ -209,3 +209,40 @@ def test_merge_insert_cond_null_means_no_insert(spark):
         insert_cond=F.col("s.kill"),  # NULL -> verb does not apply
     ).collect()
     assert sorted(r.k for r in out) == [1]
+
+
+def test_merge_cdc_sequence_and_replay(spark, tmp_path):
+    """The streaming_cdc_merge contract, isolated: sequential per-batch
+    merges (insert -> tombstone -> resurrect), last-writer-wins
+    composition, and idempotent replay of a crashed epoch."""
+    from spark_hbase_connector_spark.operators.upsert import merge_rows
+    from pyspark.sql import functions as F
+
+    state_dir = str(tmp_path / "state")
+    schema = "k long, v double"
+
+    def apply(batch_rows):
+        src = spark.createDataFrame(batch_rows, "k long, v double, typ string")
+        try:
+            base = spark.read.parquet(state_dir)
+        except Exception:
+            base = spark.createDataFrame([], schema)
+        merged = merge_rows(
+            base, src, "k",
+            update_set={"v": F.col("s.v")},
+            delete_cond=F.col("s.typ") == "del",
+            insert_values={"v": F.col("s.v")},
+            insert_cond=F.col("s.typ") != "del",
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    b1 = [(1, 1.0, "put"), (2, 2.0, "put")]
+    b2 = [(1, 10.0, "put"), (2, 0.0, "del"), (3, 3.0, "put")]
+    b3 = [(2, 22.0, "put")]  # tombstoned key resurrects only via new put
+    for b in (b1, b2, b3):
+        apply(b)
+    got = {r.k: r.v for r in spark.read.parquet(state_dir).collect()}
+    assert got == {1: 10.0, 2: 22.0, 3: 3.0}
+    apply(b3)  # crashed-epoch replay: identical mutations, identical state
+    again = {r.k: r.v for r in spark.read.parquet(state_dir).collect()}
+    assert again == got
