@@ -561,3 +561,64 @@ def dedup_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_variants"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+@query(
+    "text_encoding_quality",
+    oracle="""
+    WITH docs(doc_id, text) AS (VALUES
+      (1, 'clean text, nothing wrong here'),
+      (2, 'bad ' || chr(65533) || 'byte soup' || chr(65533)),
+      (3, 'ctrl' || chr(1) || 'chars' || chr(7) || chr(27)),
+      (4, 'tabs and newlines are fine' || chr(9) || chr(10)),
+      (5, 'mixed ' || chr(65533) || chr(2)),
+      (6, '')
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, chr(65533)))::BIGINT AS n_repl,
+           len(regexp_extract_all(text,
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))::BIGINT AS n_ctrl,
+           CASE WHEN len(text) = 0 THEN 0.0
+                ELSE round((len(regexp_extract_all(text, chr(65533)))
+                            + len(regexp_extract_all(text,
+                                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')))
+                           * 1.0 / len(text), 4) END AS bad_ratio,
+           (len(regexp_extract_all(text, chr(65533))) = 0 AND
+            len(regexp_extract_all(text,
+                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) = 0) AS clean
+    FROM docs
+    """,
+    tags=("text", "quality", "encoding"),
+)
+def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-sanity gate: count U+FFFD replacement characters (the
+    scar a lossy decode leaves in every mis-transcoded crawl page) and
+    C0 control characters (binary bleed-through; tab/newline/CR exempt),
+    emit per-doc ratios and a clean flag — the filter that runs BEFORE
+    language ID and quality scoring, because mojibake poisons both.
+    Pure JVM regexp_count, map-only, whole-stage codegen. The harness
+    corpus is clean ASCII, so the entry carries its own 6-row fixture
+    (escape-encoded; identical codepoints via chr() in the oracle) —
+    covering clean, replacement-only, control-only, exempt-whitespace,
+    mixed, and empty (ratio guarded, no division by zero)."""
+    rows = [
+        (1, "clean text, nothing wrong here"),
+        (2, "bad �byte soup�"),
+        (3, "ctrl\x01chars\x07\x1b"),
+        (4, "tabs and newlines are fine\t\n"),
+        (5, "mixed �\x02"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_repl = F.regexp_count("text", F.lit("�"))
+    n_ctrl = F.regexp_count("text", F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"))
+    bad_ratio = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        F.round((n_repl + n_ctrl) * 1.0 / F.length("text"), 4)
+    )
+    return docs.select(
+        "doc_id",
+        n_repl.cast("bigint").alias("n_repl"),
+        n_ctrl.cast("bigint").alias("n_ctrl"),
+        bad_ratio.alias("bad_ratio"),
+        ((n_repl == 0) & (n_ctrl == 0)).alias("clean"),
+    )
