@@ -175,6 +175,113 @@ def synth_image_payload(i: int) -> bytes:
     return b"RAW0" + bytes((i * 31 + j) % 256 for j in range(12 + i % 7))
 
 
+AUDIO_META_SCHEMA = (
+    "id long, n_bytes int, n_channels int, sample_rate int, bits int, "
+    "duration_ms int, fmt string"
+)
+
+
+def parse_wav_meta(b: bytes) -> tuple[int, int, int, int] | None:
+    """Header-only WAV decode, pure Python (the audio analogue of
+    `parse_image_dims`): RIFF/WAVE chunk walk to the ``fmt `` chunk
+    (channels, sample rate, bit depth) and the ``data`` chunk size ->
+    frame count. Returns (n_channels, sample_rate, bits, n_frames) or
+    None for non-WAV payloads. A real chunk traversal (word-aligned,
+    order-independent), not a fixed-offset peek — files with LIST/INFO
+    chunks before ``data`` parse correctly."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data_size = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            ch = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    ch, rate, bits = fmt
+    if ch == 0 or rate == 0 or bits == 0 or bits % 8:
+        return None
+    return ch, rate, bits, data_size // (ch * bits // 8)
+
+
+def extract_audio_meta(assets: DataFrame) -> DataFrame:
+    """Typed audio metadata via Arrow-batched mapInPandas: WAV payloads
+    get the REAL header decode (`parse_wav_meta` — channels / rate /
+    bit depth / duration, no sample data touched, ``fmt`` = 'wav');
+    other payloads fall back to deterministic pseudo-metadata from the
+    byte length (documented fake, ``fmt`` NULL) — same contract as
+    `extract_media_meta`."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id", "n_bytes", "n_channels", "sample_rate", "bits",
+                "duration_ms", "fmt",
+            )}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                parsed = parse_wav_meta(b)
+                if parsed is None:
+                    n = len(b)
+                    ch, rate, bits = n % 2 + 1, n * 97 % 48000 + 1, 8
+                    dur, fmt = n % 1000, None
+                else:
+                    ch, rate, bits, n_frames = parsed
+                    dur, fmt = n_frames * 1000 // rate, "wav"
+                rows["id"].append(i)
+                rows["n_bytes"].append(len(b))
+                rows["n_channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["bits"].append(bits)
+                rows["duration_ms"].append(dur)
+                rows["fmt"].append(fmt)
+            out = pd.DataFrame(rows)
+            for c in ("n_bytes", "n_channels", "sample_rate", "bits", "duration_ms"):
+                out[c] = pd.array(out[c], dtype="int32")
+            yield out
+
+    return assets.mapInPandas(decode_batches, schema=AUDIO_META_SCHEMA)
+
+
+def synth_wav_payload(i: int) -> bytes:
+    """Deterministic known-parameter audio payload for fixtures: ``i % 3``
+    in {0,1} builds a REAL minimal PCM WAV (RIFF + fmt + data chunks;
+    channels = i%2+1, rate = 8000*(i%4+1), 16-bit, i%50+1 frames), 2
+    builds a non-audio payload (exercises the pseudo-metadata fallback).
+    All parameters are arithmetic in ``i`` so a SQL oracle predicts what
+    a correct header decode must return without re-parsing bytes."""
+    if i % 3 == 2:  # non-audio: 16 + i % 7 bytes, no RIFF signature
+        return b"NOTA" + bytes((i * 31 + j) % 256 for j in range(12 + i % 7))
+    ch = i % 2 + 1
+    rate = 8000 * (i % 4 + 1)
+    bits = 16
+    n_frames = i % 50 + 1
+    data = bytes((i + j) % 256 for j in range(n_frames * ch * (bits // 8)))
+    fmt_chunk = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * ch * bits // 8).to_bytes(4, "little")
+        + (ch * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data_chunk = b"data" + len(data).to_bytes(4, "little") + data
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
     """Binary payload -> dense feature vector (array<double>), the
     feature-extraction stage that bridges multimodal data into the

@@ -1486,6 +1486,61 @@ def multimodal_meta_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_meta",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 240)) AS id),
+    p AS (
+      SELECT id, id % 3 AS m, id % 2 + 1 AS ch, 8000 * (id % 4 + 1) AS rate,
+             id % 50 + 1 AS nf, 16 + id % 7 AS rawlen
+      FROM ids
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(CASE WHEN m = 2 THEN rawlen
+                ELSE 44 + nf * ch * 2 END AS INTEGER) AS n_bytes,
+           CAST(CASE WHEN m = 2 THEN rawlen % 2 + 1
+                ELSE ch END AS INTEGER) AS n_channels,
+           CAST(CASE WHEN m = 2 THEN rawlen * 97 % 48000 + 1
+                ELSE rate END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN m = 2 THEN 8 ELSE 16 END AS INTEGER) AS bits,
+           CAST(CASE WHEN m = 2 THEN rawlen % 1000
+                ELSE nf * 1000 // rate END AS INTEGER) AS duration_ms,
+           CASE WHEN m = 2 THEN NULL ELSE 'wav' END AS fmt
+    FROM p
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio header decode, certified — the audio twin of
+    `multimodal_meta_images`: workers synthesize 240 deterministic
+    payloads cycling actual minimal PCM WAVs (varying channel count,
+    sample rate, frame count — `synth_wav_payload`) plus a non-audio
+    case, then `extract_audio_meta` walks the RIFF chunks back out of
+    the BYTES (`parse_wav_meta`: order-independent, word-aligned chunk
+    traversal — channels / rate / bit depth / duration, sample data
+    never touched). The oracle predicts every field arithmetically from
+    the generator formula, so a parser or construction defect is a hash
+    mismatch. Payloads are built AND parsed inside one Arrow pass —
+    bytes never leave the workers; at 100 TB only the fixed-width
+    metadata ever shuffles."""
+    from spark_hbase_connector_spark.operators.multimodal import (
+        extract_audio_meta,
+        synth_wav_payload,
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            yield pd.DataFrame(
+                {"id": ids, "payload": [synth_wav_payload(i) for i in ids]}
+            )
+
+    assets = spark.range(0, 240).mapInPandas(build, schema="id long, payload binary")
+    return extract_audio_meta(assets)
+
+
+@query(
     "multimodal_framesample",
     oracle="""
     WITH f AS (

@@ -93,3 +93,65 @@ def test_extract_media_meta_real_decode(spark):
         else:
             fmt = {0: "png", 1: "jpeg", 2: "gif"}[i % 4]
             assert got[i] == (i % 300 + 1, (i * 3) % 200 + 1, fmt)
+
+
+# ------------------------------------------------------------- audio ----
+
+
+def test_parse_wav_basic_and_chunk_walk():
+    from spark_hbase_connector_spark.operators.multimodal import (
+        parse_wav_meta,
+        synth_wav_payload,
+    )
+
+    ch, rate, bits, nf = parse_wav_meta(synth_wav_payload(7))  # 7 % 3 == 1 -> wav
+    assert (ch, rate, bits, nf) == (7 % 2 + 1, 8000 * (7 % 4 + 1), 16, 7 % 50 + 1)
+    # a LIST chunk BEFORE fmt/data must not break the walk (order-independent)
+    wav = synth_wav_payload(4)
+    chunks = wav[12:]  # fmt + data chunks, after RIFF size + WAVE tag
+    lst = b"LIST" + (5).to_bytes(4, "little") + b"INFOX" + b"\x00"  # odd size padded
+    rebuilt = b"RIFF" + (4 + len(lst) + len(chunks)).to_bytes(4, "little") \
+        + b"WAVE" + lst + chunks
+    assert parse_wav_meta(rebuilt) == parse_wav_meta(wav)
+
+
+def test_parse_wav_rejects_junk():
+    from spark_hbase_connector_spark.operators.multimodal import parse_wav_meta
+
+    assert parse_wav_meta(b"") is None
+    assert parse_wav_meta(b"RIFF\x00\x00\x00\x00JUNK") is None
+    assert parse_wav_meta(b"NOTA wav at all, just text") is None
+    # RIFF/WAVE but no data chunk
+    fmt_only = b"RIFF" + (30).to_bytes(4, "little") + b"WAVE" \
+        + b"fmt " + (16).to_bytes(4, "little") + bytes(16)
+    assert parse_wav_meta(fmt_only) is None
+    # zero sample rate must be rejected, not divide
+    bad = bytearray(b"RIFF" + (100).to_bytes(4, "little") + b"WAVE")
+    bad += b"fmt " + (16).to_bytes(4, "little")
+    bad += (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    bad += (0).to_bytes(4, "little") + (0).to_bytes(4, "little")
+    bad += (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    bad += b"data" + (4).to_bytes(4, "little") + bytes(4)
+    assert parse_wav_meta(bytes(bad)) is None
+
+
+def test_extract_audio_meta_real_decode(spark):
+    from spark_hbase_connector_spark.operators.multimodal import (
+        extract_audio_meta,
+        synth_wav_payload,
+    )
+
+    rows = [(i, synth_wav_payload(i)) for i in range(9)]
+    assets = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        r.id: (r.n_channels, r.sample_rate, r.duration_ms, r.fmt)
+        for r in extract_audio_meta(assets).collect()
+    }
+    for i in range(9):
+        if i % 3 == 2:
+            n = 16 + i % 7
+            assert got[i] == (n % 2 + 1, n * 97 % 48000 + 1, n % 1000, None)
+        else:
+            rate = 8000 * (i % 4 + 1)
+            nf = i % 50 + 1
+            assert got[i] == (i % 2 + 1, rate, nf * 1000 // rate, "wav")
