@@ -282,6 +282,127 @@ def synth_wav_payload(i: int) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+VIDEO_META_SCHEMA = (
+    "id long, n_bytes int, width int, height int, duration_ms int, fmt string"
+)
+
+
+def parse_mp4_meta(b: bytes) -> tuple[int, int, int] | None:
+    """Header-only MP4 / ISO-BMFF decode, pure Python (the video analogue
+    of `parse_image_dims`): walks top-level boxes to ``moov``, reads
+    ``mvhd`` (timescale + duration -> milliseconds) and the first
+    ``trak/tkhd`` (16.16 fixed-point width/height). Returns
+    (width, height, duration_ms) or None for non-MP4 payloads. Requires
+    an ``ftyp`` first box (the BMFF signature); a real nested box walk,
+    not fixed offsets — files with free/udta boxes between ftyp and moov
+    parse correctly."""
+
+    def boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            btype = buf[i + 4 : i + 8]
+            if size == 1 or size < 8 or i + size > end:
+                return  # 64-bit/invalid sizes: out of scope, stop cleanly
+            yield btype, i + 8, i + size
+            i += size
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    moov = next(((s, e) for t, s, e in boxes(b, 0, len(b)) if t == b"moov"), None)
+    if moov is None:
+        return None
+    dur_ms = None
+    dims = None
+    for t, s, e in boxes(b, *moov):
+        if t == b"mvhd" and e - s >= 20 and b[s] == 0:  # version 0
+            timescale = int.from_bytes(b[s + 12 : s + 16], "big")
+            duration = int.from_bytes(b[s + 16 : s + 20], "big")
+            if timescale:
+                dur_ms = duration * 1000 // timescale
+        elif t == b"trak" and dims is None:
+            for t2, s2, e2 in boxes(b, s, e):
+                if t2 == b"tkhd" and e2 - s2 >= 84:
+                    dims = (
+                        int.from_bytes(b[e2 - 8 : e2 - 4], "big") >> 16,
+                        int.from_bytes(b[e2 - 4 : e2], "big") >> 16,
+                    )
+                    break
+    if dur_ms is None or dims is None:
+        return None
+    return dims[0], dims[1], dur_ms
+
+
+def extract_video_meta(assets: DataFrame) -> DataFrame:
+    """Typed video metadata via Arrow-batched mapInPandas: MP4 payloads
+    get the REAL box-walk decode (`parse_mp4_meta` — display dimensions
+    + duration, no sample data touched, ``fmt`` = 'mp4'); other payloads
+    fall back to deterministic pseudo-metadata (``fmt`` NULL) — the
+    shared contract of the image/audio paths."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id", "n_bytes", "width", "height", "duration_ms", "fmt",
+            )}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                parsed = parse_mp4_meta(b)
+                if parsed is None:
+                    n = len(b)
+                    w, h, dur, fmt = n % 640 + 1, (n * 7) % 480 + 1, n % 1000, None
+                else:
+                    w, h, dur = parsed
+                    fmt = "mp4"
+                rows["id"].append(i)
+                rows["n_bytes"].append(len(b))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(dur)
+                rows["fmt"].append(fmt)
+            out = pd.DataFrame(rows)
+            for c in ("n_bytes", "width", "height", "duration_ms"):
+                out[c] = pd.array(out[c], dtype="int32")
+            yield out
+
+    return assets.mapInPandas(decode_batches, schema=VIDEO_META_SCHEMA)
+
+
+def synth_mp4_payload(i: int) -> bytes:
+    """Deterministic known-parameter video payload: ``i % 3`` in {0,1}
+    builds a REAL minimal MP4 (ftyp + free + moov[mvhd + trak[tkhd]];
+    width = 16*(i%60+1), height = 16*(i%34+1), timescale 1000,
+    duration = 500*(i%20+1) ms), 2 builds a non-video payload
+    (pseudo-metadata fallback). All parameters arithmetic in ``i`` for
+    SQL-oracle prediction."""
+    if i % 3 == 2:
+        return b"NOTV" + bytes((i * 13 + j) % 256 for j in range(12 + i % 5))
+    w = 16 * (i % 60 + 1)
+    h = 16 * (i % 34 + 1)
+    dur = 500 * (i % 20 + 1)  # timescale 1000 -> duration == ms
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    mvhd = box(
+        b"mvhd",
+        bytes(12)  # version/flags + ctime + mtime
+        + (1000).to_bytes(4, "big")  # timescale
+        + dur.to_bytes(4, "big")
+        + bytes(80),  # rate/volume/matrix/next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(76) + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    free = box(b"free", bytes(i % 9))  # variable pre-moov box: walk, not peek
+    return ftyp + free + moov
+
+
 def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
     """Binary payload -> dense feature vector (array<double>), the
     feature-extraction stage that bridges multimodal data into the

@@ -1541,6 +1541,56 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_meta",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 240)) AS id),
+    p AS (
+      SELECT id, id % 3 AS m, 248 + id % 9 AS vbytes, 16 + id % 5 AS rawlen
+      FROM ids
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(CASE WHEN m = 2 THEN rawlen ELSE vbytes END AS INTEGER) AS n_bytes,
+           CAST(CASE WHEN m = 2 THEN rawlen % 640 + 1
+                ELSE 16 * (id % 60 + 1) END AS INTEGER) AS width,
+           CAST(CASE WHEN m = 2 THEN rawlen * 7 % 480 + 1
+                ELSE 16 * (id % 34 + 1) END AS INTEGER) AS height,
+           CAST(CASE WHEN m = 2 THEN rawlen % 1000
+                ELSE 500 * (id % 20 + 1) END AS INTEGER) AS duration_ms,
+           CASE WHEN m = 2 THEN NULL ELSE 'mp4' END AS fmt
+    FROM p
+    """,
+    tags=("multimodal", "video"),
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video header decode, certified — completes the image/audio/
+    video trio: workers synthesize 240 deterministic payloads cycling
+    actual minimal ISO-BMFF MP4s (`synth_mp4_payload`: ftyp + a
+    variable-size free box + moov[mvhd + trak[tkhd]]), then
+    `extract_video_meta` walks the NESTED boxes back out of the bytes
+    (`parse_mp4_meta`: real box traversal — the free box between ftyp
+    and moov forces a walk, not a fixed-offset peek; 16.16 fixed-point
+    tkhd dimensions; mvhd timescale-normalized duration). The oracle
+    predicts every field arithmetically; sample data never exists and
+    only fixed-width metadata leaves the workers."""
+    from spark_hbase_connector_spark.operators.multimodal import (
+        extract_video_meta,
+        synth_mp4_payload,
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            yield pd.DataFrame(
+                {"id": ids, "payload": [synth_mp4_payload(i) for i in ids]}
+            )
+
+    assets = spark.range(0, 240).mapInPandas(build, schema="id long, payload binary")
+    return extract_video_meta(assets)
+
+
+@query(
     "multimodal_framesample",
     oracle="""
     WITH f AS (

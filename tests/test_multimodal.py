@@ -155,3 +155,37 @@ def test_extract_audio_meta_real_decode(spark):
             rate = 8000 * (i % 4 + 1)
             nf = i % 50 + 1
             assert got[i] == (i % 2 + 1, rate, nf * 1000 // rate, "wav")
+
+
+# ------------------------------------------------------------- video ----
+
+
+def test_parse_mp4_box_walk():
+    from spark_hbase_connector_spark.operators.multimodal import (
+        parse_mp4_meta,
+        synth_mp4_payload,
+    )
+
+    w, h, dur = parse_mp4_meta(synth_mp4_payload(7))  # 7 % 3 == 1 -> mp4
+    assert (w, h, dur) == (16 * (7 % 60 + 1), 16 * (7 % 34 + 1), 500 * (7 % 20 + 1))
+    # variable-size free box between ftyp and moov shifts every offset:
+    # a fixed-offset peek would break; the walk must not
+    for i in (0, 1, 3, 4, 9, 10):
+        assert parse_mp4_meta(synth_mp4_payload(i)) is not None
+
+
+def test_parse_mp4_rejects_junk():
+    from spark_hbase_connector_spark.operators.multimodal import (
+        parse_mp4_meta,
+        synth_mp4_payload,
+    )
+
+    assert parse_mp4_meta(b"") is None
+    assert parse_mp4_meta(b"RIFF....WAVE") is None
+    assert parse_mp4_meta(synth_mp4_payload(2)) is None  # the non-video case
+    # ftyp but no moov
+    ftyp_only = (16).to_bytes(4, "big") + b"ftypisom" + (512).to_bytes(4, "big")
+    assert parse_mp4_meta(ftyp_only) is None
+    # truncated moov (declared size past the buffer) stops cleanly
+    trunc = ftyp_only + (1000).to_bytes(4, "big") + b"moov" + bytes(8)
+    assert parse_mp4_meta(trunc) is None
