@@ -130,3 +130,74 @@ def kv_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v2 = overlay_cells(v1.where(F.col("id") > 10), updates, "id")
     return snapshot_diff(v1, v2, "id", ["name", "age"])
+
+
+@query(
+    "secondary_index_maintain",
+    oracle="""
+    WITH after AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS seg,
+             c_acctbal
+      FROM customer
+    )
+    SELECT seg AS query_segment, c_custkey, round(c_acctbal, 2) AS c_acctbal
+    FROM after WHERE seg IN ('MACHINERY', 'BUILDING')
+    """,
+    tags=("index", "maintenance", "cdc"),
+)
+def secondary_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index MAINTENANCE under an update batch — the
+    consistency problem HBase secondary indexes are famous for: when a
+    row's indexed attribute changes, the index needs a DELETE of the old
+    entry and an INSERT of the new one (Phoenix does this server-side;
+    done wrong you get ghosts under the old value and misses under the
+    new). Update batch: every custkey ≡ 0 (mod 10) moves to MACHINERY.
+    The index is delta-MAINTAINED (anti-join out the old ikeys, union in
+    the new — never rebuilt from base), then BOTH affected segments are
+    looked up through it against the post-update base. A missed insert
+    drops moved-in rows from MACHINERY; a missed delete resurrects
+    moved-out rows under BUILDING — either is a row-set mismatch against
+    the rebuilt-truth oracle. Scale: the delta is update-batch-sized
+    (anti join + union), vs an O(table) rebuild."""
+    base = load(spark, sf_dir, "customer")
+    moved = F.col("c_custkey") % 10 == 0
+    after = base.withColumn(
+        "seg",
+        F.when(moved, F.lit("MACHINERY")).otherwise(F.col("c_mktsegment")),
+    )
+
+    def ikey(seg_col, key_col):
+        return F.concat_ws(
+            "#", seg_col, F.lpad(key_col.cast("string"), 10, "0")
+        )
+
+    # the full index as it existed BEFORE the update
+    idx0 = base.select(
+        ikey(F.col("c_mktsegment"), F.col("c_custkey")).alias("ikey"),
+        F.col("c_custkey").alias("ref"),
+    )
+    # delta maintenance: delete old entries for updated rows, insert new
+    upd = base.where(moved)
+    old_keys = upd.select(
+        ikey(F.col("c_mktsegment"), F.col("c_custkey")).alias("ikey")
+    )
+    new_rows = upd.select(
+        ikey(F.lit("MACHINERY"), F.col("c_custkey")).alias("ikey"),
+        F.col("c_custkey").alias("ref"),
+    )
+    idx1 = idx0.join(old_keys, "ikey", "left_anti").unionByName(new_rows)
+    # look up BOTH affected segments through the MAINTAINED index
+    hits = idx1.where(
+        F.col("ikey").startswith("MACHINERY#")
+        | F.col("ikey").startswith("BUILDING#")
+    ).select(F.split(F.col("ikey"), "#").getItem(0).alias("query_segment"), "ref")
+    return (
+        after.join(hits, F.col("c_custkey") == F.col("ref"), "inner")
+        .select(
+            "query_segment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+    )

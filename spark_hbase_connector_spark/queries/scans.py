@@ -557,3 +557,41 @@ def scan_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+@query(
+    "scan_keyset_pagination",
+    oracle="""
+    WITH page1 AS (
+      SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50
+    ),
+    page2 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey > (SELECT max(o_orderkey) FROM page1)
+      ORDER BY o_orderkey LIMIT 50
+    )
+    SELECT * FROM page2
+    """,
+    tags=("scan", "pagination", "keyset"),
+)
+def scan_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-based) pagination — the HBase scanner-continuation
+    pattern (scan.withStartRow(lastKey, exclusive)) and the ONLY
+    pagination that holds at 100 TB: page N is ``rowkey > last_seen
+    LIMIT p`` — a pushed range predicate + TakeOrderedAndProject, cost
+    independent of N. OFFSET-based paging re-scans and discards N*p rows
+    per page (and row-group pruning can't help, because OFFSET is
+    positional, not key-based). The oracle replays page 2 via the same
+    keyset; both engines plan the page boundary as a scalar subquery."""
+    o = load(spark, sf_dir, "orders")
+    page1_max = (
+        o.select("o_orderkey").orderBy("o_orderkey").limit(50)
+        .agg(F.max("o_orderkey").alias("mx"))
+    )
+    return (
+        o.join(F.broadcast(page1_max))
+        .where(F.col("o_orderkey") > F.col("mx"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(50)
+    )

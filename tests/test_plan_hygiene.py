@@ -49,6 +49,9 @@ _BNLJ_ALLOWED = {
     # sample_mixture_temperature broadcasts the single-row (n_corpus,
     # s_alpha) normalizer into the per-source size relation
     "sample_mixture_temperature",
+    # scan_keyset_pagination broadcasts the single-row page boundary
+    # (max rowkey of the previous page) into the range filter
+    "scan_keyset_pagination",
 }
 
 _SKIP_TAGS = {"streaming", "fixture"}
