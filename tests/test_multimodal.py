@@ -189,3 +189,66 @@ def test_parse_mp4_rejects_junk():
     # truncated moov (declared size past the buffer) stops cleanly
     trunc = ftyp_only + (1000).to_bytes(4, "big") + b"moov" + bytes(8)
     assert parse_mp4_meta(trunc) is None
+
+
+# ------------------------------------------------- parser robustness ----
+
+
+def _fuzz(parser, synth):
+    """Parsers must never RAISE on arbitrary bytes — at 100 TB of crawled
+    payloads a malformed header that throws kills the whole job; the
+    contract is parse-or-None. Also: truncations of VALID payloads and
+    bit-flips in headers must degrade to None or a parse, never an
+    exception."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def fuzz_random(b):
+        parser(b)  # any return is fine; raising is the failure
+
+    fuzz_random()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(0, 50), st.integers(0, 300))
+    def fuzz_truncated(i, cut):
+        parser(synth(i)[:cut])
+
+    fuzz_truncated()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(0, 50), st.integers(0, 40), st.integers(0, 255))
+    def fuzz_bitflip(i, pos, val):
+        b = bytearray(synth(i))
+        if pos < len(b):
+            b[pos] = val
+        parser(bytes(b))
+
+    fuzz_bitflip()
+
+
+def test_fuzz_image_parser():
+    from spark_hbase_connector_spark.operators.multimodal import (
+        parse_image_dims,
+        synth_image_payload,
+    )
+
+    _fuzz(parse_image_dims, synth_image_payload)
+
+
+def test_fuzz_wav_parser():
+    from spark_hbase_connector_spark.operators.multimodal import (
+        parse_wav_meta,
+        synth_wav_payload,
+    )
+
+    _fuzz(parse_wav_meta, synth_wav_payload)
+
+
+def test_fuzz_mp4_parser():
+    from spark_hbase_connector_spark.operators.multimodal import (
+        parse_mp4_meta,
+        synth_mp4_payload,
+    )
+
+    _fuzz(parse_mp4_meta, synth_mp4_payload)
