@@ -939,3 +939,119 @@ def knn_label_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_correct"),
     )
+
+
+@query(
+    "bpe_train_merges",
+    oracle=r"""
+    WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    vocab AS (
+      SELECT w, count(*)::BIGINT AS cnt FROM words WHERE w <> ''
+      GROUP BY w ORDER BY cnt DESC, w LIMIT 100
+    ),
+    v0 AS (SELECT cnt, regexp_replace(w, '(.)', '·\1', 'g') AS seq FROM vocab),
+    p1 AS (
+      SELECT pair, sum(cnt)::BIGINT AS n FROM (
+        SELECT cnt, unnest(list_transform(range(2, len(string_split(seq, '·'))),
+          i -> string_split(seq, '·')[i] || '·' || string_split(seq, '·')[i+1])) AS pair
+        FROM v0) GROUP BY pair
+    ),
+    b1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1),
+    v1 AS (SELECT cnt, replace(seq, '·' || b1.pair,
+                 '·' || replace(b1.pair, '·', '')) AS seq FROM v0, b1),
+    p2 AS (
+      SELECT pair, sum(cnt)::BIGINT AS n FROM (
+        SELECT cnt, unnest(list_transform(range(2, len(string_split(seq, '·'))),
+          i -> string_split(seq, '·')[i] || '·' || string_split(seq, '·')[i+1])) AS pair
+        FROM v1) GROUP BY pair
+    ),
+    b2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1),
+    v2 AS (SELECT cnt, replace(seq, '·' || b2.pair,
+                 '·' || replace(b2.pair, '·', '')) AS seq FROM v1, b2),
+    p3 AS (
+      SELECT pair, sum(cnt)::BIGINT AS n FROM (
+        SELECT cnt, unnest(list_transform(range(2, len(string_split(seq, '·'))),
+          i -> string_split(seq, '·')[i] || '·' || string_split(seq, '·')[i+1])) AS pair
+        FROM v2) GROUP BY pair
+    ),
+    b3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1)
+    SELECT 1 AS round, pair, replace(pair, '·', '') AS merged, n FROM b1
+    UNION ALL SELECT 2, pair, replace(pair, '·', ''), n FROM b2
+    UNION ALL SELECT 3, pair, replace(pair, '·', ''), n FROM b3
+    """,
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, three merge rounds unrolled — the
+    iterative-algorithm-oracle recipe (`kmeans_train_cells` /
+    `graph_pagerank`) applied to the real tokenizer-training loop that
+    `bpe_pair_counts` only measures one step of. Per round: count
+    adjacent symbol pairs over the top-100 word vocabulary (weighted by
+    word frequency), pick the argmax pair (count desc, pair asc — a
+    total order so both engines choose identically), and merge it
+    everywhere. Symbol sequences are '·'-prefix-delimited strings, so
+    the merge is a LITERAL leftmost-non-overlapping replace('·a·b' ->
+    '·ab') with identical semantics in Spark and DuckDB (probe-verified,
+    including the '·a·a·a' overlap case); the delimiter guarantees
+    matches only at symbol boundaries. Scale: each round is one
+    vocab-sized pair explode + partial-agg groupBy + a SINGLE-ROW
+    broadcast of the chosen merge — the corpus is touched once (the
+    word count); rounds cost vocabulary work, exactly how production
+    BPE trainers separate corpus pass from merge loop."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(100)
+    )
+    cur = vocab.select(
+        "cnt", F.regexp_replace("w", "(.)", "·$1").alias("seq")
+    )
+    out = []
+    for r in (1, 2, 3):
+        syms = cur.select(
+            "cnt",
+            "seq",
+            F.expr("slice(split(seq, '·'), 2, size(split(seq, '·')) - 1)").alias(
+                "syms"
+            ),
+        )
+        pairs = (
+            syms.where(F.expr("size(syms) >= 2"))
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> concat(element_at(syms, i), '·', "
+                        "element_at(syms, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+        )
+        out.append(
+            best.select(
+                F.lit(r).alias("round"),
+                "pair",
+                F.expr("replace(pair, '·', '')").alias("merged"),
+                "n",
+            )
+        )
+        cur = cur.join(F.broadcast(best)).select(
+            "cnt",
+            F.expr(
+                "replace(seq, concat('·', pair), "
+                "concat('·', replace(pair, '·', '')))"
+            ).alias("seq"),
+        )
+    return out[0].unionByName(out[1]).unionByName(out[2])

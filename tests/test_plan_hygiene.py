@@ -52,6 +52,9 @@ _BNLJ_ALLOWED = {
     # scan_keyset_pagination broadcasts the single-row page boundary
     # (max rowkey of the previous page) into the range filter
     "scan_keyset_pagination",
+    # bpe_train_merges broadcasts each round's single-row chosen merge
+    # into the vocab-sized sequence relation (3 unrolled rounds)
+    "bpe_train_merges",
 }
 
 _SKIP_TAGS = {"streaming", "fixture"}
