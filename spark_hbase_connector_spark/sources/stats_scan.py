@@ -361,8 +361,13 @@ def head_by_rowkey(
         (r for r in manifest if r.rk_min is not None), key=lambda r: r.rk_min
     )
     unknown = [r for r in manifest if r.rk_min is None]
+    # stats-less files must be READ (unknown bounds) but must NOT count
+    # toward the n-row quota: their rows may all be large keys, so only
+    # rows from the bounded known prefix can prove the n smallest are
+    # covered (a stats-less file of high keys satisfying the quota would
+    # wrongly prune the low-key files)
     selected = [r.path for r in unknown]
-    cum = sum(r.n_rows for r in unknown)
+    cum = 0
     bound = None
     for r in known:
         selected.append(r.path)

@@ -204,3 +204,42 @@ def test_head_topn_physical_plan(spark, dataset):
     plan = head_by_rowkey(spark, dataset, CATALOG, n=10)
     phys = plan.df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in phys
+
+
+def test_head_with_statless_highkey_file(spark, tmp_path):
+    """Regression: a statistics-less file full of LARGE keys must not
+    satisfy the n-row quota — the low-key files still have to be read,
+    or the head silently returns the wrong rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "mixed")
+    os.makedirs(p, exist_ok=True)
+    # two stats-bearing files with the LOW keys
+    pq.write_table(
+        pa.table({"k": list(range(1, 101)), "d:v": [1.0] * 100}),
+        os.path.join(p, "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": list(range(101, 201)), "d:v": [2.0] * 100}),
+        os.path.join(p, "b.parquet"),
+    )
+    # a stats-less file with only HIGH keys, big enough to cover any n
+    pq.write_table(
+        pa.table({"k": list(range(100000, 100500)), "d:v": [9.0] * 500}),
+        os.path.join(p, "c.parquet"),
+        write_statistics=False,
+    )
+    cat = {
+        "table": "fixtures:mixed",
+        "rowkey": "k",
+        "columns": {
+            "k": {"cf": "rowkey", "col": "k", "type": "long"},
+            "v": {"cf": "d", "col": "v", "type": "double"},
+        },
+    }
+    plan = head_by_rowkey(spark, p, cat, n=25)
+    got = [r.k for r in plan.df.select("k").collect()]
+    assert got == list(range(1, 26))  # the true 25 smallest, not the 100k block
+    # the stats-less file is read (unknown bounds) plus the first known file
+    assert len(plan.files_selected) == 2
