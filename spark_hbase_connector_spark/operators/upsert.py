@@ -117,6 +117,11 @@ def merge_rows(
     source batch is small. No verb needs its own pass: delete is a
     filter, update and insert are projections of the same joined row.
     """
+    unknown = (set(update_set) | set(insert_values or {})) - set(base.columns)
+    if unknown:
+        raise ValueError(
+            f"merge_rows: SET/INSERT columns not in base: {sorted(unknown)}"
+        )
     b, s = base.alias("b"), source.alias("s")
     joined = b.join(s, F.col(f"b.{rowkey}") == F.col(f"s.{rowkey}"), "full_outer")
     matched = F.col(f"b.{rowkey}").isNotNull() & F.col(f"s.{rowkey}").isNotNull()

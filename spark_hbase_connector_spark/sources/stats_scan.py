@@ -149,15 +149,17 @@ def footer_stats_agg(
                     c: {"n": 0, "min": None, "max": None} for c in agg_columns
                 }
                 fallback_groups: dict[str, list[int]] = {c: [] for c in agg_columns}
+                if (lo is not None or hi is not None) and phys_rk not in names:
+                    raise ValueError(
+                        f"footer_stats_agg: rowkey column {phys_rk!r} absent "
+                        f"from {fp!r} — a rowkey-range count needs the rowkey "
+                        "physically present in every data file"
+                    )
                 for rg in range(meta.num_row_groups):
                     rgm = meta.row_group(rg)
                     # --- rowkey-range classification -----------------------
                     if lo is not None or hi is not None:
-                        st = (
-                            rgm.column(names[phys_rk]).statistics
-                            if phys_rk in names
-                            else None
-                        )
+                        st = rgm.column(names[phys_rk]).statistics
                         if st is not None and st.has_min_max:
                             rmin, rmax = st.min, st.max
                             if (hi is not None and rmin > hi) or (

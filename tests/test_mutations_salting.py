@@ -246,3 +246,13 @@ def test_merge_cdc_sequence_and_replay(spark, tmp_path):
     apply(b3)  # crashed-epoch replay: identical mutations, identical state
     again = {r.k: r.v for r in spark.read.parquet(state_dir).collect()}
     assert again == got
+
+
+def test_merge_rejects_unknown_set_columns(spark):
+    from spark_hbase_connector_spark.operators.upsert import merge_rows
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, bal double")
+    src = spark.createDataFrame([(1, 2.0)], "k long, delta double")
+    with pytest.raises(ValueError, match="not in base"):
+        merge_rows(base, src, "k", update_set={"balance": F.col("s.delta")})
