@@ -68,14 +68,17 @@ DRIVER_WINDOW = [
     "agg_decimal_exact",
     "agg_modern_aliases",
     "scalar_mask_pii",
-    # windows / time-series
+    # windows / time-series (sessionize/asof/range-join/gapfill rotated
+    # out late-r04 — driver-green in r03, unchanged since — for the
+    # late-wave heavyweights below)
     "window_time_weighted_avg",
     "window_trailing_1h",
-    "sessionize_events",
-    "asof_join_events",
-    "range_join_windows",
-    "gapfill_locf",
     "hypertable_rollup_merge",
+    # late-r04 wave, never driver-checked
+    "kv_merge_into",
+    "streaming_cdc_merge",
+    "bpe_train_merges",
+    "multimodal_video_meta",
     # dedup family
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
