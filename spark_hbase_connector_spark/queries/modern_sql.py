@@ -733,3 +733,98 @@ def scalar_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "pos")
     )
+
+
+@query(
+    "table_stats_collect",
+    oracle="""
+    WITH exact AS (
+      SELECT 'o_orderkey' AS col, count(*)::BIGINT AS n_rows,
+             (count(*) - count(o_orderkey))::BIGINT AS n_nulls,
+             count(DISTINCT o_orderkey)::BIGINT AS ndv_exact,
+             round(min(o_orderkey) * 1.0, 4) AS min_v,
+             round(max(o_orderkey) * 1.0, 4) AS max_v
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*)::BIGINT,
+             (count(*) - count(o_custkey))::BIGINT,
+             count(DISTINCT o_custkey)::BIGINT,
+             round(min(o_custkey) * 1.0, 4), round(max(o_custkey) * 1.0, 4)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(*)::BIGINT,
+             (count(*) - count(o_totalprice))::BIGINT,
+             count(DISTINCT o_totalprice)::BIGINT,
+             round(min(o_totalprice), 4), round(max(o_totalprice), 4)
+      FROM orders
+    )
+    SELECT col, n_rows, n_nulls, min_v, max_v,
+           TRUE AS ndv_acceptable, TRUE AS hist_balanced
+    FROM exact
+    """,
+    tags=("stats", "analyze", "qa"),
+)
+def table_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics in ONE scan — the CBO stats
+    surface (`ANALYZE TABLE .. COMPUTE STATISTICS FOR COLUMNS`): for
+    each column, row/null counts, min/max, an HLL++ distinct-count
+    sketch, and an equi-depth histogram sketch, ALL collected in a
+    single aggregation pass (3 columns = still 1 scan — every sketch is
+    a fixed-size mergeable partial, the property that makes stats
+    collection affordable at 100 TB). Exact quantities (counts, min,
+    max) are hash-compared; the sketch quantities are CONTRACT-gated in
+    the oracle's own pattern (`approx_distinct_qa` /
+    `region_split_plan_qa`): NDV within 2% of exact, equi-depth buckets
+    within 2x of uniform — computed on the Spark side from the same
+    scan and asserted TRUE on both sides."""
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.round(F.min(F.col(c) * 1.0), 4).alias(f"min_{c}"),
+            F.round(F.max(F.col(c) * 1.0), 4).alias(f"max_{c}"),
+            F.approx_count_distinct(c, 0.01).alias(f"ndv_{c}"),
+            F.count_distinct(F.col(c)).alias(f"ndvx_{c}"),
+            F.percentile_approx(
+                F.col(c) * 1.0, [i / 8 for i in range(1, 8)], 10000
+            ).alias(f"hist_{c}"),
+        ]
+    stats = o.agg(*aggs)
+    # gate pass (second scan, like Spark's own ANALYZE histogram step):
+    # count the first equi-depth bucket per column against its sketch split
+    gate = o.join(F.broadcast(stats)).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col(c) * 1.0 <= F.element_at(F.col(f"hist_{c}"), 1), 1
+                ).otherwise(0)
+            ).alias(f"b1_{c}")
+            for c in cols
+        ]
+    )
+    row = stats.join(F.broadcast(gate))
+    outs = []
+    for c in cols:
+        outs.append(
+            row.select(
+                F.lit(c).alias("col"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).cast("bigint").alias("n_nulls"),
+                F.col(f"min_{c}").alias("min_v"),
+                F.col(f"max_{c}").alias("max_v"),
+                (
+                    F.abs(F.col(f"ndv_{c}") - F.col(f"ndvx_{c}"))
+                    / F.col(f"ndvx_{c}")
+                    <= 0.02
+                ).alias("ndv_acceptable"),
+                # equi-depth contract: the first sketch bucket holds its
+                # share of rows within 2x of uniform (1/8)
+                (
+                    (F.col(f"b1_{c}") * 1.0 / F.col("n_rows") <= 0.25)
+                    & (F.col(f"b1_{c}") * 1.0 / F.col("n_rows") >= 0.0625)
+                ).alias("hist_balanced"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])

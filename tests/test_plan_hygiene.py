@@ -55,6 +55,9 @@ _BNLJ_ALLOWED = {
     # bpe_train_merges broadcasts each round's single-row chosen merge
     # into the vocab-sized sequence relation (3 unrolled rounds)
     "bpe_train_merges",
+    # table_stats_collect broadcasts the single-row stats/sketch relation
+    # into the gate pass and the final per-column projection
+    "table_stats_collect",
 }
 
 _SKIP_TAGS = {"streaming", "fixture"}
