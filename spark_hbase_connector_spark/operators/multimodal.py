@@ -49,13 +49,20 @@ def parse_image_dims(b: bytes) -> tuple[str, int, int] | None:
             int.from_bytes(b[8:10], "little"),
         )
     if b[:2] == b"BM" and len(b) >= 26:
-        # BITMAPINFOHEADER: signed width/height at 18/22; negative height
-        # means top-down row order — the magnitude is the pixel height
-        return (
-            "bmp",
-            int.from_bytes(b[18:22], "little", signed=True),
-            abs(int.from_bytes(b[22:26], "little", signed=True)),
-        )
+        # DIB header size at 14 discriminates the family: only the
+        # BITMAPINFOHEADER-and-later layouts (size >= 40) carry 32-bit
+        # width/height at 18/22. An OS/2 BITMAPCOREHEADER (size 12) packs
+        # 16-bit fields there — parsing it as 32-bit merges width+height
+        # into one bogus value, so anything < 40 falls back to None.
+        if int.from_bytes(b[14:18], "little") < 40:
+            return None
+        # signed width/height at 18/22; negative height means top-down
+        # row order — the magnitude is the pixel height. A non-positive
+        # width is never valid.
+        w_ = int.from_bytes(b[18:22], "little", signed=True)
+        if w_ <= 0:
+            return None
+        return ("bmp", w_, abs(int.from_bytes(b[22:26], "little", signed=True)))
     if b[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
         while i + 9 <= len(b):

@@ -443,7 +443,17 @@ def cosine_pairs_lsh(
     import numpy as np
     import pandas as pd
 
-    cells = assign_cells(df, centroids, id_col, vec_col, nprobe=nprobe)
+    from pyspark import StorageLevel
+
+    # assign_cells is a mapInPandas subtree with TWO downstream consumers
+    # (the counts aggregation and the join back for salting) — persist it
+    # per the repo invariant so the Python assignment scan runs once.
+    # cells is the small (id, cell_id) relation (no vectors), so the
+    # cached footprint is rows x ~16 bytes; blocks are released by the
+    # ContextCleaner when the plan is dropped.
+    cells = assign_cells(df, centroids, id_col, vec_col, nprobe=nprobe).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")).join(
         cells.withColumnRenamed(id_col, "id"), "id"
     )

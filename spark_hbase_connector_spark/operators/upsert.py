@@ -157,6 +157,69 @@ def merge_rows(
     return joined.where(keep).select(*out_cols)
 
 
+def cdc_apply_mutations(
+    base: DataFrame,
+    batch: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    tombstone_type: str = "error",
+    type_col: str = "event_type",
+    value_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """Apply one micro-batch of CDC mutations to a last-writer-wins state
+    table, BATCH-SPLIT-INDEPENDENTLY: the post-apply state for a key is a
+    pure function of its globally newest mutation ((ts, seq) total order),
+    no matter how mutations were sliced into batches or in what order the
+    batches arrive. Two properties make that true where a naive
+    MERGE-the-batch-latest is not:
+
+    1. every matched verb is gated on the mutation being NEWER than the
+       stored state ((s.ts, s.seq) > (b.ts, b.seq)) — a late/stale
+       mutation is a no-op instead of overwriting newer state;
+    2. deletes are retained as TOMBSTONE rows (``deleted`` flag + the
+       tombstone's own ts/seq) rather than physically removed — otherwise
+       a stale pre-delete mutation arriving later would see "not matched"
+       and resurrect the key.
+
+    State schema: (key, *value_cols, ts, seq, deleted). Read the live view
+    with ``where(~deleted)``. Physical tombstone purge is a compaction
+    concern (`major_compact_cells`), safe once no in-flight mutation can
+    be older than the tombstone (the stream's watermark).
+
+    Scale: one co-partitioned full-outer join per batch via `merge_rows`
+    (AQE broadcasts the small batch side); the batch is pre-reduced to its
+    newest mutation per key so state rewrite cost is one pass.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc(), F.col(seq_col).desc())
+    latest = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(key, *value_cols, ts_col, seq_col, type_col)
+    )
+    newer = (F.col(f"s.{ts_col}") > F.col(f"b.{ts_col}")) | (
+        (F.col(f"s.{ts_col}") == F.col(f"b.{ts_col}"))
+        & (F.col(f"s.{seq_col}") >= F.col(f"b.{seq_col}"))
+    )
+    is_tomb = F.col(f"s.{type_col}") == tombstone_type
+    update_set = {
+        c: F.when(newer, F.col(f"s.{c}")).otherwise(F.col(f"b.{c}"))
+        for c in (*value_cols, ts_col, seq_col)
+    }
+    update_set["deleted"] = F.when(newer, is_tomb).otherwise(F.col("b.deleted"))
+    insert_values = {c: F.col(f"s.{c}") for c in (*value_cols, ts_col, seq_col)}
+    insert_values["deleted"] = is_tomb
+    return merge_rows(
+        base,
+        latest,
+        key,
+        update_set=update_set,
+        insert_values=insert_values,
+    )
+
+
 def major_compact_cells(
     cells: DataFrame,
     max_versions: int = 1,

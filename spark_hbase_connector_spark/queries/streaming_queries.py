@@ -653,53 +653,42 @@ def streaming_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply via MERGE-per-micro-batch — the lakehouse changefeed
-    pattern (`operators/upsert.merge_rows` inside foreachBatch): the
-    event stream is a mutation feed keyed by user_id; each batch reduces
-    to its newest mutation per key ((ts, event_id) total order), then
-    merges into the parquet state table — WHEN MATCHED AND
-    type = 'error' THEN DELETE (tombstone), WHEN MATCHED THEN UPDATE,
-    WHEN NOT MATCHED AND type <> 'error' THEN INSERT. The final state is
-    BATCH-SPLIT-INDEPENDENT (each key's outcome is a function of its
-    globally newest mutation only — later batches override earlier ones,
-    a tombstoned key never resurrects without a newer insert), so the
-    oracle is the batch latest-per-key with tombstones dropped, however
-    the files happened to arrive. Replaying a crashed epoch re-merges
-    identical mutations into identical state — idempotent, exactly-once
-    without sink transactions. At 100 TB the state rewrite per batch is
-    the real cost: partition the state table and rewrite only partitions
-    containing touched keys (the same economics as any lakehouse MERGE)."""
+    pattern (`operators/upsert.cdc_apply_mutations` inside foreachBatch):
+    the event stream is a mutation feed keyed by user_id; each batch
+    reduces to its newest mutation per key ((ts, event_id) total order),
+    then merges into the parquet state table last-writer-wins. The final
+    state is BATCH-SPLIT-INDEPENDENT by construction, not by delivery
+    luck: every matched verb is gated on (s.ts, s.event_id) >=
+    (b.ts, b.event_id) so a stale mutation in a late batch is a no-op,
+    and deletes persist as tombstone rows (deleted flag) so a stale
+    pre-delete mutation cannot resurrect the key via the NOT MATCHED
+    branch (batch-order independence is unit-proven over adversarial
+    splits in tests/test_operators.py). The oracle is therefore the
+    global latest-per-key with tombstones dropped, however the files
+    happened to arrive. Replaying a crashed epoch re-merges identical
+    mutations into identical state — idempotent, exactly-once without
+    sink transactions. At 100 TB the state rewrite per batch is the real
+    cost: partition the state table and rewrite only partitions
+    containing touched keys; purge tombstones via compaction once the
+    watermark passes them (the same economics as any lakehouse MERGE)."""
     import uuid
 
-    from spark_hbase_connector_spark.operators.upsert import merge_rows
+    from spark_hbase_connector_spark.operators.upsert import cdc_apply_mutations
 
     stream = events_stream(spark, sf_dir)
     state_dir = (
         f"/tmp/spark_hbase_connector_fixtures/cdc_merge_{uuid.uuid4().hex[:10]}"
     )
-    state_schema = "user_id long, value double, ts timestamp"
+    state_schema = (
+        "user_id long, value double, ts timestamp, event_id long, deleted boolean"
+    )
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        latest = (
-            batch_df.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("user_id", "value", "ts", "event_type")
-        )
         try:
             base = spark.read.parquet(state_dir)
         except Exception:
             base = spark.createDataFrame([], state_schema)
-        merged = merge_rows(
-            base,
-            latest,
-            "user_id",
-            update_set={"value": F.col("s.value"), "ts": F.col("s.ts")},
-            delete_cond=F.col("s.event_type") == "error",
-            insert_values={"value": F.col("s.value"), "ts": F.col("s.ts")},
-            insert_cond=F.col("s.event_type") != "error",
-        )
+        merged = cdc_apply_mutations(base, batch_df)
         # materialize BEFORE overwriting the path the plan reads from
         merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(state_dir)
@@ -709,6 +698,8 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(state_dir).select(
-        "user_id", F.round("value", 4).alias("value"), "ts"
+    return (
+        spark.read.parquet(state_dir)
+        .where(~F.col("deleted"))
+        .select("user_id", F.round("value", 4).alias("value"), "ts")
     )

@@ -149,6 +149,7 @@ def footer_stats_agg(
                     c: {"n": 0, "min": None, "max": None} for c in agg_columns
                 }
                 fallback_groups: dict[str, list[int]] = {c: [] for c in agg_columns}
+                wt_rg_rows: dict[int, int] = {}  # whole-table groups seen
                 if (lo is not None or hi is not None) and phys_rk not in names:
                     raise ValueError(
                         f"footer_stats_agg: rowkey column {phys_rk!r} absent "
@@ -193,8 +194,14 @@ def footer_stats_agg(
                             n_scan += rgm.num_rows
                         continue
                     # --- whole-table mode ---------------------------------
+                    # meta/scan classification is deferred to after the
+                    # per-column loop: a group is meta-only ONLY when no
+                    # requested column needed a data-page read, and a
+                    # fallback group's rows count once in n_scanned_rows
+                    # regardless of how many columns fell back — so the
+                    # observability split always sums to n_total.
                     n_total += rgm.num_rows
-                    n_meta += rgm.num_rows
+                    wt_rg_rows[rg] = rgm.num_rows
                     for c in agg_columns:
                         pc_name = phys_aggs[c]
                         if pc_name not in names:
@@ -220,12 +227,20 @@ def footer_stats_agg(
                             p["max"] = (
                                 st.max if p["max"] is None else max(p["max"], st.max)
                             )
+                # whole-table split: meta-only groups are exactly those with
+                # NO fallback column; a fallback group's rows land in
+                # n_scanned_rows exactly once
+                scanned_rgs = {rg for groups in fallback_groups.values() for rg in groups}
+                for rg, nrows in wt_rg_rows.items():
+                    if rg in scanned_rgs:
+                        n_scan += nrows
+                    else:
+                        n_meta += nrows
                 # stats-absent groups: read just that column of that group
                 for c, groups in fallback_groups.items():
                     for rg in groups:
                         tbl = pf.read_row_group(rg, columns=[phys_aggs[c]])
                         col = tbl.column(0)
-                        n_scan += len(col)
                         valid = col.drop_null()
                         p = col_partials[c]
                         p["n"] += len(valid)

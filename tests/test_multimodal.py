@@ -33,9 +33,10 @@ def test_gif_dims():
 
 
 def test_bmp_dims_including_topdown():
-    def bmp(w, h):
+    def bmp(w, h, dib_size=40):
         header = bytearray(26)
         header[0:2] = b"BM"
+        header[14:18] = dib_size.to_bytes(4, "little")
         header[18:22] = w.to_bytes(4, "little", signed=True)
         header[22:26] = h.to_bytes(4, "little", signed=True)
         return bytes(header)
@@ -43,6 +44,19 @@ def test_bmp_dims_including_topdown():
     assert parse_image_dims(bmp(800, 600)) == ("bmp", 800, 600)
     # negative height = top-down DIB; magnitude is the pixel height
     assert parse_image_dims(bmp(800, -600)) == ("bmp", 800, 600)
+    # V5 header (124) still uses the same 32-bit field offsets
+    assert parse_image_dims(bmp(12, 34, dib_size=124)) == ("bmp", 12, 34)
+    # OS/2 BITMAPCOREHEADER (size 12) packs 16-bit w/h at 18/20 — parsing
+    # it as 32-bit would merge the fields; must fall back to None
+    core = bytearray(26)
+    core[0:2] = b"BM"
+    core[14:18] = (12).to_bytes(4, "little")
+    core[18:20] = (800).to_bytes(2, "little")
+    core[20:22] = (600).to_bytes(2, "little")
+    assert parse_image_dims(bytes(core)) is None
+    # a non-positive width is never a valid DIB
+    assert parse_image_dims(bmp(0, 600)) is None
+    assert parse_image_dims(bmp(-800, 600)) is None
 
 
 def test_jpeg_sof_scan_skips_leading_segments():

@@ -256,3 +256,88 @@ def test_merge_rejects_unknown_set_columns(spark):
     src = spark.createDataFrame([(1, 2.0)], "k long, delta double")
     with pytest.raises(ValueError, match="not in base"):
         merge_rows(base, src, "k", update_set={"balance": F.col("s.delta")})
+
+
+# --------------------------------------------- cdc_apply_mutations ----
+
+
+def test_cdc_apply_mutations_batch_split_independent(spark, tmp_path):
+    """Last-writer-wins CDC apply: the final state must be a function of
+    each key's globally newest mutation, independent of how mutations are
+    sliced into batches AND of the order batches arrive. Exercises the
+    two failure modes the naive merge has: a stale mutation in a late
+    batch overwriting newer state, and a stale pre-delete mutation
+    resurrecting a tombstoned key."""
+    import itertools
+
+    from spark_hbase_connector_spark.operators.upsert import cdc_apply_mutations
+    from pyspark.sql import functions as F
+
+    # (user_id, value, ts-second, event_id, event_type)
+    muts = [
+        (1, 1.0, 10, 100, "put"),   # k1: newest is eid 102 -> 3.0
+        (1, 2.0, 20, 101, "put"),
+        (1, 3.0, 30, 102, "put"),
+        (2, 5.0, 10, 200, "put"),   # k2: newest is the tombstone
+        (2, 6.0, 20, 201, "error"),
+        (3, 7.0, 10, 300, "error"), # k3: tombstone then newer put -> 8.0
+        (3, 8.0, 20, 301, "put"),
+        (4, 9.0, 10, 400, "put"),   # k4: same ts, higher eid wins -> 9.5
+        (4, 9.5, 10, 401, "put"),
+    ]
+    schema = "user_id long, value double, sec long, event_id long, event_type string"
+    state_schema = (
+        "user_id long, value double, ts timestamp, event_id long, deleted boolean"
+    )
+    expected = {1: 3.0, 3: 8.0, 4: 9.5}  # k2 tombstoned
+
+    def run(splits):
+        state = spark.createDataFrame([], state_schema)
+        for batch_rows in splits:
+            if not batch_rows:
+                continue
+            batch = spark.createDataFrame(batch_rows, schema).select(
+                "user_id",
+                "value",
+                F.timestamp_seconds("sec").alias("ts"),
+                "event_id",
+                "event_type",
+            )
+            state = cdc_apply_mutations(state, batch).localCheckpoint(eager=True)
+        return {
+            r.user_id: r.value for r in state.where(~F.col("deleted")).collect()
+        }
+
+    # one batch, three chronological batches, three REVERSED batches, and
+    # a pathological per-key-interleaved split delivered newest-first
+    chron = [muts[0:3], muts[3:6], muts[6:9]]
+    assert run([muts]) == expected
+    assert run(chron) == expected
+    assert run(list(reversed(chron))) == expected
+    newest_first = sorted(muts, key=lambda m: (m[2], m[3]), reverse=True)
+    assert run([[m] for m in newest_first]) == expected
+    # exhaustive: every delivery order of the three chronological batches
+    for perm in itertools.permutations(chron):
+        assert run(list(perm)) == expected, perm
+
+
+def test_cdc_apply_mutations_replay_idempotent(spark):
+    from spark_hbase_connector_spark.operators.upsert import cdc_apply_mutations
+    from pyspark.sql import functions as F
+
+    state_schema = (
+        "user_id long, value double, ts timestamp, event_id long, deleted boolean"
+    )
+    batch = spark.createDataFrame(
+        [(1, 1.0, 10, 100, "put"), (2, 2.0, 10, 200, "error")],
+        "user_id long, value double, sec long, event_id long, event_type string",
+    ).select(
+        "user_id", "value", F.timestamp_seconds("sec").alias("ts"),
+        "event_id", "event_type",
+    )
+    s1 = cdc_apply_mutations(
+        spark.createDataFrame([], state_schema), batch
+    ).localCheckpoint(eager=True)
+    s2 = cdc_apply_mutations(s1, batch).localCheckpoint(eager=True)  # replay
+    rows = {(r.user_id): (r.value, r.deleted) for r in s2.collect()}
+    assert rows == {1: (1.0, False), 2: (2.0, True)}  # tombstone RETAINED

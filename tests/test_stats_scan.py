@@ -91,6 +91,24 @@ def test_whole_table_agg_matches_scan(spark, dataset):
     assert got.n_scanned_rows == 0
 
 
+def test_observability_split_sums_exactly_under_fallback(spark, dataset):
+    """Whole-table mode with a mix of stats-answered (v) and fallback (s —
+    string stats are untrusted) columns: a fallback group's rows must land
+    in n_scanned_rows exactly ONCE (not once per fallback column, and not
+    also in n_meta_only_rows), so the split sums to n_total exactly."""
+    got = footer_stats_agg(spark, dataset, CATALOG, agg_columns=("v", "s")).first()
+    assert got.n_scanned_rows + got.n_meta_only_rows == got.n_total == N_ROWS
+    # every group has the string column -> every group fell back
+    assert got.n_scanned_rows == N_ROWS and got.n_meta_only_rows == 0
+    # and the aggregates themselves are still exact
+    exp = (
+        _full(spark, dataset)
+        .agg(F.min("v").alias("mnv"), F.max("s").alias("mxs"))
+        .first()
+    )
+    assert got.min_v == exp.mnv and got.max_s == exp.mxs
+
+
 @pytest.mark.parametrize(
     "lo,hi",
     [
