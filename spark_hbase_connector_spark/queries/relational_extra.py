@@ -133,26 +133,22 @@ def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (LISTAGG / string_agg): the distinct
-    line numbers per (returnflag, linestatus) as a sorted CSV.
+    line numbers per (returnflag, linestatus) as a sorted CSV, via the
+    state-GUARDED operator (`operators/guards.listagg_sorted_capped`):
     `collect_list` is order-nondeterministic under parallel merge, so the
-    deterministic form is collect -> array_sort -> join — the aggregation
-    state is the distinct set (bounded, 7 values), not the input rows."""
+    deterministic form is collect -> array_sort -> join — and any group
+    exceeding the element cap fails the job loudly naming the group
+    instead of emitting a giant CSV cell. Here the aggregation state is
+    the distinct set (bounded, 7 values), so the guard never fires."""
+    from spark_hbase_connector_spark.operators.guards import listagg_sorted_capped
+
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.select("l_returnflag", "l_linestatus", "l_linenumber")
-        .distinct()
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("l_linenumber")),
-                    lambda c: c.cast("string"),
-                ),
-                ",",
-            ).alias("linenumbers"),
-            F.count(F.lit(1)).alias("n_distinct"),
-        )
-    )
+    return listagg_sorted_capped(
+        li.select("l_returnflag", "l_linestatus", "l_linenumber").distinct(),
+        ["l_returnflag", "l_linestatus"],
+        "l_linenumber",
+        "linenumbers",
+    ).withColumnRenamed("n_items", "n_distinct")
 
 
 @query(
@@ -496,20 +492,20 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The self-join is keyed on the BASKET id, so candidate volume is
     sum(basket_size^2) — bounded by TPC-H's ~7-line orders, one shuffle +
-    one partial-aggregated count. At 100 TB the guardrails are the same
-    as the shingle inverted index (`dedup.py`): cap or sample mega-baskets
-    and pre-prune items below min item support (a-priori monotonicity)
-    before pairing; the pair space never materializes beyond per-basket
-    pairs."""
+    one partial-aggregated count. The guardrails are ENFORCED via
+    `operators/guards.basket_pairs_guarded`: a mega-basket over the item
+    cap fails the job worker-side naming the basket (quadratic pair
+    volume never materializes silently), and items below min support 2
+    are pre-pruned before pairing — LOSSLESS under the HAVING
+    support >= 2 by a-priori monotonicity, while cutting the quadratic
+    term where it is generated."""
+    from spark_hbase_connector_spark.operators.guards import basket_pairs_guarded
+
     li = load(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    pairs = basket_pairs_guarded(
+        items, "l_orderkey", "l_partkey", min_item_support=2
+    )
     return (
         pairs.groupBy("p1", "p2")
         .agg(F.count("*").alias("support"))
