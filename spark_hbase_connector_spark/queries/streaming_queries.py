@@ -195,6 +195,105 @@ def streaming_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_session_timeout_close",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM gaps
+    ),
+    g AS (
+      SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events, round(sum(value), 4) AS session_value
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, session_value,
+           CASE WHEN sid = max(sid) OVER (PARTITION BY user_id)
+                THEN 'timeout' ELSE 'gap' END AS closed_by
+    FROM g
+    """,
+    tags=("streaming", "stateful", "transformWithState", "timers", "sessionize"),
+)
+def streaming_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session close on INACTIVITY via StatefulProcessor processing-time
+    timers (`events.session_timeout_close` on the r5 timer-capable tws
+    shim, or the native v2 engine where protobuf exists): event-time gaps
+    > 30 min close sessions as the next event arrives (closed_by='gap');
+    when the stream goes quiet, each key's re-armed inactivity timer
+    fires and flushes the still-open session (closed_by='timeout') — the
+    timeout-emission pattern VERDICT r4 listed as the shim's real-user
+    gap. The oracle replays the emission rule exactly: gap-island
+    sessionization, with each user's LAST session closed by timeout and
+    all earlier ones by gap. Wall clock decides only WHEN the flush
+    lands (any replay whose inter-batch delivery gaps stay under
+    flush_ms yields byte-identical output), never WHAT it contains.
+
+    Driving a timer query to completion differs from the other entries:
+    with processing-time timeouts armed the microbatch engine keeps
+    scheduling wake-up batches, so ``processAllAvailable`` starves —
+    instead the sink is POLLED until every user's flush landed (bounded,
+    loud timeout), with a throttled trigger so the timer wake-ups don't
+    busy-loop the scheduler."""
+    import time
+    import uuid
+
+    from spark_hbase_connector_spark.streaming.events import session_timeout_close
+
+    stream = events_stream(spark, sf_dir)
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        session_timeout_close(stream, gap_minutes=30, flush_ms=1500)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while True:
+            n_flushed = (
+                spark.table(name).where(F.col("closed_by") == "timeout").count()
+            )
+            if n_flushed >= n_users:
+                break
+            if time.time() > deadline:
+                raise RuntimeError(
+                    f"session_timeout_close: only {n_flushed}/{n_users} "
+                    "inactivity flushes landed before the deadline — timer "
+                    "wake-ups are not firing"
+                )
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("session_end_us")).alias("session_end"),
+        "n_events",
+        "session_value",
+        "closed_by",
+    )
+
+
+@query(
     "streaming_static_enrich",
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 4) AS total_value

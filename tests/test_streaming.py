@@ -211,11 +211,11 @@ def test_tws_runs_on_either_engine_with_state_across_batches(spark, tmp_path):
     assert isinstance(tws_native_available(), bool)
 
 
-def test_tws_shim_refuses_timers_and_ttl_loudly(spark):
-    """The shim's non-goals must fail loudly at construction, never drift
-    silently: timeMode other than 'None', TTL'd value states, and the v2
-    handle surfaces the v1 state model cannot express (list/map state,
-    timers)."""
+def test_tws_shim_refuses_remaining_nongoals_loudly(spark):
+    """The shim's remaining non-goals must fail loudly, never drift
+    silently: event-time timeMode, TTL'd value states, list/map state,
+    and timer calls when timers were not enabled (timeMode 'None' — the
+    native API rejects those too)."""
     import pytest
 
     from spark_hbase_connector_spark.streaming.tws_shim import (
@@ -233,6 +233,12 @@ def test_tws_shim_refuses_timers_and_ttl_loudly(spark):
         h.getValueState("v", "v double", ttl_duration_ms=1000)
     with pytest.raises(NotImplementedError, match="getListState"):
         h.getListState("l", "l double")
+    with pytest.raises(NotImplementedError, match="registerTimer"):
+        h.registerTimer(1000)
+    with pytest.raises(NotImplementedError, match="deleteTimer"):
+        h.deleteTimer(1000)
+    with pytest.raises(NotImplementedError, match="listTimers"):
+        h.listTimers()
     # the supported surface round-trips
     s = h.getValueState("total", "total double")
     assert not s.exists()
@@ -240,6 +246,29 @@ def test_tws_shim_refuses_timers_and_ttl_loudly(spark):
     assert s.exists() and s.get() == (1.5,)
     s.clear()
     assert not s.exists()
+
+
+def test_tws_shim_timer_surface_roundtrip():
+    """Processing-time timer bookkeeping on the handle (r5): registration
+    keeps the expiry list sorted and deduplicated, deleteTimer removes
+    exactly the named expiry, listTimers snapshots — the contract the
+    session-timeout-close re-arm idiom (delete all + register) relies on."""
+    from spark_hbase_connector_spark.streaming.tws_shim import ShimHandle
+
+    timers: list = []
+    h = ShimHandle({}, timers)
+    h.registerTimer(3000)
+    h.registerTimer(1000)
+    h.registerTimer(2000)
+    h.registerTimer(1000)  # duplicate expiry registers once (native dedups)
+    assert list(h.listTimers()) == [1000, 2000, 3000]
+    h.deleteTimer(2000)
+    h.deleteTimer(99999)  # absent expiry is a no-op
+    assert list(h.listTimers()) == [1000, 3000]
+    assert timers == [1000, 3000]  # backing store IS the pickled state list
+    for t in h.listTimers():  # the re-arm idiom: snapshot survives mutation
+        h.deleteTimer(t)
+    assert list(h.listTimers()) == []
 
 
 def test_latest_per_key_state_across_batches(spark, tmp_path):
