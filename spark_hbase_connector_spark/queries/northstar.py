@@ -307,6 +307,52 @@ def dedup_incremental_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "dedup_incremental_bloom",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE source <> 'src0'),
+    batch AS (SELECT doc_id, fingerprint FROM fp WHERE source = 'src0')
+    SELECT b.doc_id, b.fingerprint
+    FROM batch b LEFT JOIN corpus c USING (fingerprint)
+    WHERE c.fingerprint IS NULL
+    """,
+    tags=("dedup", "incremental", "bloom"),
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_incremental_fingerprint`'s SCALE path (r5, VERDICT ask #5):
+    identical anti-join semantics — and the identical oracle — but the
+    corpus-side scan is pruned by an explicit bloom filter built over the
+    delta's fingerprints BEFORE the anti join
+    (`operators/dedup.incremental_new_fingerprints`): a corpus row whose
+    fingerprint cannot match any batch key is irrelevant to a LEFT ANTI
+    join, so at 100 TB the corpus shuffle shrinks from corpus-sized to
+    ~delta-sized (false positives ride along into the exact join; false
+    negatives are impossible). Spark's own runtime bloom injection does
+    not fire for anti joins, hence the explicit build: one mergeable
+    bit_or bitmap aggregation over the delta, m/64 longs broadcast back,
+    whole-stage-codegen bit-test conjunction as the corpus filter
+    (10x-corpus prune ratio stress-asserted in tests/test_bloom.py)."""
+    from spark_hbase_connector_spark.operators.dedup import (
+        incremental_new_fingerprints,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", canonical_fingerprint("text").alias("fingerprint")
+    )
+    batch = fp.where(F.col("source") == "src0").select("doc_id", "fingerprint")
+    corpus = fp.where(F.col("source") != "src0").select("fingerprint").distinct()
+    return incremental_new_fingerprints(batch, corpus).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=_DUCK_JACCARD_PAIRS,
     tags=("dedup", "lsh"),
