@@ -164,6 +164,51 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sessionize_events_segmented",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_id, value,
+             CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 4) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionize", "skew"),
+)
+def sessionize_events_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sessionize_events`' SKEW-PROOF twin (r5, VERDICT ask #7), same
+    oracle: the plain lag+cumsum plan serializes each key's whole
+    timeline into one task — a 90%-one-user stream runs on one core no
+    matter the cluster. `operators/sessionize.sessionize_segmented` is
+    the segmented-scan decomposition: chunk-local sessionize partitioned
+    by (key, 6h time chunk) — TIME is the salt, so session contiguity
+    survives — then the same gap rule over the sessions-sized summary
+    relation stitches chunk boundaries. Output identical by construction
+    (boundary cases unit-proven in tests/test_sessionize_segmented.py);
+    hot keys spread over n_chunks tasks (90%-one-key stress in
+    SCALE.md)."""
+    from spark_hbase_connector_spark.operators.sessionize import (
+        sessionize_segmented,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return sessionize_segmented(
+        e, gap_seconds=1800, chunk_seconds=21_600
+    )
+
+
+@query(
     "asof_join_events",
     oracle="""
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
