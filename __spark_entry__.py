@@ -37,87 +37,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order — all are equally oracle-checked by the in-repo
 # differential (scripts/run_differential.py).
 DRIVER_WINDOW = [
-    # Round-4 rotation: entries driver-green in r03 that are unchanged
-    # since (q3/q6, agg_quantiles, rollup/pivot, dedup_exact/simhash,
-    # text_token_stats, sample_stratified, ...) rotated out in favor of
-    # the round-3 heavyweights that had never been driver-checked
-    # (pipeline_semantic_dedup, dedup_components_star, graph_pagerank,
-    # agg_decimal_exact, window_trailing_1h, kv_time_travel_read,
-    # scalar_mask_pii, agg_modern_aliases, streaming_hourly_unique_users)
-    # and the round-4 additions (dedup_containment_prefix,
-    # kmeans_train_cells now oracled, multimodal_meta real header decode,
-    # streaming_running_totals_tws). Rotated-out entries remain
-    # oracle-checked by the in-repo differential.
-    # scan/pushdown parity (reference flagship shapes) — r04 late rotation:
-    # scan_rowkey_range_sort / scan_and_or (driver-green r02/r03, unchanged
-    # since) rotate out for the new library-level aggregate/TopN pushdown
-    # entries, which have never been driver-checked
+    # Round-5 rotation (VERDICT r4 ask #2): 44 of these 50 have NEVER
+    # carried the external driver signal (88% of the window); the six
+    # exceptions are entries whose IMPLEMENTATION changed this round
+    # (streaming_cdc_merge last-writer-wins rewrite, listagg_ordered /
+    # basket_pair_affinity now routed through operators/guards.py,
+    # embedding_cosine_pairs_lsh persist fix, scan_agg_footer_pushdown's
+    # stats_scan counting fix) plus the flagship identity check.
+    # Everything rotated out was driver-green in r02–r04 and is unchanged
+    # since; all remain oracle-checked by the committed full differential.
+    # --- changed this round / flagship identity (6)
     "scan_flagship",
-    "scan_hbasekv_flagship",
     "scan_agg_footer_pushdown",
-    "scan_limit_topn_pushdown",
-    "scan_range_negative",
-    # TPC-H planner shapes (light + heavy)
-    "q1_pricing_summary",
-    "q9_product_profit",
-    "q21_waiting_suppliers",
-    # relational surface
-    "join_salted_skew",
-    "not_in_null_aware",
-    "correlated_scalar_subquery",
-    "agg_decimal_exact",
-    "agg_modern_aliases",
-    "scalar_mask_pii",
-    # windows / time-series (sessionize/asof/range-join/gapfill rotated
-    # out late-r04 — driver-green in r03, unchanged since — for the
-    # late-wave heavyweights below)
-    "window_time_weighted_avg",
-    "window_trailing_1h",
-    "hypertable_rollup_merge",
-    # late-r04 wave, never driver-checked
-    "kv_merge_into",
     "streaming_cdc_merge",
-    "bpe_train_merges",
-    "multimodal_video_meta",
-    # dedup family
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_containment_prefix",
-    "dedup_components",
-    "dedup_components_star",
-    "dedup_duplicated_spans",
-    # similarity / ANN / clustering
     "embedding_cosine_pairs_lsh",
-    "ann_topk_cosine",
-    "ann_recall_ivf",
-    "kmeans_train_cells",
-    # graph
-    "graph_pagerank",
-    # text analysis
-    "text_tfidf_topterms",
-    "text_repetition_signals",
-    "text_bigram_surprisal",
-    # data-quality gate (expectations operator)
-    "dq_expectations_report",
-    # corpus quality / curation
-    "pii_scrub_customers",
-    "contamination_ngram",
-    "pack_token_bins",
-    "pipeline_curation",
-    "pipeline_semantic_dedup",
-    # multimodal bridge
-    "multimodal_feature_ann",
-    "multimodal_meta",
-    # streaming
-    "streaming_tumbling_counts",
-    "streaming_session_windows",
-    "streaming_running_totals_tws",
-    "streaming_hourly_unique_users",
-    # secondary index / CDC / time travel
-    "secondary_index_lookup",
-    "kv_time_travel_read",
-    # modern SQL (Spark 4): recursive CTE fixpoint
-    "recursive_tree_rollup",
+    "listagg_ordered",
+    "basket_pair_affinity",
+    # --- scan / source formats, never driver-checked (5)
+    "scan_count_range_footer",
+    "scan_zorder_pruning",
+    "scan_salted_rowkey",
+    "scan_orc_flagship",
+    "scan_json_typed",
+    # --- kv / index maintenance (6)
+    "kv_counter_increments",
+    "kv_append_mutation",
+    "kv_major_compact_versions",
+    "kv_snapshot_diff",
+    "secondary_index_maintain",
+    "join_bucketed_colocated",
+    # --- TPC-H heavyweights never driver-checked (5)
+    "q2_min_cost_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q20_part_promotion_suppliers",
+    "q22_global_sales_opportunity",
+    # --- relational / modern SQL (6)
+    "orders_abc_classification",
+    "table_stats_collect",
+    "orders_rfm_segmentation",
+    "recursive_date_spine",
+    "scalar_variant_extract",
+    "agg_distinct_salted",
+    # --- window / time-series heavyweights (6)
+    "events_rolling_active_users",
+    "events_max_concurrency",
+    "events_markov_transitions",
+    "scd2_build_intervals",
+    "sessionize_events_segmented",
+    "window_rolling_median",
+    # --- dedup / similarity (7)
+    "dedup_ngram_jaccard_prefix",
+    "dedup_incremental_bloom",
+    "dedup_incremental_neardup",
+    "dedup_unicode_nfc",
+    "ann_topk_ivf_pq",
+    "ann_topk_pq",
+    "ann_recall_truncated",
+    # --- text / corpus curation (5)
+    "pipeline_export_shards",
+    "sample_weighted_reservoir",
+    "sample_mixture_temperature",
+    "text_encoding_quality",
+    "vocab_coverage",
+    # --- multimodal (2)
+    "multimodal_audio_meta",
+    "multimodal_payload_dedup",
+    # --- streaming (2): the r5 timer entry + the outer-join family rep
+    "streaming_session_timeout_close",
+    "streaming_stream_join_outer",
 ]
 
 
