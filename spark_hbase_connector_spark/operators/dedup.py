@@ -878,6 +878,13 @@ def incremental_new_fingerprints(
     build); both touch only the delta, which is persisted across its
     three consumers (count, bloom build, anti join) so any upstream
     fingerprint computation runs once.
+
+    Caching contract: the returned plan references the persisted batch,
+    so the cache is NOT released here — in a long-lived session the
+    caller should ``result.unpersist()``-equivalent by calling
+    ``batch.unpersist()`` on the INPUT frame after materializing the
+    result (ContextCleaner reclaims it eventually either way; the
+    persisted material is delta-sized, never the corpus).
     """
     batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
     n = max(batch.count(), 1)

@@ -35,8 +35,9 @@ SALTED_CUST_CATALOG = {
     oracle="""
     SELECT o_custkey,
            count(*)::BIGINT AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
-    FROM orders GROUP BY o_custkey
+           sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+             AS total_cents
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
     """,
     tags=("kv", "mutation", "increment"),
 )
@@ -49,12 +50,17 @@ def kv_counter_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue), then one co-partitioned full-outer overlay. New custkeys
     (first order after the cutoff) initialize from 0, exactly HBase's
     absent-counter rule. Money counted in exact integer cents — counters
-    are longs, no float drift. The oracle is the plain full-history
-    aggregate: base + increments must reproduce it key-for-key."""
+    are longs, no float drift. Determinism: cents derive via
+    ``cast(decimal(12,2)) * 100`` (exact decimal HALF_UP, identical in
+    Spark and DuckDB) — NOT ``round(double*100)``, whose `.5`-boundary
+    rounding differs between the engines' double→decimal paths; output
+    carries a total ORDER BY so the driver's exact hash is stable. The
+    oracle is the plain full-history aggregate: base + increments must
+    reproduce it key-for-key."""
     from spark_hbase_connector_spark.operators.mutations import apply_increments
 
     orders = load(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
     head = orders.where(F.col("o_orderkey") <= 30000)
     tail = orders.where(F.col("o_orderkey") > 30000)
     base = head.groupBy("o_custkey").agg(
@@ -66,12 +72,14 @@ def kv_counter_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("bigint").alias("n_orders"),
         cents.alias("total_cents"),
     )
-    return apply_increments(
-        base, increments, "o_custkey", ["n_orders", "total_cents"]
-    ).select(
-        "o_custkey",
-        F.col("n_orders").cast("bigint").alias("n_orders"),
-        F.col("total_cents").cast("bigint").alias("total_cents"),
+    return (
+        apply_increments(base, increments, "o_custkey", ["n_orders", "total_cents"])
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("total_cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("o_custkey")
     )
 
 

@@ -518,25 +518,29 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_abc_classification",
     oracle="""
     WITH rev AS (
-      SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      SELECT l_partkey,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+               AS units
       FROM lineitem GROUP BY l_partkey
     ),
     ranked AS (
-      SELECT l_partkey, revenue,
-             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               / sum(revenue) OVER () AS cum_share
+      SELECT l_partkey, units,
+             sum(units) OVER (ORDER BY units DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_units,
+             sum(units) OVER () AS total_units
       FROM rev
     ),
     classed AS (
-      SELECT l_partkey, revenue,
-             CASE WHEN cum_share <= 0.8 THEN 'A'
-                  WHEN cum_share <= 0.95 THEN 'B'
+      SELECT units,
+             CASE WHEN cum_units * 100 <= total_units * 80 THEN 'A'
+                  WHEN cum_units * 100 <= total_units * 95 THEN 'B'
                   ELSE 'C' END AS klass
       FROM ranked
     )
     SELECT klass, count(*) AS n_parts,
-           round(sum(revenue), 2) AS class_revenue
+           CAST((sum(units) + 50) // 100 AS BIGINT) / 100.0 AS class_revenue
     FROM classed GROUP BY klass ORDER BY klass
     """,
     tags=("window", "analytics", "pareto"),
@@ -550,28 +554,40 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the part relation is key-sized; at 100 TB class the
     aggregate, never the fact table, and if even the key relation is too
     large swap the global window for `assign_prefix_sums`' bucketed
-    distributed prefix sums (same output, no single-partition sort)."""
+    distributed prefix sums (same output, no single-partition sort).
+
+    Determinism (r5 driver-hash fix): revenue is carried as EXACT integer
+    units (cents x whole-percent; TPC-H discount is a 2dp fraction so
+    ``cast(decimal(4,2))*100`` is lossless) and the 80/95% boundaries are
+    the exact rational comparisons ``100*cum <= 80*total`` — a part at
+    the boundary can never flip class from float drift. Sums accumulate
+    in decimal(38,0) (DuckDB: HUGEINT), overflow-proof at any sf; only
+    the displayed class_revenue converts to dollars, via an exact integer
+    half-up to cents then one bigint/100.0 division identical on both
+    engines."""
     li = load(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+    price_cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+        "bigint"
     )
-    w_cum = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+    disc_pct = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("bigint")
+    rev = (
+        li.select("l_partkey", (price_cents * (100 - disc_pct)).alias("row_units"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("row_units").cast("decimal(38,0)")).alias("units"))
+    )
+    w_cum = Window.orderBy(F.col("units").desc(), "l_partkey").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     w_all = Window.partitionBy()
     ranked = rev.select(
-        "l_partkey",
-        "revenue",
-        (F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all)).alias(
-            "cum_share"
-        ),
+        "units",
+        F.sum("units").over(w_cum).alias("cum_units"),
+        F.sum("units").over(w_all).alias("total_units"),
     )
     classed = ranked.select(
-        "revenue",
-        F.when(F.col("cum_share") <= 0.8, "A")
-        .when(F.col("cum_share") <= 0.95, "B")
+        "units",
+        F.when(F.col("cum_units") * 100 <= F.col("total_units") * 80, "A")
+        .when(F.col("cum_units") * 100 <= F.col("total_units") * 95, "B")
         .otherwise("C")
         .alias("klass"),
     )
@@ -579,7 +595,10 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         classed.groupBy("klass")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+            (
+                F.floor((F.sum("units") + F.lit(50)) / F.lit(100)).cast("bigint")
+                / F.lit(100.0)
+            ).alias("class_revenue"),
         )
         .orderBy("klass")
     )

@@ -258,8 +258,12 @@ def streaming_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFra
         .count()
     )
     name = f"mem_{uuid.uuid4().hex[:10]}"
+    # flush_ms must sit WELL above the worst-case inter-batch gap (GC
+    # pause, loaded CI, slow trigger): a mid-stream timeout would split a
+    # session and flake the differential. 6 s against a 500 ms trigger
+    # leaves a >10x determinism margin (ADVICE r5).
     q = (
-        session_timeout_close(stream, gap_minutes=30, flush_ms=1500)
+        session_timeout_close(stream, gap_minutes=30, flush_ms=6000)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
@@ -269,8 +273,15 @@ def streaming_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFra
     try:
         deadline = time.time() + 180
         while True:
+            # DISTINCT users, not raw rows: if a straggler key ever did
+            # flush twice, raw count could hit n_users while another
+            # user's final flush is still pending (early-exit truncation).
             n_flushed = (
-                spark.table(name).where(F.col("closed_by") == "timeout").count()
+                spark.table(name)
+                .where(F.col("closed_by") == "timeout")
+                .select("user_id")
+                .distinct()
+                .count()
             )
             if n_flushed >= n_users:
                 break

@@ -46,17 +46,17 @@ def test_incremental_bloom_output_identical_to_plain_anti_join(spark):
     # batch overlaps corpus on even keys; odd keys are genuinely new
     batch = spark.range(0, 1000).select(F.col("id").alias("k"))
     corpus = spark.range(0, 2000, 2).select(F.col("id").alias("k"))
-    b = _fp(batch).withColumn("doc_id", F.monotonically_increasing_id())
-    b = _fp(batch)
+    b = _fp(batch).withColumn("doc_id", F.col("k") * 10)  # payload column
     c = _fp(corpus)
     got = sorted(
-        r.fingerprint
+        (r.doc_id, r.fingerprint)
         for r in incremental_new_fingerprints(b, c).collect()
     )
     want = sorted(
-        r.fingerprint for r in b.join(c, "fingerprint", "left_anti").collect()
+        (r.doc_id, r.fingerprint)
+        for r in b.join(c, "fingerprint", "left_anti").collect()
     )
-    assert got == want and len(got) == 500  # the odd keys
+    assert got == want and len(got) == 500  # the odd keys, payload intact
 
 
 def test_bloom_prunes_corpus_at_10x_stress(spark):

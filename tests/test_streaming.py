@@ -213,9 +213,10 @@ def test_tws_runs_on_either_engine_with_state_across_batches(spark, tmp_path):
 
 def test_tws_shim_refuses_remaining_nongoals_loudly(spark):
     """The shim's remaining non-goals must fail loudly, never drift
-    silently: event-time timeMode, TTL'd value states, list/map state,
-    and timer calls when timers were not enabled (timeMode 'None' — the
-    native API rejects those too)."""
+    silently. After r5 widened the surface (EventTime timeMode, TTL,
+    list/map state are now SUPPORTED), the loud refusals that remain are:
+    an unknown timeMode string, and timer calls when timers were not
+    enabled (timeMode 'None' — the native API rejects those too)."""
     import pytest
 
     from spark_hbase_connector_spark.streaming.tws_shim import (
@@ -224,28 +225,30 @@ def test_tws_shim_refuses_remaining_nongoals_loudly(spark):
     )
 
     stream = events_stream(spark, SF)
-    with pytest.raises(NotImplementedError, match="timeMode"):
+    with pytest.raises(ValueError, match="timeMode"):
         transform_with_state_shim(
-            stream, ["user_id"], object, "user_id long", time_mode="EventTime"
+            stream, ["user_id"], object, "user_id long", time_mode="IngestTime"
         )
-    h = ShimHandle({})
-    with pytest.raises(NotImplementedError, match="TTL"):
-        h.getValueState("v", "v double", ttl_duration_ms=1000)
-    with pytest.raises(NotImplementedError, match="getListState"):
-        h.getListState("l", "l double")
+    h = ShimHandle({}, now=0)  # timers=None: timeMode 'None'
     with pytest.raises(NotImplementedError, match="registerTimer"):
         h.registerTimer(1000)
     with pytest.raises(NotImplementedError, match="deleteTimer"):
         h.deleteTimer(1000)
     with pytest.raises(NotImplementedError, match="listTimers"):
         h.listTimers()
-    # the supported surface round-trips
+    # the supported surface round-trips (value, TTL'd value, list)
     s = h.getValueState("total", "total double")
     assert not s.exists()
     s.update((1.5,))
     assert s.exists() and s.get() == (1.5,)
     s.clear()
     assert not s.exists()
+    t = h.getValueState("ttl", "ttl double", ttlDurationMs=1000)
+    t.update((2.5,))
+    assert t.exists() and t.get() == (2.5,)
+    lst = h.getListState("l", "l double")
+    lst.appendValue((1.0,))
+    assert [tuple(v) for v in lst.get()] == [(1.0,)]
 
 
 def test_tws_shim_timer_surface_roundtrip():
@@ -256,7 +259,7 @@ def test_tws_shim_timer_surface_roundtrip():
     from spark_hbase_connector_spark.streaming.tws_shim import ShimHandle
 
     timers: list = []
-    h = ShimHandle({}, timers)
+    h = ShimHandle({}, now=0, timers=timers)
     h.registerTimer(3000)
     h.registerTimer(1000)
     h.registerTimer(2000)
