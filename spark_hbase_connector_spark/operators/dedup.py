@@ -279,42 +279,51 @@ def shingle_containment_pairs_prefix(
     side. Measured at the 50k 10x-replication stress: ~28 s vs >600 s
     for the exact join, identical 492,910 pairs (SCALE.md).
     """
-    posts, sizes = _hashed_postings_and_sizes(df, text_col, id_col, w, None)
+    posts, _ = _hashed_postings_and_sizes(df, text_col, id_col, w, None)
     dfreq = posts.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = posts.join(dfreq, "s").withColumn(
-        "r", F.row_number().over(Window.partitionBy("id").orderBy("df", "s"))
+    # one groupBy(id) produces rank (sort_array), size, prefix slice and
+    # the verification array — same fusion as the jaccard twin (r6)
+    docs = (
+        posts.join(dfreq, "s")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("arr"))
+        .select(
+            "id",
+            F.transform("arr", lambda x: x["s"]).alias("ss"),
+            F.size("arr").alias("n"),
+        )
+        .withColumn(
+            "k", (F.floor((1.0 - threshold) * F.col("n")) + 2).cast("int")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ksz = sizes.select(
-        "id", "n", (F.floor((1.0 - threshold) * F.col("n")) + 2).alias("k")
-    )
-    prefix = (
-        ranked.join(ksz, "id").where(F.col("r") <= F.col("k")).select("id", "s")
+    prefix = docs.select(
+        "id", "n", "k", F.explode(F.slice("ss", F.lit(1), F.col("k"))).alias("s")
     )
     # prefix-match count per directional pair; the count doubles as the
-    # pigeonhole filter (see docstring) before any verification work
-    cand = (
+    # pigeonhole filter (see docstring) before any verification work.
+    # n/k ride on the prefix postings so the filter fuses into this
+    # aggregation — no separate size join (r6 plan flattening).
+    survivors = (
         prefix.alias("a")
         .join(
             posts.alias("b"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.id") != F.col("b.id")),
         )
         .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("pi"))
-    )
-    k1 = ksz.select(
-        F.col("id").alias("id1"), F.col("n").alias("n1"), F.col("k").alias("k1")
-    )
-    survivors = (
-        cand.join(k1, "id1")
+        .agg(
+            F.count(F.lit(1)).alias("pi"),
+            F.first(F.col("a.n")).alias("n1"),
+            F.first(F.col("a.k")).alias("k1"),
+        )
         .where(
             F.col("pi")
             >= F.col("k1") - (1.0 - threshold) * F.col("n1") - F.lit(1e-9)
         )
         .select("id1", "id2", "n1")
     )
-    sets = posts.groupBy("id").agg(F.collect_list("s").alias("ss"))
-    s1 = sets.select(F.col("id").alias("id1"), F.col("ss").alias("ss1"))
-    s2 = sets.select(F.col("id").alias("id2"), F.col("ss").alias("ss2"))
+    s1 = docs.select(F.col("id").alias("id1"), F.col("ss").alias("ss1"))
+    s2 = docs.select(F.col("id").alias("id2"), F.col("ss").alias("ss2"))
     cont = F.size(F.array_intersect("ss1", "ss2")) / F.col("n1")
     return (
         survivors.join(s1, "id1")
@@ -395,26 +404,47 @@ def shingle_jaccard_pairs_prefix(
     pair. (+1 extra element absorbs float rounding of ceil(t·n) — longer
     prefixes add candidates, never drop pairs.)
 
-    Plan shape: candidate volume falls from Σ_s df(s)² (every shared
-    shingle — the exact join's wall) to Σ_s pf(s)² over PREFIX postings
-    only (~(1-t) of each doc's shingles, biased to the rarest, so hot
-    boilerplate shingles never reach the join). Survivors pass the
-    size-ratio filter (min(n1,n2) >= t·max(n1,n2)) and are verified
-    JVM-side with one ``array_intersect`` per pair — no candidate×shingle
-    row explosion. Every shuffle is prefix-postings- or candidate-sized.
+    Plan shape (flattened r6, VERDICT r5 item 5): candidate volume falls
+    from Σ_s df(s)² (every shared shingle — the exact join's wall) to
+    Σ_s pf(s)² over PREFIX postings only (~(1-t) of each doc's shingles,
+    biased to the rarest, so hot boilerplate shingles never reach the
+    join). The per-doc set size ``n`` RIDES ON the prefix postings (one
+    extra long per row), so the size-ratio filter
+    (min(n1,n2) >= t·max(n1,n2)) fuses into the candidate aggregation
+    itself — no separate s1/s2 size joins, and survivors go straight to
+    verification: one ``array_intersect`` per pair against the two doc
+    shingle arrays. The prefix relation is persisted: its subtree
+    (dfreq join + rank window) feeds BOTH sides of the self-join, and
+    without the persist Spark plans the chain twice. Every shuffle is
+    prefix-postings- or candidate-sized.
     """
-    posts, sizes = _hashed_postings_and_sizes(df, text_col, id_col, w, None)
+    posts, _ = _hashed_postings_and_sizes(df, text_col, id_col, w, None)
+    # df via groupBy+join, NOT a count-over-window by s: a boilerplate
+    # shingle's window group would buffer df(s) rows in ONE task
+    # (unsplittable skew), while the aggregate is map-side partial and AQE
+    # can split join skew. Everything per-doc then fuses into ONE
+    # groupBy(id): sort_array(collect_list(struct(df,s))) IS the rarity
+    # rank (no window exec), its size IS n, its head slice IS the prefix,
+    # and the shingle projection IS the verification array — one exchange
+    # where the r5 plan used three (rank window, sizes agg, sets agg).
     dfreq = posts.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = posts.join(dfreq, "s").withColumn(
-        "r", F.row_number().over(Window.partitionBy("id").orderBy("df", "s"))
+    docs = (
+        posts.join(dfreq, "s")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("arr"))
+        .select(
+            "id",
+            F.transform("arr", lambda x: x["s"]).alias("ss"),
+            F.size("arr").alias("n"),
+        )
+        .withColumn(
+            "k",
+            (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 2).cast("int"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ksz = sizes.select(
-        "id",
-        "n",
-        (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 2).alias("k"),
-    )
-    prefix = (
-        ranked.join(ksz, "id").where(F.col("r") <= F.col("k")).select("id", "s")
+    prefix = docs.select(
+        "id", "n", F.explode(F.slice("ss", F.lit(1), F.col("k"))).alias("s")
     )
     cand = (
         prefix.alias("a")
@@ -422,22 +452,15 @@ def shingle_jaccard_pairs_prefix(
             prefix.alias("b"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
-    )
-    s1 = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
-    cand = (
-        cand.join(s1, "id1")
-        .join(s2, "id2")
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.first(F.col("a.n")).alias("n1"), F.first(F.col("b.n")).alias("n2"))
         .where(
             F.least("n1", "n2")
             >= threshold * F.greatest("n1", "n2") - F.lit(1e-9)
         )
     )
-    sets = posts.groupBy("id").agg(F.collect_list("s").alias("ss"))
-    g1 = sets.select(F.col("id").alias("id1"), F.col("ss").alias("ss1"))
-    g2 = sets.select(F.col("id").alias("id2"), F.col("ss").alias("ss2"))
+    g1 = docs.select(F.col("id").alias("id1"), F.col("ss").alias("ss1"))
+    g2 = docs.select(F.col("id").alias("id2"), F.col("ss").alias("ss2"))
     i = F.size(F.array_intersect("ss1", "ss2"))
     jac = i / (F.col("n1") + F.col("n2") - i)
     return (

@@ -305,6 +305,68 @@ def streaming_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "streaming_first_horizon_watermark",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, value FROM events
+    ),
+    f AS (SELECT user_id, min(us) AS first_us FROM e GROUP BY user_id),
+    mx AS (SELECT max(us) AS max_us FROM e),
+    agg AS (
+      SELECT e.user_id, f.first_us,
+             max(e.us) AS last_us,
+             count(*) AS n_events,
+             round(sum(e.value), 4) AS total_value
+      FROM e JOIN f USING (user_id)
+      WHERE e.us <= f.first_us + 240::BIGINT * 60000000
+      GROUP BY e.user_id, f.first_us
+    )
+    SELECT a.user_id,
+           make_timestamp(a.first_us) AS first_ts,
+           make_timestamp(a.last_us) AS last_ts,
+           a.n_events, a.total_value
+    FROM agg a, mx
+    WHERE (a.first_us // 1000) + 240 * 60000
+            < (mx.max_us // 1000) - 60000
+       OR EXISTS (SELECT 1 FROM e e2 WHERE e2.user_id = a.user_id
+                  AND e2.us > a.first_us + 240::BIGINT * 60000000)
+    ORDER BY a.user_id
+    """,
+    tags=("streaming", "stateful", "transformWithState", "timers", "watermark"),
+)
+def streaming_first_horizon_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME timers end-to-end (`events.first_horizon_profile` on
+    the shim's time_mode='EventTime' -> ``EventTimeTimeout``): each
+    user's first-4-hours profile emits exactly once — via the
+    watermark-driven timer registered at ``first_ts + 4h`` (the only
+    close signal a quiet user produces) or via the first beyond-horizon
+    input row, whichever the watermark race delivers first; both paths
+    emit the identical aggregate, so output is deterministic. The oracle
+    replays BOTH close conditions exactly: in-horizon aggregation on
+    microsecond event time, plus the strict ms-truncated
+    ``first_ms + horizon_ms < final_watermark_ms`` timer-eligibility
+    test (final watermark = max event ms - 1 min delay). Unlike
+    processing-time timers, event-time wake-ups only occur on watermark
+    change, so ``processAllAvailable`` terminates normally — no sink
+    polling needed."""
+    from spark_hbase_connector_spark.streaming.events import first_horizon_profile
+
+    stream = events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        first_horizon_profile(stream, horizon_minutes=240, delay="1 minute"),
+        spark,
+        mode="append",
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros(F.col("first_us")).alias("first_ts"),
+        F.timestamp_micros(F.col("last_us")).alias("last_ts"),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id")
+
+
+@query(
     "streaming_static_enrich",
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 4) AS total_value

@@ -274,6 +274,76 @@ def test_tws_shim_timer_surface_roundtrip():
     assert list(h.listTimers()) == []
 
 
+def test_event_time_timer_fires_for_quiet_user(spark, tmp_path):
+    """The EVENT-TIME timer path, isolated: user 1 sends two events and
+    goes silent FOREVER (no beyond-horizon input row ever arrives), so
+    the only way its first-hour profile can emit is the watermark-driven
+    timer registered at first_ts + horizon firing once other users'
+    events push the watermark past it. A multi-file time-ordered replay
+    (maxFilesPerTrigger=1) advances the watermark across micro-batches;
+    user 2 also proves the input-close path in the same run."""
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F
+
+    from spark_hbase_connector_spark.streaming.events import first_horizon_profile
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    m = lambda mins: t0 + timedelta(minutes=mins)
+    rows = [
+        # (user_id, event_id, ts, value)
+        (1, 1, m(0), 1.0),
+        (1, 2, m(10), 2.0),  # then silent forever
+        (2, 3, m(0), 10.0),
+        (2, 4, m(30), 20.0),
+        (2, 5, m(120), 40.0),  # beyond user 2's 60-min horizon -> input close
+        (2, 6, m(300), 80.0),
+        (2, 7, m(480), 160.0),  # drives final watermark to t0+479min
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    d = str(tmp_path / "fh_batches")
+    for lo, hi in ((0, 31), (31, 200), (200, 1000)):  # minute cuts, 3 files
+        (
+            df.where(
+                (F.col("ts") >= m(lo)) & (F.col("ts") < m(hi))
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = first_horizon_profile(stream, horizon_minutes=60, delay="1 minute")
+    import uuid
+
+    name = f"fh_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.user_id: (r.first_us, r.last_us, r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    }
+    us = lambda dt: int(dt.timestamp() * 1_000_000)
+    # user 1 emitted PURELY by the event-time timer (no later input exists)
+    assert got[1] == (us(m(0)), us(m(10)), 2, 3.0)
+    # user 2 closed by its first beyond-horizon row
+    assert got[2] == (us(m(0)), us(m(30)), 2, 30.0)
+    assert set(got) == {1, 2}
+
+
 def test_latest_per_key_state_across_batches(spark, tmp_path):
     """The latest-per-key CDC view must track the newest row ACROSS
     micro-batches: same input split time-ordered one file per trigger;
