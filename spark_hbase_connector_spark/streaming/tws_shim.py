@@ -248,6 +248,13 @@ class ShimHandle:
         self._store.pop(stateName, None)
 
     def registerTimer(self, expiryTimestampMs: int) -> None:
+        # Driving caveat (ProcessingTime only): with a processing-time
+        # timeout armed, the microbatch engine keeps scheduling wake-up
+        # batches, so q.processAllAvailable() never returns — poll the
+        # sink with a bounded deadline + a throttled trigger instead
+        # (see queries/streaming_queries.streaming_session_timeout_close).
+        # EventTime timers wake only on watermark change and are safe to
+        # drive with processAllAvailable.
         if self._timers is None:
             raise NotImplementedError(
                 "tws shim: registerTimer requires time_mode='ProcessingTime' "

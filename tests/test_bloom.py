@@ -46,7 +46,10 @@ def test_incremental_bloom_output_identical_to_plain_anti_join(spark):
     # batch overlaps corpus on even keys; odd keys are genuinely new
     batch = spark.range(0, 1000).select(F.col("id").alias("k"))
     corpus = spark.range(0, 2000, 2).select(F.col("id").alias("k"))
-    b = _fp(batch).withColumn("doc_id", F.col("k") * 10)  # payload column
+    b = batch.select(  # payload column rides alongside the fingerprint
+        F.md5(F.col("k").cast("string")).alias("fingerprint"),
+        (F.col("k") * 10).alias("doc_id"),
+    )
     c = _fp(corpus)
     got = sorted(
         (r.doc_id, r.fingerprint)
