@@ -54,7 +54,16 @@ def recursive_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation shuffle. This is the same fixpoint shape as
     ``operators/graph.py`` connected components, expressed declaratively —
     use this form when depth is bounded and known-small; use the
-    checkpointed operator loop when the frontier must be persisted."""
+    checkpointed operator loop when the frontier must be persisted.
+
+    Spark guards runaway recursion with a TOTAL-rows cap
+    (``spark.sql.cteRecursionRowLimit``, default 1M) — the closure here is
+    depth x |customer| rows by construction (~12M at sf1, where the
+    default cap aborted the r6 sf1 sweep), so the entry sizes the guard
+    to the workload instead of letting a correctness-irrelevant default
+    fail it; keep a finite value so a genuinely unbounded recursion still
+    dies loudly."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 1_000_000_000)
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
         """
