@@ -657,32 +657,110 @@ def edit_distance_pairs(
 ) -> DataFrame:
     """(s1, s2, dist): distinct string pairs with Levenshtein <= max_dist.
 
-    Length filtering as an EQUI-join (the prefix/length-filter family of
-    string-similarity joins): |len(a)-len(b)| <= d is necessary for
-    edit distance <= d, so one side explodes each string to the lengths it
-    could match (len-d .. len+d, 2d+1 rows) and joins the other side on
-    its single length — never an all-pairs compare. Verification is the
-    built-in JVM ``levenshtein``. For longer strings / bigger corpora add
-    a q-gram count filter before verification (same join shape).
+    Segment-pigeonhole blocking (the published PassJoin scheme — Li,
+    Deng & Feng, "PassJoin: a partition-based method for similarity
+    joins", VLDB 2011 — public algorithm): split every indexed string
+    into d+1 contiguous segments; if ed(s,t) <= d then at least one of
+    s's segments survives unedited in t, at a start shifted by at most d.
+    The probe side therefore enumerates, for each candidate source
+    length l in [|t|-d, |t|+d] and each segment index, the <= 2d+1
+    substrings of t in that segment's position window — O(d^2) probe
+    rows per string joined on (seg_idx, source_len, segment_text), an
+    EXACT-substring equi-join that stays selective no matter how many
+    strings share a LENGTH. (The r5 length-bucket join collapsed into
+    one quadratic hot bucket at sf1: every title has ~the same length,
+    so |bucket|^2 candidates landed in a single task. Segment equality
+    replaces the length bucket as the join key; the length constraint is
+    implied by l's range.) Strings shorter than 2d+1 chars can't carry
+    d+1 non-empty segments — every pair involving one routes through the
+    old length-bucket join, which is tiny at that length (both sides
+    <= 3d chars). Union of the two paths is lossless; verification is
+    the built-in JVM ``levenshtein`` on deduplicated candidate pairs.
 
     Output is ordered pairs s1 < s2.
     """
+    k = max_dist + 1
+    d = max_dist
     s = strings.select(F.col(col).alias("s")).where(F.col("s").isNotNull()).distinct()
-    a = s.select("s", F.length("s").alias("__len"))
-    offsets = F.array(*[F.lit(i) for i in range(-max_dist, max_dist + 1)])
+    short_max = k - 1 + d  # any pair whose min length < k has BOTH sides <= this
+    s_short = s.where(F.length("s") <= short_max)
+
+    # --- short path: length-bucket join over the (tiny) short-string set
+    a = s_short.select(F.col("s").alias("s1"), F.length("s1").alias("__len"))
+    offsets = F.array(*[F.lit(i) for i in range(-d, d + 1)])
     b = (
-        s.select(F.col("s").alias("s2"), F.explode(offsets).alias("__off"))
+        s_short.select(F.col("s").alias("s2"), F.explode(offsets).alias("__off"))
         .select("s2", (F.col("__off") + F.length("s2")).alias("__len"))
     )
-    cand = a.join(b, "__len").where(F.col("s") < F.col("s2"))
-    return (
-        cand.select(
-            F.col("s").alias("s1"),
-            "s2",
-            F.levenshtein("s", "s2").alias("dist"),
-        )
-        .where(F.col("dist") <= max_dist)
+    short_pairs = a.join(b, "__len").where(F.col("s1") < F.col("s2")).select("s1", "s2")
+
+    # --- segment path: covers every pair with min length >= k
+    # index side: the d+1 canonical segments of s (first k-rem of length
+    # base, then rem of length base+1; start_i = i*base + max(0, i-(k-rem)))
+    seg_idx_expr = F.expr(
+        f"""
+        transform(sequence(0, {d}), i -> struct(
+          CAST(i AS INT) AS seg_idx,
+          substring(s,
+            CAST(i * (length(s) DIV {k})
+                 + greatest(0, i - ({k} - length(s) % {k})) + 1 AS INT),
+            CAST((length(s) DIV {k})
+                 + IF(i >= {k} - length(s) % {k}, 1, 0) AS INT)) AS seg
+        ))
+        """
     )
+    idx = (
+        s.where(F.length("s") >= k)
+        .select(
+            F.col("s").alias("sA"),
+            F.length("s").cast("int").alias("l1"),
+            F.explode(seg_idx_expr).alias("g"),
+        )
+        .select("sA", "l1", "g.seg_idx", "g.seg")
+    )
+    # probe side: for each source length l and segment i, every substring
+    # of t with the segment's width, starting within +-d of its canonical
+    # start (empty ranges guarded — Spark's sequence() runs BACKWARDS when
+    # lo > hi, it is not empty)
+    probe_expr = F.expr(
+        f"""
+        flatten(transform(sequence(greatest(length(s) - {d}, {k}), length(s) + {d}), l ->
+          flatten(transform(sequence(0, {d}), i ->
+            transform(
+              IF(greatest(0, CAST(i * (l DIV {k}) + greatest(0, i - ({k} - l % {k})) AS INT) - {d})
+                   <= least(length(s) - CAST((l DIV {k}) + IF(i >= {k} - l % {k}, 1, 0) AS INT),
+                            CAST(i * (l DIV {k}) + greatest(0, i - ({k} - l % {k})) AS INT) + {d}),
+                 sequence(greatest(0, CAST(i * (l DIV {k}) + greatest(0, i - ({k} - l % {k})) AS INT) - {d}),
+                          least(length(s) - CAST((l DIV {k}) + IF(i >= {k} - l % {k}, 1, 0) AS INT),
+                                CAST(i * (l DIV {k}) + greatest(0, i - ({k} - l % {k})) AS INT) + {d})),
+                 array()),
+              st -> struct(
+                CAST(l AS INT) AS l1,
+                CAST(i AS INT) AS seg_idx,
+                substring(s, CAST(st + 1 AS INT),
+                  CAST((l DIV {k}) + IF(i >= {k} - l % {k}, 1, 0) AS INT)) AS seg)
+            )
+          ))
+        ))
+        """
+    )
+    probe = (
+        s.where(F.length("s") >= k)  # pairs with a < k side are short-path
+        .select(F.col("s").alias("sB"), F.explode(probe_expr).alias("g"))
+        .select("sB", "g.l1", "g.seg_idx", "g.seg")
+    )
+    seg_pairs = (
+        probe.join(idx, ["l1", "seg_idx", "seg"])
+        .where(F.col("sA") != F.col("sB"))
+        .select(
+            F.least("sA", "sB").alias("s1"),
+            F.greatest("sA", "sB").alias("s2"),
+        )
+    )
+    cand = short_pairs.unionByName(seg_pairs).distinct()
+    return cand.select(
+        "s1", "s2", F.levenshtein("s1", "s2").alias("dist")
+    ).where(F.col("dist") <= max_dist)
 
 
 def simhash_pairs(

@@ -890,3 +890,47 @@ def test_pq_trained_codebooks_beat_sampling_and_adc_recall(spark):
     one = spark.createDataFrame([Row(vec_id=0, embedding=V[0].tolist())])
     codes = pq_encode(one, cb_dup).collect()[0].codes
     assert 1 not in codes
+
+
+def test_edit_distance_pairs_equals_brute_force(spark):
+    """The PassJoin segment blocking (r6) must be LOSSLESS: on a corpus
+    mixing near-identical clusters, same-length decoys, short strings
+    (below the d+1-segment minimum, routed via the length-bucket path)
+    and unicode, the operator's pairs equal the brute-force cross-join
+    truth exactly — and the blocking actually prunes (candidate volume
+    sanity is covered by the sf1 sweep)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_hbase_connector_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(42)
+    base = ["spark engine", "spark engown", "spork engine", "a", "ab", "abc",
+            "abcd", "ba", "", "xy", "naïve café", "naive café",
+            "delta lake tbl", "delta lake tb", "delta lake tabl"]
+    # same-length decoys: 60 random 12-char strings (the old length-bucket
+    # hot spot) + a few mutated copies
+    alpha = "abcdefgh"
+    for _ in range(60):
+        t = "".join(rng.choice(alpha) for _ in range(12))
+        base.append(t)
+        if rng.random() < 0.3:
+            i = rng.randrange(12)
+            base.append(t[:i] + rng.choice(alpha) + t[i + 1:])
+    df = spark.createDataFrame([(x,) for x in set(base)], "s string")
+    got = sorted(
+        (r.s1, r.s2, r.dist)
+        for r in edit_distance_pairs(df, "s", max_dist=2).collect()
+    )
+    a = df.select(F.col("s").alias("s1"))
+    b = df.select(F.col("s").alias("s2"))
+    want = sorted(
+        (r.s1, r.s2, r.dist)
+        for r in a.crossJoin(b)
+        .where(F.col("s1") < F.col("s2"))
+        .select("s1", "s2", F.levenshtein("s1", "s2").alias("dist"))
+        .where(F.col("dist") <= 2)
+        .collect()
+    )
+    assert got == want and len(want) > 10
