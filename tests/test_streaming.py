@@ -7,6 +7,53 @@ from spark_hbase_connector_spark.streaming.events import events_stream
 SF = "/root/testdata/sf0.001"
 
 
+def test_stateful_query_on_rocksdb_state_store(spark):
+    """The keyed-state operators must run unchanged on the RocksDB state
+    store provider — the bounded-memory state backend a 100 TB streaming
+    deployment uses (per-key state lives in per-partition RocksDB
+    instances on local disk + changelog in the checkpoint, instead of the
+    default HDFS-backed in-memory map). Same processor, same results:
+    the per-user running totals on RocksDB equal the default-provider
+    output row-for-row."""
+    import uuid
+
+    from spark_hbase_connector_spark.streaming.events import (
+        running_totals_stateful,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key)
+
+    def run(provider):
+        if provider:
+            spark.conf.set(conf_key, provider)
+        else:
+            spark.conf.set(conf_key, prev)
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        q = (
+            running_totals_stateful(events_stream(spark, SF))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(map(tuple, spark.table(name).collect()))
+
+    try:
+        rocks = run(
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+        default = run(None)
+    finally:
+        spark.conf.set(conf_key, prev)
+    assert rocks == default and len(rocks) == 1000
+
+
 def test_file_sink_checkpoint_exactly_once(spark, tmp_path):
     """Checkpointed parquet sink is exactly-once across restarts: the
     first run drains the finite source and commits offsets; a second run
