@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 from spark_hbase_connector_spark.catalogs import load
 from spark_hbase_connector_spark.operators.graph import connected_components
 from spark_hbase_connector_spark.operators.similarity import cosine_pairs_lsh
-from spark_hbase_connector_spark.queries.northstar import _DUCK_VECS
+from spark_hbase_connector_spark.queries.northstar import (
+    _DUCK_VECS,
+    duck_cc_min_label,
+)
 from spark_hbase_connector_spark.queries.registry import query
 
 _VOCAB_SIZE = 500
@@ -204,15 +207,10 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cand JOIN n x ON x.vec_id = id1 JOIN n y ON y.vec_id = id2
       ) WHERE score >= 0.4
     ),
-    edges AS (SELECT id1 AS a, id2 AS b FROM prs
+    edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM prs
               UNION ALL SELECT id2, id1 FROM prs),
-    enodes AS (SELECT DISTINCT a AS id FROM edges),
-    reach(id, r) AS (
-      SELECT id, id FROM enodes
-      UNION
-      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
-    ),
-    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    enodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM edges),
+    {duck_cc_min_label('enodes')},
     assigned AS (
       SELECT v.vec_id, coalesce(c.component, v.vec_id) AS component
       FROM v LEFT JOIN comp c ON v.vec_id = c.id

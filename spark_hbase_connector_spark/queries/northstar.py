@@ -48,6 +48,50 @@ _DUCK_SHINGLES = """
     )
 """
 
+def duck_cc_min_label(nodes_cte: str, n_rounds: int = 32) -> str:
+    """DuckDB SQL fragment computing exact connected components with
+    BOUNDED memory: from CTEs ``edges(a, b)`` (both directions) and
+    ``{nodes_cte}(id)``, defines ``comp(id, component)`` = the minimum
+    node id reachable from ``id``, via ``n_rounds`` alternations of
+    neighbor-min propagation and pointer jumping (label <- label of
+    label). Every round materializes only node- and edge-sized
+    relations, unlike the recursive reachability closure
+    (``reach(id, r)``) whose working set is the SUM OF COMPONENT SIZES
+    SQUARED — that closure hit 92 GB on the r6 sf1 embedding graph
+    (20k nodes, 52k dense near-dup edges) and had to be replaced. The
+    substitution is SOUND for a differential oracle even in the
+    (astronomically unlikely) event ``n_rounds`` is too small for some
+    adversarial diameter: labels only decrease toward the true minimum,
+    so a non-converged oracle MISMATCHES the exact engine and the
+    differential fails loudly; it can never false-pass. Every CTE is
+    MATERIALIZED: DuckDB inlines multiply-referenced CTEs by default,
+    and each round references the previous one three times — unhinted,
+    the expansion is a 3^n_rounds plan tree ("Too many open files"
+    before the planner even finishes)."""
+    parts = [
+        f"lbl0 AS MATERIALIZED (SELECT id, id AS lbl FROM {nodes_cte})"
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"""nm{i} AS MATERIALIZED (
+      SELECT n.id, least(n.lbl, coalesce(min(l.lbl), n.lbl)) AS lbl
+      FROM lbl{i} n
+      LEFT JOIN edges e ON e.a = n.id
+      LEFT JOIN lbl{i} l ON l.id = e.b
+      GROUP BY n.id, n.lbl
+    )"""
+        )
+        parts.append(
+            f"""lbl{i + 1} AS MATERIALIZED (
+      SELECT c.id, j.lbl FROM nm{i} c JOIN nm{i} j ON j.id = c.lbl
+    )"""
+        )
+    parts.append(
+        f"comp AS (SELECT id, lbl AS component FROM lbl{n_rounds})"
+    )
+    return ",\n    ".join(parts)
+
+
 _DUCK_JACCARD_PAIRS = f"""
     WITH {_DUCK_SHINGLES},
     post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
@@ -423,15 +467,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes sb ON id2 = sb.doc_id
       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.85
     ),
-    edges AS (SELECT id1 AS a, id2 AS b FROM prs
+    edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM prs
               UNION ALL SELECT id2, id1 FROM prs),
-    nodes AS (SELECT DISTINCT a AS id FROM edges),
-    reach(id, r) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
-    )
-    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM edges),
+    {duck_cc_min_label('nodes')}
+    SELECT id AS doc_id, component FROM comp
     """,
     tags=("dedup", "graph", "star"),
 )
@@ -471,15 +511,11 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes sb ON id2 = sb.doc_id
       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.85
     ),
-    edges AS (SELECT id1 AS a, id2 AS b FROM prs
+    edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM prs
               UNION ALL SELECT id2, id1 FROM prs),
-    nodes AS (SELECT DISTINCT a AS id FROM edges),
-    reach(id, r) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
-    )
-    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM edges),
+    {duck_cc_min_label('nodes')}
+    SELECT id AS doc_id, component FROM comp
     """,
     tags=("dedup", "graph"),
     bench=True,
@@ -1817,18 +1853,13 @@ def approx_quantiles_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes sb ON id2 = sb.doc_id
       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.85
     ),
-    edges AS (SELECT id1 AS a, id2 AS b FROM prs
+    edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM prs
               UNION ALL SELECT id2, id1 FROM prs),
-    nodes AS (SELECT DISTINCT a AS id FROM edges),
-    reach(id, r) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
-    ),
-    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM edges),
+    {duck_cc_min_label('nodes')},
     jd AS (
-      SELECT c.component, c.doc_id, d.n_chars
-      FROM comp c JOIN documents d USING (doc_id)
+      SELECT c.component, c.id AS doc_id, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.id
     )
     SELECT component,
            first(doc_id ORDER BY n_chars DESC, doc_id) AS rep_doc_id,
