@@ -271,7 +271,11 @@ def streaming_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFra
         .start()
     )
     try:
-        deadline = time.time() + 180
+        # data-proportional deadline: the first micro-batch replays the
+        # whole finite table through the Python shim before any timeout
+        # can fire, so the bound must grow with the input (r6: 180 s was
+        # fine through sf0.1 but tripped at sf1's 1M events)
+        deadline = time.time() + 180 + n_users / 25
         while True:
             # DISTINCT users, not raw rows: if a straggler key ever did
             # flush twice, raw count could hit n_users while another

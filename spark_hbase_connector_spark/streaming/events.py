@@ -24,6 +24,7 @@ finite-batch harness.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,14 +49,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # observed physical schema under the pinned session confs (nanos files
     # surface ts as long here; timestamp files as timestamp/ntz)
     batch = spark.read.parquet(path)
-    # the file stream source wants a directory; select just events.parquet
-    # out of the sf_dir with a glob filter
-    raw = (
-        spark.readStream.schema(batch.schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    if os.path.isdir(path):
+        # generated scale dirs (scripts/make_sf.py) write each table as a
+        # DIRECTORY of part files — the file stream source takes it as-is.
+        # (pathGlobFilter matches LEAF file names, so the single-file
+        # branch's filter would match nothing here: r6 sf1 sweep bug.)
+        raw = spark.readStream.schema(batch.schema).format("parquet").load(path)
+    else:
+        # single-file layout: the file stream source wants a directory;
+        # select just events.parquet out of sf_dir with a glob filter
+        raw = (
+            spark.readStream.schema(batch.schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     if probe_ts_kind(path) == "nanos":
         out = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     else:
