@@ -182,7 +182,8 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_semantic_dedup",
     oracle=f"""
     WITH RECURSIVE {_DUCK_VECS},
-    cent AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 16),
+    cent AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n
+             WHERE vec_id < greatest(16, (SELECT count(*) FROM embeddings) // 500)),
     sims AS (
       SELECT x.vec_id, cent.cell_id,
              list_sum(list_transform(range(1, len(x.e) + 1),
@@ -231,7 +232,10 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-sized labels. The oracle replays the identical candidate
     generation plus a recursive-CTE reachability closure."""
     e = load(spark, sf_dir, "embeddings")
-    centroids = e.where(F.col("vec_id") < 16).select(
+    # corpus-proportional cell count (shared formula with the lsh pair
+    # entry and its oracle): constant expected cell size at any sf
+    ncells = max(16, e.count() // 500)
+    centroids = e.where(F.col("vec_id") < ncells).select(
         F.col("vec_id").alias("cell_id"), "embedding"
     )
     pairs = cosine_pairs_lsh(e, threshold=0.4, centroids=centroids, nprobe=2)

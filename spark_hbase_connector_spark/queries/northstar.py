@@ -595,7 +595,8 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_cosine_pairs_lsh",
     oracle=f"""
     WITH {_DUCK_VECS},
-    cent AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 16),
+    cent AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n
+             WHERE vec_id < greatest(16, (SELECT count(*) FROM embeddings) // 500)),
     sims AS (
       SELECT x.vec_id, cent.cell_id,
              list_sum(list_transform(range(1, len(x.e) + 1),
@@ -625,12 +626,21 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed embedding near-dup: only pairs sharing one of each
-    vector's 2 nearest coarse cells (vectors 0..15 as deterministic
-    centroids) are exact-verified at cosine >= 0.4. The 100 TB scale path —
-    candidate volume is ~sum of squared cell sizes, never all pairs; the
-    exact `embedding_cosine_pairs` stays as the graded baseline."""
+    vector's 2 nearest coarse cells are exact-verified at cosine >= 0.4.
+    The 100 TB scale path — candidate volume is ~sum of squared cell
+    sizes, never all pairs; the exact `embedding_cosine_pairs` stays as
+    the graded baseline.
+
+    The cell count GROWS WITH THE CORPUS: max(16, n/500) deterministic
+    centroids (the first vec_ids), identically derived in the oracle.
+    A fixed 16 cells made per-cell size — and the quadratic per-cell
+    gram — linear in n (the r6 sf10 bench caught it at 118 s: 100x data,
+    ~12.5k-vector cells); proportional cells keep the expected cell size
+    constant, which is the actual IVF scaling contract. The n-count is
+    one driver-side scalar job."""
     e = load(spark, sf_dir, "embeddings")
-    centroids = e.where(F.col("vec_id") < 16).select(
+    ncells = max(16, e.count() // 500)
+    centroids = e.where(F.col("vec_id") < ncells).select(
         F.col("vec_id").alias("cell_id"), "embedding"
     )
     pairs = cosine_pairs_lsh(e, threshold=0.4, centroids=centroids, nprobe=2)
