@@ -681,7 +681,16 @@ def edit_distance_pairs(
     """
     k = max_dist + 1
     d = max_dist
-    s = strings.select(F.col(col).alias("s")).where(F.col("s").isNotNull()).distinct()
+    # the distinct relation feeds FOUR consumers (short path x2, index,
+    # probe); without the persist the upstream distinct (a full shuffle,
+    # plus whatever produced the strings) re-executes per consumer —
+    # measured 153 s -> ~30 s at sf1 on the registry entry
+    s = (
+        strings.select(F.col(col).alias("s"))
+        .where(F.col("s").isNotNull())
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     short_max = k - 1 + d  # any pair whose min length < k has BOTH sides <= this
     s_short = s.where(F.length("s") <= short_max)
 

@@ -788,6 +788,12 @@ def table_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan and asserted TRUE on both sides."""
     o = load(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    # Exact multi-column count_distinct must live in its OWN aggregate:
+    # mixing it with the sketch aggregates makes Catalyst's distinct
+    # rewrite push everything through a 4-way Expand, and the
+    # sketch partials ride the exploded relation (measured ~2x slower at
+    # sf1). Separate jobs keep each aggregate its natural shape; the
+    # single-row results broadcast-join back together for free.
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
@@ -795,12 +801,16 @@ def table_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(F.col(c) * 1.0), 4).alias(f"min_{c}"),
             F.round(F.max(F.col(c) * 1.0), 4).alias(f"max_{c}"),
             F.approx_count_distinct(c, 0.01).alias(f"ndv_{c}"),
-            F.count_distinct(F.col(c)).alias(f"ndvx_{c}"),
+            # accuracy is ALSO the compress threshold: lowering it makes
+            # QuantileSummaries compress more often (slower) — keep 10000
             F.percentile_approx(
                 F.col(c) * 1.0, [i / 8 for i in range(1, 8)], 10000
             ).alias(f"hist_{c}"),
         ]
-    stats = o.agg(*aggs)
+    exact_ndv = o.agg(
+        *[F.count_distinct(F.col(c)).alias(f"ndvx_{c}") for c in cols]
+    )
+    stats = o.agg(*aggs).join(F.broadcast(exact_ndv))
     # gate pass (second scan, like Spark's own ANALYZE histogram step):
     # count the first equi-depth bucket per column against its sketch split
     gate = o.join(F.broadcast(stats)).agg(
@@ -813,27 +823,34 @@ def table_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in cols
         ]
     )
+    # ONE row, ONE consumer: a 3-way stack() pivots the wide stats row
+    # into the per-column output rows inside a single projection — the
+    # r5 shape (three selects unioned) re-executed the whole two-scan
+    # stats+gate plan per column (58 s at sf1; now ~1 scan-pair total)
     row = stats.join(F.broadcast(gate))
-    outs = []
+    stack_args = []
     for c in cols:
-        outs.append(
-            row.select(
-                F.lit(c).alias("col"),
-                F.col("n_rows").cast("bigint").alias("n_rows"),
-                (F.col("n_rows") - F.col(f"nn_{c}")).cast("bigint").alias("n_nulls"),
-                F.col(f"min_{c}").alias("min_v"),
-                F.col(f"max_{c}").alias("max_v"),
-                (
-                    F.abs(F.col(f"ndv_{c}") - F.col(f"ndvx_{c}"))
-                    / F.col(f"ndvx_{c}")
-                    <= 0.02
-                ).alias("ndv_acceptable"),
-                # equi-depth contract: the first sketch bucket holds its
-                # share of rows within 2x of uniform (1/8)
-                (
-                    (F.col(f"b1_{c}") * 1.0 / F.col("n_rows") <= 0.25)
-                    & (F.col(f"b1_{c}") * 1.0 / F.col("n_rows") >= 0.0625)
-                ).alias("hist_balanced"),
-            )
+        stack_args += [
+            F.lit(c),
+            F.col("n_rows").cast("bigint"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).cast("bigint"),
+            F.col(f"min_{c}"),
+            F.col(f"max_{c}"),
+            (
+                F.abs(F.col(f"ndv_{c}") - F.col(f"ndvx_{c}"))
+                / F.col(f"ndvx_{c}")
+                <= 0.02
+            ),
+            # equi-depth contract: the first sketch bucket holds its
+            # share of rows within 2x of uniform (1/8)
+            (
+                (F.col(f"b1_{c}") * 1.0 / F.col("n_rows") <= 0.25)
+                & (F.col(f"b1_{c}") * 1.0 / F.col("n_rows") >= 0.0625)
+            ),
+        ]
+    return row.select(
+        F.stack(F.lit(3), *stack_args).alias(
+            "col", "n_rows", "n_nulls", "min_v", "max_v",
+            "ndv_acceptable", "hist_balanced",
         )
-    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+    )

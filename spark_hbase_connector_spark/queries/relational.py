@@ -239,11 +239,17 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, one pass, bounded memory — the exact forms here are the
     oracle-checkable reference output."""
     e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    # percentile and count_distinct in SEPARATE aggregates: mixed, the
+    # distinct rewrite pushes the percentile buffers through a 2-way
+    # Expand (every row duplicated into the percentile's group AND the
+    # distinct group) — r6 sf1 profiling measured the split ~2x faster.
+    # The group relation is key-sized, so the rejoin broadcasts.
+    q = e.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
-        F.countDistinct("user_id").alias("n_users"),
     )
+    d = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+    return q.join(d, "event_type")
 
 
 @query(
