@@ -37,16 +37,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order — all are equally oracle-checked by the in-repo
 # differential (scripts/run_differential.py).
 DRIVER_WINDOW = [
-    # Round-6 rotation (VERDICT r5 ask #7): 44 of these 50 have NEVER
-    # carried the external driver signal (88% of the window). The six
+    # Round-6 rotation (VERDICT r5 ask #7): 40 of these 50 have NEVER
+    # carried the external driver signal (80% of the window). The ten
     # exceptions are entries whose implementation or oracle CHANGED this
-    # round and must re-earn the signal: the two r5 driver-hash-red
+    # round and must (re-)earn the signal: the two r5 driver-hash-red
     # entries made exact-arithmetic deterministic (kv_counter_increments,
     # orders_abc_classification), the two prefix-filter dedup operators
     # whose plans were flattened (dedup_ngram_jaccard_prefix,
     # dedup_containment_prefix), the hardened timer entry
-    # (streaming_session_timeout_close), plus the flagship identity
-    # check. Everything rotated out was driver-green in r02-r05 and is
+    # (streaming_session_timeout_close), the flagship identity check,
+    # and the four sf100-decade fixes (q5 join-tree rewrite, simhash
+    # combination banding, the vectorized IVF assignment behind
+    # embedding_cosine_pairs_lsh and ann_topk_ivf). Everything rotated out was driver-green in r02-r05 and is
     # unchanged since; all 263 entries remain oracle-checked by the
     # committed full differential (CORRECTNESS_r06_*_local.json).
     # --- changed this round / flagship identity (6)
@@ -70,14 +72,14 @@ DRIVER_WINDOW = [
     # --- relational / agg (5)
     "agg_bitmap_distinct",
     "agg_stats_moments",
-    "agg_max_by",
     "setop_except_all",
     "sort_null_ordering",
+    "q5_local_supplier_volume",
     # --- scalar functions (4)
     "scalar_array_hof",
-    "scalar_try_cast",
     "scalar_tz_convert",
-    "scalar_url_parse",
+    "dedup_simhash",
+    "embedding_cosine_pairs_lsh",
     # --- window / time-series (7)
     "gapfill_interpolate",
     "asof_join_forward",
@@ -99,7 +101,7 @@ DRIVER_WINDOW = [
     "approx_quantiles_qa",
     # --- text / corpus curation (5)
     "text_langid",
-    "text_hash_features",
+    "ann_topk_ivf",
     "bpe_pair_counts",
     "split_train_val_test",
     "domain_mixture_weights",

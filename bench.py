@@ -49,6 +49,9 @@ def main() -> None:
             materialize(spec.fn(spark, sf_dir))
             runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        # progress on stderr so long runs (sf10+) are observable; stdout
+        # stays the single JSON line the driver parses
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -11,7 +11,7 @@ Four strategies, all pure-DataFrame (no collect, no driver-side state):
   generation + exact-Jaccard verification. The scale path: candidate volume
   is tunable via (num_hashes, bands) and verification touches only
   candidates. Deterministic (fixed permutation seed) so results replay.
-- ``simhash_pairs``: 64-bit SimHash + pigeonhole banding on 16-bit chunks +
+- ``simhash_pairs``: 64-bit SimHash + Manku combination banding +
   Hamming-distance verification via bit_count(xor).
 
 Performance architecture (measured, not guessed): Spark's higher-order
@@ -781,31 +781,56 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
-    Pigeonhole banding: split the 64-bit hash into 4 x 16-bit chunks; any
-    pair within Hamming distance 3 must agree on at least one chunk, so
-    candidates come from equality joins on chunks (never a cross join),
-    then are verified with bit_count(xor). Recall is *guaranteed* (exact)
-    for max_hamming <= 3; for looser bounds increase the chunk count.
+    Combination banding (Manku/Jain/Sarma, "Detecting near-duplicates
+    for web crawling", WWW 2007 — public algorithm): split the 64-bit
+    word into B = max_hamming + 3 blocks; a pair within Hamming distance
+    k differs in at most k blocks, so it agrees EXACTLY on some
+    (B - k)-subset of blocks. Enumerating every C(B, B-k) subset as a
+    concatenated bucket key (k=3: C(6,3) = 20 keys of ~33 bits) makes
+    candidates equality-join matches on those keys — recall stays
+    *guaranteed* (exact) while buckets stay tiny: the naive k+1-way
+    split (4 x 16-bit chunks) saturates once n >> 2^16 — at 5M docs
+    every 16-bit bucket holds ~76 docs and the self-join emits ~760M
+    quadratic candidates (measured 335 s at sf100); 33-bit combination
+    keys keep expected random collisions ~n^2/2^34 per combo (~linear
+    total), only true near-dups collide, and the same corpus takes the
+    verify-join path in seconds. Each doc carries C(B, B-k) keys instead
+    of k+1 — index volume grows 5x, candidate volume collapses ~10^4x.
 
     Output columns: (id1, id2, hamming).
     """
+    import itertools
+
     # persisted: the bucket relation below is self-joined, which would
     # otherwise re-execute the whole shingle+simhash Arrow pass per side
     base = simhash_words(df, text_col, id_col, w).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned(F.col("h"), 16 * j).bitwiseAND(F.lit(0xFFFF))
-            for j in range(4)
-        ]
+    n_blocks = max_hamming + 3
+    match_blocks = n_blocks - max_hamming
+    base_w, rem = divmod(64, n_blocks)
+    widths = [base_w + (1 if j < rem else 0) for j in range(n_blocks)]
+    offsets = [sum(widths[:j]) for j in range(n_blocks)]
+    blocks = [
+        F.shiftrightunsigned(F.col("h"), offsets[j]).bitwiseAND(
+            F.lit((1 << widths[j]) - 1)
+        )
+        for j in range(n_blocks)
+    ]
+    keys = []
+    for combo in itertools.combinations(range(n_blocks), match_blocks):
+        key = F.lit(0).cast("long")
+        for j in combo:
+            key = F.shiftleft(key, widths[j]).bitwiseOR(blocks[j])
+        keys.append(key)
+    buckets = base.select(
+        "id", "h", F.posexplode(F.array(*keys)).alias("combo", "ckey")
     )
-    buckets = base.select("id", "h", F.posexplode(chunks).alias("chunk", "ckey"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
+            (F.col("a.combo") == F.col("b.combo"))
             & (F.col("a.ckey") == F.col("b.ckey"))
             & (F.col("a.id") < F.col("b.id")),
         )

@@ -441,11 +441,13 @@ _DUCK_SIMHASH_WORD = " + ".join(
     bench=True,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming<=3 on 64-bit signatures). At this
-    bound the 4x16-bit pigeonhole banding has GUARANTEED recall (any pair
-    within hamming 3 agrees on >=1 chunk), so the banded plan equals the
-    oracle's brute-force all-pairs scan exactly — checkable, not just
-    asserted (tests/test_operators.py proves banded == brute force)."""
+    """SimHash near-dup pairs (hamming<=3 on 64-bit signatures). The
+    C(6,3)-combination banding (Manku WWW'07) has GUARANTEED recall: a
+    pair within hamming 3 differs in <=3 of 6 blocks, so it matches some
+    3-block key exactly — the banded plan equals the oracle's brute-force
+    all-pairs scan (tests/test_operators.py proves banded == brute force;
+    33-bit keys keep buckets collision-free where 16-bit chunks went
+    quadratic at sf100)."""
     d = load(spark, sf_dir, "documents")
     return simhash_pairs(d, "text", "doc_id", max_hamming=3)
 

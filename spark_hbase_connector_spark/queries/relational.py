@@ -372,23 +372,43 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join. All dims broadcast; only the
-    orders-lineitem join shuffles."""
+    """TPC-H Q5 shape: 6-way star join.
+
+    Scale shape: the region filter is pushed through nation onto BOTH
+    fact-adjacent sides before any big join — nation⋈region(ASIA) is a
+    5-row relation, broadcast onto supplier AND customer, cutting each
+    to ~1/5 ahead of the shuffles (Catalyst cannot derive this: the
+    constraint reaches customer only transitively via the
+    c_nationkey = s_nationkey join condition). customer and supplier are
+    NOT hint-broadcast — they scale with SF (15M / 1M rows at sf100; a
+    forced customer broadcast built a ~GB hash relation per task and went
+    super-linear, 139 s solo at sf100), so sizing is left to
+    AQE/autoBroadcastJoinThreshold: small SFs still broadcast both,
+    sf100 shuffles customer and broadcasts the reduced supplier."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    s2 = s.join(F.broadcast(asia_n), s.s_nationkey == F.col("n_nationkey"))
+    c2 = c.join(
+        F.broadcast(asia_n.select(F.col("n_nationkey").alias("__cnk"))),
+        c.c_nationkey == F.col("__cnk"),
+    )
+    # orders⋈customer first: the ASIA-reduced customer side cuts orders
+    # ~5x before the 600M-row lineitem join, so the big SMJ's output (and
+    # everything downstream) shrinks by the same factor
+    oc = o.join(c2, o.o_custkey == c2.c_custkey)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
         .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            s2,
+            (li.l_suppkey == s2.s_suppkey) & (oc.c_nationkey == s2.s_nationkey),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(

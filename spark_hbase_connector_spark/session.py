@@ -33,6 +33,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # decouple the shuffle width from the core count: big shuffles start
+        # wide (bounded per-task sort/spill at 100x data) and AQE coalesces
+        # small ones back down to ~advisory size, so tiny-SF plans are
+        # unchanged. Found at sf100: 600M-row sort-merge joins pinned to 32
+        # partitions (~19M rows/task) spill-thrashed q3/q5 56x/18x per decade.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(cpus * 8, 256)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
