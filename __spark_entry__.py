@@ -63,9 +63,9 @@ DRIVER_WINDOW = [
     "scan_keyset_pagination",
     "schema_evolution_merge",
     "atm_key_range_desc",
-    # --- kv reference-parity fixtures (2)
+    # --- kv reference-parity fixtures (1; the overlay twin rotated out
+    # for the round-6b statistical-curation additions below)
     "people_flagship",
-    "people_upsert_overlay",
     # --- TPC-H stragglers (2)
     "q11_important_stock",
     "q16_supplier_part_counts",
@@ -73,11 +73,9 @@ DRIVER_WINDOW = [
     "agg_bitmap_distinct",
     "agg_stats_moments",
     "setop_except_all",
-    "sort_null_ordering",
     "q5_local_supplier_volume",
-    # --- scalar functions (4)
+    # --- scalar functions (3)
     "scalar_array_hof",
-    "scalar_tz_convert",
     "dedup_simhash",
     "embedding_cosine_pairs_lsh",
     # --- window / time-series (7)
@@ -86,7 +84,6 @@ DRIVER_WINDOW = [
     "sessionize_dynamic_gap",
     "funnel_steps",
     "cohort_retention",
-    "events_ohlc_bars",
     "window_ewma",
     # --- dedup (4)
     "dedup_containment",
@@ -108,6 +105,12 @@ DRIVER_WINDOW = [
     # --- multimodal (2)
     "multimodal_meta_images",
     "multimodal_framesample",
+    # --- statistical curation, NEW round-6b (4): DSIR resampling, the
+    # NB quality classifier, CCNet perplexity buckets, triangle census
+    "sample_importance_dsir",
+    "text_quality_classifier_nb",
+    "corpus_ccnet_buckets",
+    "graph_triangle_count",
     # --- streaming (4): the NEW event-time-timer entry + never-checked reps
     "streaming_first_horizon_watermark",
     "streaming_chained_agg",

@@ -19,6 +19,7 @@ from spark_hbase_connector_spark.queries import (  # noqa: F401,E402
     relational_extra,
     modern_sql,
     corpus_pipeline,
+    curation_ml,
     tpch_extra,
     indexing,
     kv_patterns,

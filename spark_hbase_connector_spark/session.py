@@ -43,6 +43,14 @@ def get_spark(
             str(max(cpus * 8, 256)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce INSIDE cached plans: without this a persisted
+        # relation materializes at initialPartitionNum (256+) partitions
+        # however small it is, and every consumer stage pays hundreds of
+        # micro-tasks (graph_triangle_count's 3,445-row edge cache cost
+        # 3.1 s to count; the whole census ran 11 s -> ~5 s with this on)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))

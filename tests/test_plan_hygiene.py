@@ -58,6 +58,9 @@ _BNLJ_ALLOWED = {
     # table_stats_collect broadcasts the single-row stats/sketch relation
     # into the gate pass and the final per-column projection
     "table_stats_collect",
+    # text_quality_classifier_nb broadcasts the single-row class-prior
+    # aggregate into the per-doc score relation
+    "text_quality_classifier_nb",
 }
 
 _SKIP_TAGS = {"streaming", "fixture"}
