@@ -36,7 +36,11 @@ from spark_hbase_connector_spark.catalogs import load
 from spark_hbase_connector_spark.queries.registry import query
 
 def _all() -> Window:
-    """Whole-relation window (only ever applied to tiny aggregates)."""
+    """Whole-relation window — only ever applied to BOUNDED relations (the
+    256-bucket DSIR weight table); anything vocabulary- or corpus-sized
+    computes its totals as a single-row aggregate broadcast back in
+    instead, because an unpartitioned window funnels the whole relation
+    through one reducer."""
     return Window.partitionBy()
 
 # portable cross-engine token bucket: md5's first 8 hex digits as uint32
@@ -163,8 +167,10 @@ def text_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds on.
 
     Train = one wordcount over the token stream (count per (token, class)
-    with add-1 smoothing; class totals and vocabulary size ride the same
-    tiny relation as whole-window sums). Score = token-stream join against
+    with add-1 smoothing; class totals and vocabulary size are ONE
+    single-row aggregate over the persisted wordcount, broadcast back in
+    — an unpartitioned window here would funnel the whole vocabulary
+    through one reducer). Score = token-stream join against
     the weight table (broadcast while the vocab fits, AQE shuffle join
     beyond) + one per-doc sum; the single-row class-prior relation is
     broadcast into the result (allow-listed single-row BNLJ). Token join
@@ -183,18 +189,17 @@ def text_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tk.groupBy("tok").agg(
         F.count_if("is_pos").alias("cp"),
         (F.count(F.lit(1)) - F.count_if("is_pos")).alias("cn"),
+    ).persist()  # two consumers: the totals aggregate and the weight join
+    tot = vocab.agg(
+        F.sum("cp").alias("tcp"),
+        F.sum("cn").alias("tcn"),
+        F.count(F.lit(1)).alias("vsz"),
     )
-    w = vocab.select(
+    w = vocab.crossJoin(F.broadcast(tot)).select(
         "tok",
         (
-            F.log(
-                (F.col("cp") + 1.0)
-                / (F.sum("cp").over(_all()) + F.count(F.lit(1)).over(_all()))
-            )
-            - F.log(
-                (F.col("cn") + 1.0)
-                / (F.sum("cn").over(_all()) + F.count(F.lit(1)).over(_all()))
-            )
+            F.log((F.col("cp") + 1.0) / (F.col("tcp") + F.col("vsz")))
+            - F.log((F.col("cn") + 1.0) / (F.col("tcn") + F.col("vsz")))
         ).alias("wt"),
     )
     prior = d.agg(
@@ -268,13 +273,13 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tok") != "")
         .select("doc_id", "lang", F.xxhash64("tok").alias("tok"))
     )
-    cnt = (
-        tk.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("n", F.sum("c").over(_all()))
-    )
+    cnt = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # corpus token total = |tk|: a single-row aggregate broadcast in, NOT
+    # a whole-relation window over the vocabulary-sized count relation
+    tot = tk.agg(F.count(F.lit(1)).alias("n"))
     pd = (
         tk.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "lang")
         .agg(
             F.round(

@@ -58,9 +58,12 @@ _BNLJ_ALLOWED = {
     # table_stats_collect broadcasts the single-row stats/sketch relation
     # into the gate pass and the final per-column projection
     "table_stats_collect",
-    # text_quality_classifier_nb broadcasts the single-row class-prior
-    # aggregate into the per-doc score relation
+    # text_quality_classifier_nb broadcasts the single-row class-prior and
+    # vocab-totals aggregates into the score/weight relations
     "text_quality_classifier_nb",
+    # corpus_ccnet_buckets broadcasts the single-row corpus-token-total
+    # aggregate into the per-token scoring relation
+    "corpus_ccnet_buckets",
 }
 
 _SKIP_TAGS = {"streaming", "fixture"}
