@@ -100,7 +100,7 @@ DRIVER_WINDOW = [
     "text_langid",
     "ann_topk_ivf",
     "bpe_pair_counts",
-    "split_train_val_test",
+    "split_leakage_safe",
     "domain_mixture_weights",
     # --- multimodal (2)
     "multimodal_meta_images",

@@ -29,9 +29,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_hbase_connector_spark.catalogs import load
+from spark_hbase_connector_spark.operators.dedup import shingle_jaccard_pairs
 from spark_hbase_connector_spark.operators.graph import connected_components
 from spark_hbase_connector_spark.operators.similarity import cosine_pairs_lsh
 from spark_hbase_connector_spark.queries.northstar import (
+    _DUCK_SHINGLES,
     _DUCK_VECS,
     duck_cc_min_label,
 )
@@ -1057,3 +1059,86 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
         )
     return out[0].unionByName(out[1]).unionByName(out[2])
+
+
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    post AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+      FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes sa ON id1 = sa.doc_id
+      JOIN sizes sb ON id2 = sb.doc_id
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.85
+    ),
+    edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM prs
+              UNION ALL SELECT id2, id1 FROM prs),
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM edges),
+    {duck_cc_min_label('nodes')},
+    asg AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, component,
+                 CAST(('0x' || substring(md5(CAST(component AS VARCHAR)),
+                       1, 8))::UBIGINT % 100 AS INTEGER) AS bkt
+          FROM asg)
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "sampling", "dedup"),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: every document is assigned to a
+    split by hashing its NEAR-DUP CLUSTER representative, never its own
+    id — so two near-duplicate documents (shingle Jaccard >= 0.85, the
+    `dedup_components` graph) can never land in different splits and leak
+    eval data into training. Singleton documents are their own cluster.
+    (`split_train_val_test` is the doc-level sibling for corpora where
+    near-dup structure is already resolved or irrelevant.)
+
+    The 80/10/10 assignment hashes the cluster id (md5 first-8-hex as
+    uint32 mod 100 — the repo's cross-engine deterministic-membership
+    trick, no rand()): membership is stable under reruns, corpus growth
+    only adds clusters, and re-splitting never migrates an existing
+    cluster. Cost on top of the CC pass the pipeline already runs for
+    dedup: one node-sized left join + a hash projection — no new shuffle
+    family at 100 TB. The oracle replays the exact pair graph + bounded
+    min-label CC, then the identical bucket rule."""
+    d = load(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(d, "text", "doc_id", threshold=0.85)
+    comp = connected_components(pairs)
+    asg = (
+        d.select("doc_id")
+        .join(
+            comp.select(
+                F.col("id").alias("doc_id"), F.col("comp").alias("component")
+            ),
+            "doc_id",
+            "left",
+        )
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    bkt = (
+        F.conv(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 100
+    ).cast("int")
+    return asg.select(
+        "doc_id",
+        "component",
+        F.when(bkt < 80, "train")
+        .when(bkt < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")

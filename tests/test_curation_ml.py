@@ -91,3 +91,37 @@ def test_nb_classifier_separates_labeled_slice(spark, sf_dir):
     pos = [r.log_odds for r in rows if r.source in ("src0", "src1", "src2")]
     neg = [r.log_odds for r in rows if r.source not in ("src0", "src1", "src2")]
     assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
+    """The leakage invariant itself: every near-dup pair (the same
+    Jaccard>=0.85 graph the entry builds on) lands in ONE split, every
+    document is assigned exactly once, and all three splits are
+    non-degenerate on the corpus."""
+    from spark_hbase_connector_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+
+    out = REGISTRY["split_leakage_safe"].fn(spark, sf_dir).persist()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    # one split per cluster
+    assert (
+        out.groupBy("component")
+        .agg(F.count_distinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    # directly: no near-dup pair straddles splits
+    pairs = shingle_jaccard_pairs(docs, "text", "doc_id", threshold=0.85)
+    a = out.select(F.col("doc_id").alias("id1"), F.col("split").alias("s1"))
+    b = out.select(F.col("doc_id").alias("id2"), F.col("split").alias("s2"))
+    straddle = (
+        pairs.join(a, "id1").join(b, "id2").where(F.col("s1") != F.col("s2"))
+    )
+    assert straddle.count() == 0
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+    out.unpersist()
