@@ -55,15 +55,46 @@ def main():
             records[name] = {"ok": False, "error": str(exc)[:300]}
             print(f"ERROR {name}  {time.time()-t0:.1f}s: {str(exc)[:400]}", flush=True)
     print(f"== {n_ok}/{n_run} passed ==", flush=True)
+    # Invariant (VERDICT r6 ask 3): a sweep launched before a registry edit
+    # silently misses entries added mid-sweep. A full (un-scoped) sweep must
+    # cover the registry AS OF WRITE TIME — re-read it in a FRESH interpreter
+    # (reload would trip the duplicate-name guard) and compare; stamp the
+    # artifact INCOMPLETE and exit non-zero if anything is missing.
+    import subprocess
+
+    full_sweep = len(sys.argv) <= 2
+    missing = []
+    if full_sweep:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "from spark_hbase_connector_spark.queries import REGISTRY;"
+             "print('\\n'.join(n for n, s in REGISTRY.items()"
+             " if s.oracle is not None))"],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+        )
+        if probe.returncode == 0:
+            current = set(probe.stdout.split())
+            missing = sorted(current - set(records))
+        else:
+            print(f"WARN: registry re-probe failed: {probe.stderr[:300]}",
+                  flush=True)
     out = os.environ.get("DIFF_JSON_OUT")
     if out:
+        payload = {"sf_dir": sf_dir, "passed": n_ok, "run": n_run,
+                   "queries": records}
+        if missing:
+            payload["INCOMPLETE_missing"] = missing
         with open(out, "w") as f:
-            json.dump(
-                {"sf_dir": sf_dir, "passed": n_ok, "run": n_run,
-                 "queries": records},
-                f, indent=1,
-            )
+            json.dump(payload, f, indent=1)
+    if missing:
+        print(f"== INCOMPLETE: registry grew mid-sweep, missing {missing} ==",
+              flush=True)
+        spark.stop()
+        sys.exit(2)
     spark.stop()
+    if n_ok != n_run:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -64,7 +64,13 @@ def _canon_value(v):
     if isinstance(v, (pd.Timestamp,)):
         return v.isoformat()
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        # datetime.date → midnight form: Spark DATE columns reach pandas as
+        # datetime.date while DuckDB DATE becomes datetime64 (Timestamp
+        # 'T00:00:00'); the driver treats them as equal (scalar_datetime was
+        # driver-green r1/r2 with timestamp-vs-DATE), so the local
+        # canonical form must too
+        iso = v.isoformat()
+        return iso + "T00:00:00" if len(iso) == 10 else iso
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
@@ -123,6 +129,122 @@ def _rows_equal(ra: tuple, rb: tuple) -> bool:
         elif va != vb:
             return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# Output-TYPE parity (VERDICT r6 ask 2).
+#
+# The driver hashes the two result sets through arrow, and the arrow TYPE is
+# part of the canonical serialization: DuckDB `sum(BIGINT)` returns HUGEINT
+# (arrow decimal128(38,0)) while Spark returns int64 — equal values, red
+# hash. compare_frames() coerces to Python scalars and cannot see this class,
+# which cost two rounds of driver red on `kv_counter_increments`. These
+# canonicalizers map a Spark DataType and a DuckDB logical type onto one
+# shared type language so tests/test_oracle_schema_parity.py can diff every
+# registry entry's output schema WITHOUT executing either side (Spark:
+# analyzed plan only; DuckDB: lazy relation planning).
+#
+# Deliberate coarsenings, each backed by driver-green history:
+# - timestamps ignore tz/unit (Spark arrow = timestamp[us, tz=UTC], DuckDB
+#   TIMESTAMP = timestamp[us]; sessionize/gapfill/OHLC entries have carried
+#   driver green with raw timestamp outputs since r2);
+# - int widths below 64 bits collapse to "int" only via the explicit
+#   _INT_WIDTHS map — int64 stays distinct from decimal128 (the actual
+#   failure class).
+
+
+def canon_spark_type(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{canon_spark_type(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return f"map<{canon_spark_type(dt.keyType)},{canon_spark_type(dt.valueType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(f"{f.name}:{canon_spark_type(f.dataType)}" for f in dt.fields)
+        return f"struct<{inner}>"
+    simple = {
+        T.LongType: "int64",
+        T.IntegerType: "int32",
+        T.ShortType: "int16",
+        T.ByteType: "int8",
+        T.DoubleType: "float64",
+        T.FloatType: "float32",
+        T.StringType: "string",
+        T.BooleanType: "bool",
+        T.DateType: "date",
+        T.BinaryType: "binary",
+        T.NullType: "null",
+    }
+    for cls, name in simple.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    return f"?spark:{dt.simpleString()}"
+
+
+def canon_duckdb_type(t) -> str:
+    """t is a duckdb.typing.DuckDBPyType (from relation.types)."""
+    tid = t.id
+    if tid == "decimal":
+        kv = dict(t.children)
+        return f"decimal({kv['precision']},{kv['scale']})"
+    if tid == "hugeint":
+        return "decimal(38,0)"  # what arrow actually receives
+    if tid == "list":
+        return f"list<{canon_duckdb_type(dict(t.children)['child'])}>"
+    if tid == "map":
+        kv = dict(t.children)
+        return f"map<{canon_duckdb_type(kv['key'])},{canon_duckdb_type(kv['value'])}>"
+    if tid == "struct":
+        inner = ",".join(f"{n}:{canon_duckdb_type(c)}" for n, c in t.children)
+        return f"struct<{inner}>"
+    simple = {
+        "bigint": "int64",
+        "integer": "int32",
+        "smallint": "int16",
+        "tinyint": "int8",
+        "ubigint": "uint64",
+        "uinteger": "uint32",
+        "usmallint": "uint16",
+        "utinyint": "uint8",
+        "double": "float64",
+        "float": "float32",
+        "varchar": "string",
+        "boolean": "bool",
+        "date": "date",
+        "blob": "binary",
+        '"null"': "null",
+        "null": "null",
+    }
+    if tid in simple:
+        return simple[tid]
+    if tid.startswith("timestamp"):
+        return "timestamp"
+    return f"?duckdb:{tid}"
+
+
+def schema_parity(name: str, spark_df, rel) -> CompareResult:
+    """Compare a Spark DataFrame's analyzed schema against a DuckDB lazy
+    relation's planned schema under the shared canonical type language."""
+    s = {f.name: canon_spark_type(f.dataType) for f in spark_df.schema.fields}
+    o = {c: canon_duckdb_type(t) for c, t in zip(rel.columns, rel.types)}
+    if set(s) != set(o):
+        return CompareResult(
+            name, False, f"column mismatch: spark={sorted(s)} oracle={sorted(o)}"
+        )
+    diffs = {c: (s[c], o[c]) for c in s if s[c] != o[c]}
+    if diffs:
+        return CompareResult(
+            name,
+            False,
+            "type mismatch (spark vs oracle): "
+            + "; ".join(f"{c}: {a} != {b}" for c, (a, b) in sorted(diffs.items())),
+        )
+    return CompareResult(name, True)
 
 
 def run_differential(spark, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:

@@ -29,7 +29,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_hbase_connector_spark.catalogs import load
-from spark_hbase_connector_spark.operators.dedup import shingle_jaccard_pairs
+from spark_hbase_connector_spark.operators.dedup import (
+    shingle_jaccard_pairs,
+    shingle_jaccard_pairs_prefix,
+)
 from spark_hbase_connector_spark.operators.graph import connected_components
 from spark_hbase_connector_spark.operators.similarity import cosine_pairs_lsh
 from spark_hbase_connector_spark.queries.northstar import (
@@ -110,7 +113,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sample_per_key_hash",
     oracle="""
-    SELECT source, doc_id, rnk FROM (
+    SELECT source, doc_id, CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT source, doc_id,
              row_number() OVER (
                PARTITION BY source
@@ -307,7 +310,7 @@ def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                / CAST(n_chars AS DOUBLE) AS es_key
       FROM documents
     )
-    SELECT doc_id, source, n_chars, rnk FROM (
+    SELECT doc_id, source, n_chars, CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT doc_id, source, n_chars,
              row_number() OVER (ORDER BY es_key DESC, doc_id) AS rnk
       FROM keyed
@@ -1112,10 +1115,14 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     only adds clusters, and re-splitting never migrates an existing
     cluster. Cost on top of the CC pass the pipeline already runs for
     dedup: one node-sized left join + a hash projection — no new shuffle
-    family at 100 TB. The oracle replays the exact pair graph + bounded
-    min-label CC, then the identical bucket rule."""
+    family at 100 TB. The pair source is the prefix-filter scale path
+    (``shingle_jaccard_pairs_prefix`` — output-identical to the naive
+    inverted-index join, candidate volume Σpf(s)² not Σdf(s)²; VERDICT r6
+    item 4), so the operator's 100 TB claim holds end-to-end. The oracle
+    replays the exact pair graph + bounded min-label CC, then the
+    identical bucket rule."""
     d = load(spark, sf_dir, "documents")
-    pairs = shingle_jaccard_pairs(d, "text", "doc_id", threshold=0.85)
+    pairs = shingle_jaccard_pairs_prefix(d, "text", "doc_id", threshold=0.85)
     comp = connected_components(pairs)
     asg = (
         d.select("doc_id")

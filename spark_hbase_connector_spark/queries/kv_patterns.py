@@ -35,8 +35,8 @@ SALTED_CUST_CATALOG = {
     oracle="""
     SELECT o_custkey,
            count(*)::BIGINT AS n_orders,
-           sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
-             AS total_cents
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents
     FROM orders GROUP BY o_custkey ORDER BY o_custkey
     """,
     tags=("kv", "mutation", "increment"),
@@ -52,11 +52,14 @@ def kv_counter_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent-counter rule. Money counted in exact integer cents — counters
     are longs, no float drift. Determinism: cents derive via
     ``cast(decimal(12,2)) * 100`` (exact decimal HALF_UP, identical in
-    Spark and DuckDB) — NOT ``round(double*100)``, whose `.5`-boundary
-    rounding differs between the engines' double→decimal paths; output
-    carries a total ORDER BY so the driver's exact hash is stable. The
-    oracle is the plain full-history aggregate: base + increments must
-    reproduce it key-for-key."""
+    Spark and DuckDB); output carries a total ORDER BY. Output TYPE: the
+    oracle wraps the sum in an outer ``CAST(.. AS BIGINT)`` — DuckDB's
+    ``sum(BIGINT)`` returns HUGEINT (arrow decimal128(38,0)), which
+    hash-mismatches Spark's int64 under the driver's exact-arrow-type
+    hash even when every value is equal (root cause of the r5/r6 driver
+    reds; see tests/test_oracle_schema_parity.py for the repo-wide gate).
+    The oracle is the plain full-history aggregate: base + increments
+    must reproduce it key-for-key."""
     from spark_hbase_connector_spark.operators.mutations import apply_increments
 
     orders = load(spark, sf_dir, "orders")

@@ -160,7 +160,8 @@ def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_hof",
     oracle="""
     SELECT doc_id,
-           len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS n_long,
+           CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5))
+                AS INTEGER) AS n_long,
            CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
                 AS BIGINT) AS total_chars,
            round(CAST(list_sum(list_transform(string_split(text, ' '),
@@ -199,10 +200,10 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rolling_distinct",
     oracle="""
     SELECT event_id, user_id,
-           count(DISTINCT event_type) OVER (
+           CAST(count(DISTINCT event_type) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
-           ) AS distinct_types_5
+           ) AS INTEGER) AS distinct_types_5
     FROM events WHERE user_id <= 100
     ORDER BY user_id, event_id
     """,
@@ -540,8 +541,8 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS due_3mo,
            CAST(date_diff('day', o_orderdate, TIMESTAMP '1997-01-01') AS BIGINT)
              AS days_to_97,
-           round(date_diff('day', date_trunc('month', o_orderdate),
-                           o_orderdate) * 1.0, 1) AS day_in_month,
+           round(CAST(date_diff('day', date_trunc('month', o_orderdate),
+                                o_orderdate) AS DOUBLE), 1) AS day_in_month,
            CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
     FROM orders WHERE o_orderkey <= 500
     """,

@@ -574,7 +574,7 @@ def dedup_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
       (5, 'mixed ' || chr(65533) || chr(2)),
       (6, '')
     )
-    SELECT doc_id,
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
            len(regexp_extract_all(text, chr(65533)))::BIGINT AS n_repl,
            len(regexp_extract_all(text,
                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))::BIGINT AS n_ctrl,

@@ -684,7 +684,7 @@ def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INTEGER)   AS mo,
            CAST(day(o_orderdate) AS INTEGER)     AS dy,
            CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
-           date_trunc('month', o_orderdate)      AS month_start
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
     FROM orders WHERE o_orderkey <= 500
     """,
     tags=("scalar",),
@@ -699,6 +699,11 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("int").alias("mo"),
         F.dayofmonth("o_orderdate").cast("int").alias("dy"),
         F.quarter("o_orderdate").cast("int").alias("qtr"),
+        # Spark date_trunc returns TIMESTAMP while DuckDB (on a DATE input)
+        # returns DATE — the ORACLE casts to TIMESTAMP so the arrow types
+        # agree (schema-parity gate). Repo convention: computed date buckets
+        # stay timestamps; pandas renders DuckDB DATE as Timestamp but Spark
+        # DATE as datetime.date, so timestamp/timestamp is the aligned pair.
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
     )
 

@@ -182,7 +182,7 @@ def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_histogram",
     oracle="""
     SELECT CAST(floor(value / 50.0) AS INT) AS bucket,
-           CAST(floor(value / 50.0) AS INT) * 50.0 AS bucket_lo,
+           CAST(CAST(floor(value / 50.0) AS INT) * 50.0 AS DOUBLE) AS bucket_lo,
            count(*) AS n, round(sum(value), 4) AS total
     FROM events
     GROUP BY 1, 2
@@ -298,7 +298,8 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            regexp_extract_all(props, '[0-9]+(?:\\.[0-9]+)?') AS numbers,
-           len(regexp_extract_all(props, '[0-9]+(?:\\.[0-9]+)?')) AS n_numbers
+           CAST(len(regexp_extract_all(props, '[0-9]+(?:\\.[0-9]+)?'))
+                AS INTEGER) AS n_numbers
     FROM events
     WHERE event_id % 97 = 0
     """,

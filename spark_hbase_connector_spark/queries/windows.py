@@ -597,7 +597,8 @@ def window_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_time_weighted_avg",
     oracle="""
     WITH ord AS (
-      SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ts, event_id, value
       FROM events
     ),
     iv AS (
@@ -681,7 +682,8 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_counter_increase",
     oracle="""
     WITH ord AS (
-      SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ts, event_id, value
       FROM events
     ),
     d AS (
