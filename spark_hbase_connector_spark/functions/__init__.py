@@ -8,3 +8,7 @@ from spark_hbase_connector_spark.functions.vectors import (  # noqa: F401
     norm,
     cosine,
 )
+from spark_hbase_connector_spark.functions.urls import (  # noqa: F401
+    normalize_url,
+    url_domain,
+)

@@ -29,6 +29,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_hbase_connector_spark.catalogs import load
+from spark_hbase_connector_spark.functions.urls import (
+    duckdb_normalize_url,
+    normalize_url,
+    url_domain,
+)
 from spark_hbase_connector_spark.operators.dedup import (
     shingle_jaccard_pairs,
     shingle_jaccard_pairs_prefix,
@@ -1149,3 +1154,163 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     ).orderBy("doc_id")
+
+
+# --- URL / metadata dedup (VERDICT r6 ask 8) -------------------------------
+#
+# The harness documents table carries no URL column, so the entries derive a
+# deterministic NOISY url per document (4 scheme/www/port/tracking-param/
+# fragment variants over a colliding (source, doc_id % 13) page key — ~2 docs
+# per canonical page at sf0.01) identically in Spark and the oracle, then
+# prove the normalizer collapses the noise. The normalization chain itself is
+# one definition used by both sides (functions/urls.py).
+
+_DUCK_NOISY_URL = """CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN 'https://' || source || '.example.com/p/' || (doc_id % 13)
+      WHEN 1 THEN 'HTTPS://WWW.' || source || '.example.com/p/'
+                  || (doc_id % 13) || '/'
+      WHEN 2 THEN 'https://' || source || '.example.com:443/p/'
+                  || (doc_id % 13) || '?utm_source=feed&utm_campaign=x'
+      ELSE 'http://' || source || '.example.com/p/' || (doc_id % 13)
+           || '/?gclid=abc123#frag'
+    END"""
+
+
+def _noisy_url() -> F.Column:
+    """The Spark twin of ``_DUCK_NOISY_URL`` (same 4 variants, same key)."""
+    dom = F.concat(F.col("source"), F.lit(".example.com"))
+    pid = (F.col("doc_id") % 13).cast("string")
+    path = F.concat(dom, F.lit("/p/"), pid)
+    v = (F.col("doc_id") % 4).cast("int")
+    return (
+        F.when(v == 0, F.concat(F.lit("https://"), path))
+        .when(v == 1, F.concat(F.lit("HTTPS://WWW."), path, F.lit("/")))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://"), dom, F.lit(":443/p/"), pid,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("http://"), path, F.lit("/?gclid=abc123#frag")))
+    )
+
+
+@query(
+    "dedup_url_normalized",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars, {_DUCK_NOISY_URL} AS url FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_chars, url,
+             {duckdb_normalize_url('url')} AS canonical_url
+      FROM u
+    ),
+    r AS (
+      SELECT canonical_url, doc_id, n_chars, url,
+             row_number() OVER (PARTITION BY canonical_url
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM c
+    )
+    SELECT canonical_url,
+           regexp_extract(canonical_url, '^[^/?]+') AS domain,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS best_doc,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_exact_urls
+    FROM r GROUP BY canonical_url ORDER BY canonical_url
+    """,
+    tags=("pipeline", "dedup", "url"),
+)
+def dedup_url_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + normalized URL dedup with keep-best — the FIRST stage of a
+    crawl curation pipeline, before any content-based dedup ever runs:
+    collapse scheme/www/default-port/tracking-param/fragment variants onto
+    one canonical page key and keep the best capture (longest text, ties to
+    the oldest doc_id). ``n_exact_urls`` vs ``n_docs`` separates exact-URL
+    refetches from normalization-only merges, the ratio crawl QA watches.
+
+    Scale: canonicalization is map-only JVM regex (RE2-compatible chain,
+    whole-stage codegen, functions/urls.py); the dedup itself is ONE
+    map-side-combinable groupBy on the canonical key — max_by and count
+    partials collapse per task before the exchange, so a page refetched a
+    million times moves one partial per task, never a million rows. The
+    distinct-URL count rides the same exchange (Expand on the group key).
+    No window, no join, nothing corpus-squared — this is exact hash dedup
+    (`dedup_exact`) specialized to the URL key plus keep-best."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", _noisy_url().alias("url")
+    )
+    c = d.select(
+        "doc_id", "n_chars", "url", normalize_url("url").alias("canonical_url")
+    )
+    return (
+        c.groupBy("canonical_url")
+        .agg(
+            F.expr("max_by(doc_id, struct(n_chars, -doc_id))")
+            .cast("bigint")
+            .alias("best_doc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("url").cast("bigint").alias("n_exact_urls"),
+        )
+        .select(
+            "canonical_url",
+            url_domain("canonical_url").alias("domain"),
+            "best_doc",
+            "n_docs",
+            "n_exact_urls",
+        )
+        .orderBy("canonical_url")
+    )
+
+
+@query(
+    "dedup_domain_cap",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars, {_DUCK_NOISY_URL} AS url FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_chars,
+             regexp_extract({duckdb_normalize_url('url')}, '^[^/?]+') AS domain
+      FROM u
+    ),
+    r AS (
+      SELECT domain, doc_id, n_chars,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM c
+    )
+    SELECT domain, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 3 ORDER BY domain, rnk
+    """,
+    tags=("pipeline", "dedup", "url"),
+)
+def dedup_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain keep-best cap (k=3 by content length, ties to oldest):
+    the domain rate-limit every crawl corpus applies after URL dedup so a
+    single boilerplate-heavy host can't dominate the training mix.
+
+    Scale: row_number over the domain partition is the same
+    WindowGroupLimit shape as `sample_per_key_hash` (driver-green r2–r5) —
+    each task pre-prunes to its local top-k per domain BEFORE the
+    exchange, so a million-page domain contributes k rows per task to the
+    shuffle, not a million; the final per-domain sort sees only the
+    surviving k x tasks rows. Skew therefore bounds at k x tasks even for
+    the hottest domain."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", _noisy_url().alias("url")
+    )
+    c = d.select(
+        "doc_id",
+        "n_chars",
+        url_domain(normalize_url("url")).alias("domain"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("domain", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), "rnk")
+        .orderBy("domain", "rnk")
+    )
