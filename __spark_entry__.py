@@ -37,85 +37,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order — all are equally oracle-checked by the in-repo
 # differential (scripts/run_differential.py).
 DRIVER_WINDOW = [
-    # Round-6 rotation (VERDICT r5 ask #7): 40 of these 50 have NEVER
-    # carried the external driver signal (80% of the window). The ten
-    # exceptions are entries whose implementation or oracle CHANGED this
-    # round and must (re-)earn the signal: the two r5 driver-hash-red
-    # entries made exact-arithmetic deterministic (kv_counter_increments,
-    # orders_abc_classification), the two prefix-filter dedup operators
-    # whose plans were flattened (dedup_ngram_jaccard_prefix,
-    # dedup_containment_prefix), the hardened timer entry
-    # (streaming_session_timeout_close), the flagship identity check,
-    # and the four sf100-decade fixes (q5 join-tree rewrite, simhash
-    # combination banding, the vectorized IVF assignment behind
-    # embedding_cosine_pairs_lsh and ann_topk_ivf). Everything rotated out was driver-green in r02-r05 and is
-    # unchanged since; all 263 entries remain oracle-checked by the
-    # committed full differential (CORRECTNESS_r06_*_local.json).
-    # --- changed this round / flagship identity (6)
-    "scan_flagship",
+    # Round-7 rotation (VERDICT r6 ask #6): 43 of these 50 have NEVER
+    # carried the external driver signal (86% first-time). The seven
+    # exceptions are previously-green entries whose HASH INPUTS changed
+    # this round and must re-earn the signal: the r6 driver-red
+    # kv_counter_increments (oracle's HUGEINT sum wrapped in CAST(.. AS
+    # BIGINT) — the judge's root cause), split_leakage_safe (pair source
+    # rebound to the prefix-filter scale path, ask #4), and five entries
+    # whose output types were aligned by the new repo-wide arrow-schema
+    # parity gate (tests/test_oracle_schema_parity.py). Everything rotated
+    # out was driver-green in r2-r6 and is unchanged; all 270 entries
+    # remain oracle-checked by the committed full differentials.
+    # --- changed this round, re-earning the signal (7)
     "kv_counter_increments",
-    "orders_abc_classification",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_containment_prefix",
-    "streaming_session_timeout_close",
-    # --- scan / source formats, never driver-checked (4)
-    "scan_csv_typed",
-    "scan_keyset_pagination",
-    "schema_evolution_merge",
-    "atm_key_range_desc",
-    # --- kv reference-parity fixtures (1; the overlay twin rotated out
-    # for the round-6b statistical-curation additions below)
-    "people_flagship",
-    # --- TPC-H stragglers (2)
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    # --- relational / agg (5)
-    "agg_bitmap_distinct",
-    "agg_stats_moments",
-    "setop_except_all",
-    "q5_local_supplier_volume",
-    # --- scalar functions (3)
-    "scalar_array_hof",
-    "dedup_simhash",
-    "embedding_cosine_pairs_lsh",
-    # --- window / time-series (7)
-    "gapfill_interpolate",
-    "asof_join_forward",
-    "sessionize_dynamic_gap",
-    "funnel_steps",
-    "cohort_retention",
-    "window_ewma",
-    # --- dedup (4)
-    "dedup_containment",
-    "dedup_edit_distance",
-    "dedup_incremental_fingerprint",
-    "dedup_normalized_exact",
-    # --- similarity / embeddings / sketch QA (5)
-    "ann_recall_quantized",
-    "knn_label_qa",
-    "embedding_pca_qa",
-    "embedding_quantize_qa",
-    "approx_quantiles_qa",
-    # --- text / corpus curation (5)
-    "text_langid",
-    "ann_topk_ivf",
-    "bpe_pair_counts",
     "split_leakage_safe",
-    "domain_mixture_weights",
-    # --- multimodal (2)
-    "multimodal_meta_images",
-    "multimodal_framesample",
-    # --- statistical curation, NEW round-6b (4): DSIR resampling, the
-    # NB quality classifier, CCNet perplexity buckets, triangle census
-    "sample_importance_dsir",
-    "text_quality_classifier_nb",
-    "corpus_ccnet_buckets",
-    "graph_triangle_count",
-    # --- streaming (4): the NEW event-time-timer entry + never-checked reps
-    "streaming_first_horizon_watermark",
-    "streaming_chained_agg",
-    "streaming_hbasekv_changefeed",
-    "streaming_foreachbatch_sink",
+    "scalar_datetime",
+    "scalar_array_hof",
+    "window_time_weighted_avg",
+    "sample_weighted_reservoir",
+    "text_encoding_quality",
+    # --- changed this round AND first-time (6): type-parity alignments
+    "events_histogram",
+    "scalar_regexp_extract_all",
+    "window_rolling_distinct",
+    "sample_per_key_hash",
+    "scalar_interval_arith",
+    "window_counter_increase",
+    # --- NEW round-7 URL dedup family (2)
+    "dedup_url_normalized",
+    "dedup_domain_cap",
+    # --- streaming, never driver-checked (10)
+    "streaming_dedup_distinct",
+    "streaming_dropdup_within_watermark",
+    "streaming_latest_per_key",
+    "streaming_ohlc_bars",
+    "streaming_running_totals",
+    "streaming_session_dynamic_gap",
+    "streaming_sliding_counts",
+    "streaming_static_enrich",
+    "streaming_stream_join",
+    "streaming_tumbling_watermarked",
+    # --- sketch QA, never driver-checked (4)
+    "approx_distinct_qa",
+    "approx_heavy_hitters_qa",
+    "count_min_qa",
+    "hll_sketch_union_qa",
+    # --- aggregation, never driver-checked (4)
+    "agg_bitwise_bool",
+    "agg_collation_ci",
+    "agg_geomean_margin",
+    "agg_max_by",
+    # --- events / time-series, never driver-checked (7)
+    "events_anomaly_zscore",
+    "events_gap_percentiles",
+    "events_mad_outliers",
+    "events_ohlc_bars",
+    "events_pattern_3seq",
+    "events_pattern_runs",
+    "events_user_entropy",
+    # --- scalar functions, never driver-checked (7)
+    "scalar_array_setops",
+    "scalar_haversine_nearest",
+    "scalar_inline_structs",
+    "scalar_try_cast",
+    "scalar_tz_convert",
+    "scalar_url_parse",
+    "scalar_zorder_key",
+    # --- windows / text, never driver-checked (3)
+    "window_first_last_nth",
+    "text_char_entropy",
+    "text_hash_features",
 ]
 
 
