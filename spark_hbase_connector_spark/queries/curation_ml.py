@@ -153,7 +153,8 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (SELECT doc_id, sum(wt) AS llr FROM tk JOIN w USING (tok)
           GROUP BY doc_id)
-    SELECT doc_id, round(llr + p, 4) AS log_odds, (llr + p > 0) AS pred_curated
+    SELECT doc_id, round(llr + p, 4) AS log_odds,
+           (round(llr + p, 4) > 0) AS pred_curated
     FROM s CROSS JOIN prior
     ORDER BY doc_id
     """,
@@ -176,9 +177,20 @@ def text_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into the result (allow-listed single-row BNLJ). Token join
     keys are xxhash64 so vocabulary strings never shuffle.
 
-    pred_curated compares the UNROUNDED log-odds to 0 (both engines sum
-    the same irrational weights; a sign flip needs |log_odds| < ~1e-13,
-    which the smoothed weights cannot produce)."""
+    pred_curated is decided on the 4dp-ROUNDED log_odds — the exact value
+    both engines compare/hash — so the boolean is a pure function of a
+    compared column and can never diverge on float summation order
+    (CLAUDE.md decision-boundary rule; tightened from the unrounded sign
+    per ADVICE r6).
+
+    Token keys are xxhash64, so vocabulary strings never shuffle while
+    the oracle keys on raw tokens. Collision bound (the dedup.py
+    rationale applied to a vocabulary): one 64-bit collision merges two
+    vocab rows, expected colliding PAIRS ~ V^2/2^65 — at a
+    100M-type vocabulary that is ~5e-4 expected collisions, and the
+    harness vocabularies (<100k types) are ~1e-10; any actual collision
+    would mismatch the raw-keyed oracle and FAIL loudly, never
+    false-pass."""
     d = load(spark, sf_dir, "documents")
     is_pos = F.col("source").isin("src0", "src1", "src2")
     tk = (
@@ -213,7 +225,9 @@ def text_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.round(F.col("llr") + F.col("p"), 4).alias("log_odds"),
-            ((F.col("llr") + F.col("p")) > 0).alias("pred_curated"),
+            # decide on the ROUNDED value: the boolean must be a pure
+            # function of the compared/hashed log_odds column
+            (F.round(F.col("llr") + F.col("p"), 4) > 0).alias("pred_curated"),
         )
         .orderBy("doc_id")
     )
@@ -266,7 +280,13 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     — exact and fine to the ~100-language scale of real corpora because
     only (doc_id, ppl) pairs sort, not documents; past that, swap the
     exact tercile for approx_percentile thresholds on a sample (the
-    sketch path `approx_quantiles_qa` certifies)."""
+    sketch path `approx_quantiles_qa` certifies).
+
+    Token keys are xxhash64 vs the oracle's raw tokens — same collision
+    rationale as `text_quality_classifier_nb`: expected colliding pairs
+    ~ V^2/2^65 (~1e-10 at harness scale, ~5e-4 at a 100M-type
+    vocabulary), and a collision mismatches the raw-keyed oracle and
+    fails loudly rather than false-passing."""
     d = load(spark, sf_dir, "documents")
     tk = (
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
