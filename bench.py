@@ -33,6 +33,15 @@ def main() -> None:
     spark = get_spark("bench")
 
     bench_specs = {n: s for n, s in REGISTRY.items() if s.bench}
+    # optional subset (comma-separated names) for scale probes where the
+    # full headline set is impractical — e.g. the sf100 decade measurement
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        keep = [n.strip() for n in subset.split(",") if n.strip()]
+        unknown = [n for n in keep if n not in REGISTRY]
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+        bench_specs = {n: REGISTRY[n] for n in keep}
     # warm-up: JVM/codegen/files (flagship touches the catalog path)
     materialize(bench_specs["scan_flagship"].fn(spark, sf_dir))
 
