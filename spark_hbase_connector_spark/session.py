@@ -51,6 +51,17 @@ def get_spark(
         .config(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
         )
+        # TypedImperative aggregates (HLL/theta/bitmap sketches) run through
+        # ObjectHashAggregateExec, which silently FALLS BACK to sort-based
+        # aggregation after 128 distinct keys per task — at sf100 the per-day
+        # HLL build (150 groups > 128) degenerated into a full sort of 100M
+        # rows per task (hll_sketch_union_qa 22.5x per decade; 37 s -> 23 s
+        # with the raised cap). Sketch buffers are ~KBs, so 4096 in-memory
+        # groups per task is a few MB — never a memory risk.
+        .config(
+            "spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold",
+            "4096",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
