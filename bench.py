@@ -42,8 +42,10 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown bench queries: {unknown}")
         bench_specs = {n: REGISTRY[n] for n in keep}
-    # warm-up: JVM/codegen/files (flagship touches the catalog path)
-    materialize(bench_specs["scan_flagship"].fn(spark, sf_dir))
+    # warm-up: JVM/codegen/files (flagship touches the catalog path; fall
+    # back to the subset's first entry when the flagship isn't selected)
+    warm = bench_specs.get("scan_flagship") or next(iter(bench_specs.values()))
+    materialize(warm.fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():

@@ -18,6 +18,7 @@ from spark_hbase_connector_spark.operators.dedup import (
     minhash_lsh_pairs,
     shingle_containment_pairs,
     shingle_jaccard_pairs,
+    shingle_jaccard_pairs_prefix,
     simhash_pairs,
 )
 from spark_hbase_connector_spark.operators.graph import connected_components
@@ -491,7 +492,7 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
-    pairs = shingle_jaccard_pairs(d, "text", "doc_id", threshold=0.85)
+    pairs = shingle_jaccard_pairs_prefix(d, "text", "doc_id", threshold=0.85)
     comp = connected_components_star(pairs.select("id1", "id2"))
     return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
@@ -525,10 +526,13 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components (min-label
     propagation over DataFrame joins) on the exact Jaccard>=0.85 near-dup
-    pair graph; component id = smallest doc_id in the cluster. The oracle
-    replays the pairs plus a recursive-CTE reachability closure."""
+    pair graph; component id = smallest doc_id in the cluster. The pair
+    source is the prefix-filter scale path (output-identical to the naive
+    inverted-index join; candidate volume Σpf(s)² not Σdf(s)² — r7, same
+    principle as `split_leakage_safe`'s rebind). The oracle replays the
+    pairs plus a recursive-CTE reachability closure."""
     d = load(spark, sf_dir, "documents")
-    pairs = shingle_jaccard_pairs(d, "text", "doc_id", threshold=0.85)
+    pairs = shingle_jaccard_pairs_prefix(d, "text", "doc_id", threshold=0.85)
     comp = connected_components(pairs)
     return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
@@ -1889,7 +1893,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster: one shuffle on the component id, no window, no second pass
     over the corpus."""
     d = load(spark, sf_dir, "documents")
-    pairs = shingle_jaccard_pairs(d, "text", "doc_id", threshold=0.85)
+    pairs = shingle_jaccard_pairs_prefix(d, "text", "doc_id", threshold=0.85)
     comp = connected_components(pairs)
     jd = comp.join(
         d.select(F.col("doc_id"), F.col("n_chars")),
