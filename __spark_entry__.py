@@ -103,10 +103,13 @@ DRIVER_WINDOW = [
     "scalar_tz_convert",
     "scalar_url_parse",
     "scalar_zorder_key",
-    # --- windows / text, never driver-checked (3)
-    "window_first_last_nth",
+    # --- windows / text, never driver-checked (2)
     "text_char_entropy",
     "text_hash_features",
+    # --- changed late in round 7 (1): the fresh full sf1 sweep caught
+    # round(sum(double),4) flipping its last digit on the salt-scrambled
+    # summation order; total_price now sums exact decimals (money rule)
+    "join_salted_skew",
 ]
 
 

@@ -287,7 +287,8 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderstatus,
            count(*) AS n,
-           round(sum(l.l_extendedprice), 4) AS total_price
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_price
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
     """,
@@ -297,7 +298,14 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted fact-dim equi-join (operators.skew.salted_join): each fact key
     is spread over 8 salt sub-keys and the orders side replicated 8x, so a
     hot orderkey lands on 8 reducers instead of one. Semantics are provably
-    identical to the plain join — the oracle IS the plain join."""
+    identical to the plain join — the oracle IS the plain join.
+
+    total_price sums EXACT decimals (money rule, CLAUDE.md): at sf1 the
+    group sums reach ~1e11 over 6M addends, where float summation-order
+    noise (~sqrt(n)*eps*magnitude ~ 0.03) dwarfs a 4dp round — the old
+    round(sum(double),4) flipped its last digit whenever task boundaries
+    moved. The exact decimal sum is order-independent on both engines;
+    the final IEEE decimal->double cast is deterministic."""
     from spark_hbase_connector_spark.operators.skew import salted_join
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
@@ -307,7 +315,9 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, o, on="l_orderkey", salt=8)
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
     )
 
 
