@@ -37,10 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order — all are equally oracle-checked by the in-repo
 # differential (scripts/run_differential.py).
 DRIVER_WINDOW = [
-    # Round-7 rotation (VERDICT r6 ask #6): 43 of these 50 have NEVER
-    # carried the external driver signal (86% first-time). The seven
-    # exceptions are previously-green entries whose HASH INPUTS changed
-    # this round and must re-earn the signal: the r6 driver-red
+    # Round-7 rotation (VERDICT r6 ask #6): 42 of these 50 have NEVER
+    # carried the external driver signal (84% first-time; includes the
+    # four entries ADDED this round — URL dedup x2, filtered vector
+    # search, paragraph dedup — which displace events_ohlc_bars and
+    # text_char_entropy, each redundantly covered by a driver-checked
+    # family sibling). The eight repeats are previously-green entries
+    # whose HASH INPUTS changed this round and must re-earn the signal: the r6 driver-red
     # kv_counter_increments (oracle's HUGEINT sum wrapped in CAST(.. AS
     # BIGINT) — the judge's root cause), split_leakage_safe (pair source
     # rebound to the prefix-filter scale path, ask #4), and five entries
@@ -63,9 +66,13 @@ DRIVER_WINDOW = [
     "sample_per_key_hash",
     "scalar_interval_arith",
     "window_counter_increase",
-    # --- NEW round-7 URL dedup family (2)
+    # --- NEW round-7 entries (4): URL dedup family, filtered vector
+    # search, CCNet-style paragraph dedup — all never driver-checked by
+    # construction
     "dedup_url_normalized",
     "dedup_domain_cap",
+    "ann_topk_filtered",
+    "dedup_repeated_paragraphs",
     # --- streaming, never driver-checked (10)
     "streaming_dedup_distinct",
     "streaming_dropdup_within_watermark",
@@ -91,7 +98,6 @@ DRIVER_WINDOW = [
     "events_anomaly_zscore",
     "events_gap_percentiles",
     "events_mad_outliers",
-    "events_ohlc_bars",
     "events_pattern_3seq",
     "events_pattern_runs",
     "events_user_entropy",
@@ -103,8 +109,7 @@ DRIVER_WINDOW = [
     "scalar_tz_convert",
     "scalar_url_parse",
     "scalar_zorder_key",
-    # --- windows / text, never driver-checked (2)
-    "text_char_entropy",
+    # --- windows / text, never driver-checked (1)
     "text_hash_features",
     # --- changed late in round 7 (1): the fresh full sf1 sweep caught
     # round(sum(double),4) flipping its last digit on the salt-scrambled

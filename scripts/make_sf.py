@@ -43,6 +43,7 @@ import sys
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 STRIDE = 10_000_000
@@ -122,6 +123,19 @@ def main() -> None:
         print(f"{t}: copied (SF-invariant dim)", flush=True)
     for t, keys in KEY_COLS.items():
         base = pq.read_table(f"{src}/{t}.parquet")
+        # Replication must start from the PRISTINE sf0.1: a generated sf
+        # already carries replica strides, and re-offsetting collides
+        # (replica r of stride p lands on p+r — e.g. sf1 -> "sf10" had
+        # 500k rows but only 95k distinct doc_ids). Make sf10 with
+        # `make_sf.py 100 /root/testdata/sf0.1 ...`, never by chaining.
+        for c in keys:
+            mx = pc.max(base.column(c)).as_py()
+            if mx is not None and mx >= STRIDE:
+                raise SystemExit(
+                    f"{t}.{c} max={mx} >= STRIDE: {src} is already a "
+                    "generated scale factor — replicate from the original "
+                    "sf0.1 with a larger replica count instead"
+                )
         d = f"{out}/{t}.parquet"
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d)

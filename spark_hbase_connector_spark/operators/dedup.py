@@ -133,6 +133,57 @@ def shingle_postings_pos(
     return src.mapInPandas(gen, schema=f"id {id_type}, p int, s string")
 
 
+def paragraph_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    passthrough: tuple[str, ...] = (),
+    w: int = 8,
+) -> DataFrame:
+    """(id, *passthrough, ord, seg): NON-overlapping ``w``-token chunks of
+    each document, in order — the "paragraph" unit for CCNet-style
+    sub-document dedup (the corpus text carries no newline structure, so
+    fixed-width token windows stand in for paragraphs, the same stand-in
+    ``dedup_sentence_exact`` uses for sentences). Unlike
+    :func:`shingle_postings` the chunks tile the document (len/w rows per
+    doc, not len rows), and ``ord`` preserves reconstruction order. Same
+    single Arrow-pass architecture (see the module docstring for why the
+    pure-expression formulation loses)."""
+    import pandas as pd
+
+    cols = [F.col(id_col).alias("id"), *passthrough, F.col(text_col).alias("__text")]
+    src = df.select(*cols)
+    id_type = df.schema[id_col].dataType.simpleString()
+    pt_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {"id": [], **{c: [] for c in passthrough}}
+            ords: list[int] = []
+            segs: list[str] = []
+            pt_vals = [pdf[c] for c in passthrough]
+            for k, (i, t) in enumerate(zip(pdf["id"], pdf["__text"])):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                n = (len(toks) + w - 1) // w
+                for j in range(n):
+                    out["id"].append(i)
+                    for c, vals in zip(passthrough, pt_vals):
+                        out[c].append(vals.iloc[k])
+                    ords.append(j)
+                    segs.append(" ".join(toks[j * w : (j + 1) * w]))
+            out["ord"] = pd.array(ords, dtype="int32")
+            out["seg"] = segs
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        gen, schema=f"id {id_type}{pt_schema}, ord int, seg string"
+    )
+
+
 def duplicated_span_stats(
     df: DataFrame, text_col: str, id_col: str, w: int = 8
 ) -> DataFrame:

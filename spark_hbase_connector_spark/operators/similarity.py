@@ -128,6 +128,106 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    q_filter: str = "label",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    c_filter: str = "label",
+) -> DataFrame:
+    """Exact predicate-constrained top-k cosine neighbors: a corpus vector
+    is a candidate for query q only when its ``c_filter`` value equals q's
+    ``q_filter`` value (the filtered vector search every metadata-aware
+    retrieval system runs — "nearest neighbors WHERE label = ...").
+
+    Scale shape, same architecture as :func:`brute_force_topk` (broadcast
+    query matrix, one Arrow matmul pass, per-batch top-k), with the filter
+    applied at BOTH ends: the distinct query filter values become an
+    ``isin`` predicate pushed into the corpus scan (parquet row-group stats
+    prune non-matching data before it is ever read — pre-filtering, not
+    the recall-losing post-filter of rank-then-discard), and inside each
+    batch a vectorized equality mask restricts the score matrix columns a
+    query may rank. Exact by the same containment argument: per-batch
+    top-k uses the final window's total order (score desc, neighbor_id
+    asc) over exactly the rows that satisfy the predicate."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(q_id, q_vec, q_filter).collect()  # small by contract
+    qids = [r[0] for r in q_rows]
+    qlabs = [r[2] for r in q_rows]
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    keep = qn > 0
+    kept = [(i, l) for i, l, ok in zip(qids, qlabs, keep) if ok]
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((kept, Q[keep], qn[keep]))
+
+    q_type = queries.schema[q_id].dataType.simpleString()
+    c_type = corpus.schema[c_id].dataType.simpleString()
+    wanted = sorted({l for _, l in kept})
+    src = corpus.where(F.col(c_filter).isin(wanted)).select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_vec).alias("__cv"),
+        F.col(c_filter).alias("__cl"),
+    )
+
+    def gen(batches):
+        b_kept, b_Q, b_qn = bq.value
+        m = len(b_kept)
+        if m == 0:
+            return
+        for pdf in batches:
+            cids_all = pdf["neighbor_id"]
+            labs_all = pdf["__cl"]
+            vecs = pdf["__cv"]
+            rows = [i for i in range(len(pdf)) if vecs.iloc[i] is not None]
+            if not rows:
+                continue
+            C = np.vstack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in rows])
+            cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+            ok = cn > 0
+            if not ok.any():
+                continue
+            C = C[ok]
+            live = [rows[i] for i in np.flatnonzero(ok)]
+            cids = [cids_all.iloc[i] for i in live]
+            clabs = [labs_all.iloc[i] for i in live]
+            S = (C @ b_Q.T) / (cn[ok][:, None] * b_qn[None, :])
+            out_q: list = []
+            out_c: list = []
+            out_s: list = []
+            for j, (qid, qlab) in enumerate(b_kept):
+                s = S[:, j]
+                cand = [
+                    i
+                    for i in range(len(cids))
+                    if clabs[i] == qlab and cids[i] != qid
+                ]
+                order = sorted(cand, key=lambda i: (-s[i], cids[i]))[:k]
+                for i in order:
+                    out_q.append(qid)
+                    out_c.append(cids[i])
+                    out_s.append(s[i])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_c, "score": out_s}
+            )
+
+    scored = src.mapInPandas(
+        gen, schema=f"query_id {q_type}, neighbor_id {c_type}, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -1314,3 +1314,88 @@ def dedup_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("domain", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), "rnk")
         .orderBy("domain", "rnk")
     )
+
+
+@query(
+    "dedup_repeated_paragraphs",
+    oracle="""
+    WITH segs AS (
+      SELECT doc_id, source,
+             unnest(ch) AS seg,
+             unnest(range(1, len(ch) + 1)) AS ord
+      FROM (
+        SELECT doc_id, source,
+               list_transform(range(0, CAST(ceil(len(l) / 8.0) AS BIGINT)),
+                              j -> array_to_string(l[j*8+1 : j*8+8], ' ')) AS ch
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+              FROM documents)
+      )
+    ),
+    flagged AS (
+      SELECT doc_id, ord, seg,
+             row_number() OVER (PARTITION BY source, md5(seg)
+                                ORDER BY doc_id, ord) = 1 AS keep
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_segments,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INTEGER) AS n_dropped,
+           md5(coalesce(
+             string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY ord),
+             '')) AS cleaned_md5
+    FROM flagged GROUP BY doc_id
+    """,
+    tags=("pipeline", "dedup", "text"),
+)
+def dedup_repeated_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document paragraph dedup WITH document
+    reconstruction: within each source, every repeated paragraph keeps
+    only its first occurrence (ordered by doc_id, then position) and all
+    later occurrences are stripped; each document comes back as
+    (n_segments, n_dropped, md5 of the cleaned text). This is the stage
+    CCNet/RefinedWeb run before document-level dedup — boilerplate
+    (headers, navbars, license blurbs) repeats across a domain's pages
+    while the prose does not. Paragraph unit: non-overlapping 8-token
+    chunks (`operators/dedup.paragraph_chunks`; the corpus carries no
+    newline structure — same stand-in `dedup_sentence_exact` uses).
+
+    Scale shape: ONE Arrow chunking pass (persisted — two consumers,
+    per the repo invariant), then first-occurrence = min(struct(doc_id,
+    ord)) per (source, md5(paragraph)) — a partial-aggregated groupBy,
+    so a paragraph duplicated a million times collapses to one row per
+    map task BEFORE the exchange (a window row_number would haul every
+    occurrence of a viral paragraph onto one task); the flag join back
+    rides the identical (source, hash) key, and reconstruction is one
+    doc_id groupBy assembling kept chunks in order. Three shuffles
+    total, each over paragraph-instance rows at most once. Keep/drop is
+    an exact string-equality decision — no float boundary."""
+    from spark_hbase_connector_spark.operators.dedup import paragraph_chunks
+
+    d = load(spark, sf_dir, "documents")
+    segs = paragraph_chunks(
+        d, "text", "doc_id", passthrough=("source",), w=8
+    ).withColumn("h", F.md5(F.col("seg").cast("binary")))
+    segs = segs.persist()
+    firsts = segs.groupBy("source", "h").agg(
+        F.min(F.struct("id", "ord")).alias("first")
+    )
+    flagged = segs.join(firsts, ["source", "h"]).withColumn(
+        "keep",
+        (F.col("id") == F.col("first.id")) & (F.col("ord") == F.col("first.ord")),
+    )
+    kept_seg = F.when(F.col("keep"), F.struct("ord", "seg"))
+    return (
+        flagged.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_segments"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("int").alias("n_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_seg)), lambda x: x["seg"]
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("cleaned_md5"),
+        )
+    )

@@ -32,6 +32,7 @@ from spark_hbase_connector_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs,
     cosine_pairs_lsh,
+    filtered_topk,
     ivf_topk,
 )
 from spark_hbase_connector_spark.queries.registry import query
@@ -710,6 +711,52 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     out = brute_force_topk(q, e, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+@query(
+    "ann_topk_filtered",
+    oracle=f"""
+    WITH {_DUCK_VECS},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    q AS (SELECT n.vec_id, n.e, n.nrm, lab.label
+          FROM n JOIN lab USING (vec_id) WHERE n.vec_id < 10),
+    c AS (SELECT n.vec_id, n.e, n.nrm, lab.label FROM n JOIN lab USING (vec_id)),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.e) + 1),
+                      i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS score
+      FROM q JOIN c ON c.label = q.label AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(score, 4) AS score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "filtered"),
+)
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact top-5 cosine neighbors of each query
+    RESTRICTED to corpus vectors sharing the query's label — the
+    metadata-constrained retrieval shape ("nearest docs WHERE lang = ..."),
+    via `operators/similarity.filtered_topk`. Pre-filter, not post-filter:
+    the query set's distinct labels compile to an ``isin`` predicate pushed
+    into the parquet scan (row-group pruning — at 100 TB with
+    label-partitioned layout this becomes partition pruning and the scan
+    touches only matching data), and inside each Arrow batch an equality
+    mask limits which score-matrix columns a query ranks, so k results are
+    guaranteed (rank-then-discard post-filtering can return < k and loses
+    recall). Exactness argument inherited from brute_force_topk: per-batch
+    top-k under the final total order contains the global top-k."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = filtered_topk(q, e, k=5)
     return out.select(
         "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
     )

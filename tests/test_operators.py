@@ -934,3 +934,79 @@ def test_edit_distance_pairs_equals_brute_force(spark):
         .collect()
     )
     assert got == want and len(want) > 10
+
+
+def test_filtered_topk_equals_label_constrained_brute_force(spark):
+    """filtered_topk must be EXACT under the predicate: for every query,
+    its top-k equals the brute-force ranking restricted to same-label
+    corpus vectors; all neighbors share the query's label; k results are
+    returned whenever the label population allows (pre-filter guarantee —
+    post-filtering brute-force top-k would return fewer)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from spark_hbase_connector_spark.operators.similarity import filtered_topk
+
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((120, 8))
+    labs = [i % 3 for i in range(120)]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=V[i].tolist(), label=labs[i]) for i in range(120)]
+    )
+    q = df.where("vec_id < 6")
+    got = [
+        (r.query_id, r.rank, r.neighbor_id, round(r.score, 9))
+        for r in filtered_topk(q, df, k=4).collect()
+    ]
+    # brute force truth
+    want = []
+    nrm = np.sqrt((V * V).sum(axis=1))
+    for qi in range(6):
+        scores = sorted(
+            (
+                (-float(V[qi] @ V[ci]) / float(nrm[qi] * nrm[ci]), ci)
+                for ci in range(120)
+                if labs[ci] == labs[qi] and ci != qi
+            ),
+        )[:4]
+        for rank, (neg_s, ci) in enumerate(scores, 1):
+            want.append((qi, rank, ci, round(-neg_s, 9)))
+    assert sorted(got) == sorted(want)
+    assert len(got) == 24  # every query got its full k under the predicate
+    assert all(labs[nid] == labs[qid] for qid, _, nid, _ in got)
+
+
+def test_paragraph_chunks_tile_and_reconstruct(spark):
+    """paragraph_chunks must tile the document exactly (ord-ordered,
+    non-overlapping, remainder chunk kept) so joining the chunks back in
+    ord order reproduces the original text byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from spark_hbase_connector_spark.operators.dedup import paragraph_chunks
+
+    docs = [
+        (1, "s0", " ".join(f"w{i}" for i in range(19))),  # 2 full + 3-tok tail
+        (2, "s0", "a b"),  # shorter than w
+        (3, "s1", " ".join(["x"] * 8)),  # exactly one chunk
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    segs = paragraph_chunks(df, "text", "doc_id", passthrough=("source",), w=8)
+    rows = sorted((r.id, r.ord, r.seg, r.source) for r in segs.collect())
+    assert [r[1] for r in rows if r[0] == 1] == [0, 1, 2]
+    rebuilt = {
+        r.id: r.text
+        for r in segs.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .collect()
+    }
+    assert rebuilt == {i: t for i, _, t in docs}
+    # passthrough column rides along unchanged
+    assert {(r[0], r[3]) for r in rows} == {(1, "s0"), (2, "s0"), (3, "s1")}
