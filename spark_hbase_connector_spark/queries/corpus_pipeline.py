@@ -1359,16 +1359,20 @@ def dedup_repeated_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks (`operators/dedup.paragraph_chunks`; the corpus carries no
     newline structure — same stand-in `dedup_sentence_exact` uses).
 
-    Scale shape: ONE Arrow chunking pass (persisted — two consumers,
-    per the repo invariant), then first-occurrence = min(struct(doc_id,
-    ord)) per (source, md5(paragraph)) — a partial-aggregated groupBy,
-    so a paragraph duplicated a million times collapses to one row per
-    map task BEFORE the exchange (a window row_number would haul every
-    occurrence of a viral paragraph onto one task); the flag join back
-    rides the identical (source, hash) key, and reconstruction is one
-    doc_id groupBy assembling kept chunks in order. Three shuffles
-    total, each over paragraph-instance rows at most once. Keep/drop is
-    an exact string-equality decision — no float boundary."""
+    Scale shape: ONE Arrow chunking pass (persisted — multiple
+    consumers, per the repo invariant), then first-occurrence =
+    min(struct(doc_id, ord)) per (source, md5(paragraph)) — a
+    partial-aggregated groupBy, so a paragraph duplicated a million
+    times collapses to one row per map task BEFORE the exchange (a
+    window row_number would haul every occurrence of a viral paragraph
+    onto one task). The flag pipeline runs on KEY-ONLY projections
+    (source, hash, id, ord) and re-joins per document as a
+    dropped-positions array, so the chunk TEXT crosses the wire exactly
+    once — on the doc_id exchange the reconstruction groupBy reuses (the
+    first formulation joined flags on (source, hash) and shuffled text
+    twice; at sf100 / 5M docs that was the decade's dominant mover).
+    Keep/drop is an exact string-equality decision — no float
+    boundary."""
     from spark_hbase_connector_spark.operators.dedup import paragraph_chunks
 
     d = load(spark, sf_dir, "documents")
@@ -1376,12 +1380,22 @@ def dedup_repeated_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", passthrough=("source",), w=8
     ).withColumn("h", F.md5(F.col("seg").cast("binary")))
     segs = segs.persist()
-    firsts = segs.groupBy("source", "h").agg(
+    keys = segs.select("source", "h", "id", "ord")
+    firsts = keys.groupBy("source", "h").agg(
         F.min(F.struct("id", "ord")).alias("first")
     )
-    flagged = segs.join(firsts, ["source", "h"]).withColumn(
+    dropped = (
+        keys.join(firsts, ["source", "h"])
+        .where(
+            (F.col("id") != F.col("first.id")) | (F.col("ord") != F.col("first.ord"))
+        )
+        .groupBy("id")
+        .agg(F.collect_set("ord").alias("dropped_ords"))
+    )
+    flagged = segs.join(dropped, "id", "left").withColumn(
         "keep",
-        (F.col("id") == F.col("first.id")) & (F.col("ord") == F.col("first.ord")),
+        F.col("dropped_ords").isNull()
+        | ~F.array_contains(F.col("dropped_ords"), F.col("ord")),
     )
     kept_seg = F.when(F.col("keep"), F.struct("ord", "seg"))
     return (
