@@ -35,6 +35,8 @@ SUBSET = [
     "agg_stats_moments",
     "unpivot_measures",
     "ann_topk_cosine",
+    "ann_topk_filtered",
+    "dedup_repeated_paragraphs",
     "text_token_stats",
     "text_langid",
     "multimodal_meta",
