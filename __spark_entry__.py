@@ -89,11 +89,10 @@ DRIVER_WINDOW = [
     "approx_heavy_hitters_qa",
     "count_min_qa",
     "hll_sketch_union_qa",
-    # --- aggregation, never driver-checked (4)
+    # --- aggregation, never driver-checked (3)
     "agg_bitwise_bool",
     "agg_collation_ci",
     "agg_geomean_margin",
-    "agg_max_by",
     # --- events / time-series, never driver-checked (7)
     "events_anomaly_zscore",
     "events_gap_percentiles",
@@ -101,14 +100,21 @@ DRIVER_WINDOW = [
     "events_pattern_3seq",
     "events_pattern_runs",
     "events_user_entropy",
-    # --- scalar functions, never driver-checked (7)
+    # --- scalar functions, never driver-checked (5): scalar_try_cast and
+    # agg_max_by rotated out for the round-7d additions — each has
+    # multiple driver-checked family siblings (scalar_array_hof /
+    # scalar_datetime r6-7; agg_stats_moments / agg_bitmap_distinct r6)
     "scalar_array_setops",
     "scalar_haversine_nearest",
     "scalar_inline_structs",
-    "scalar_try_cast",
     "scalar_tz_convert",
     "scalar_url_parse",
     "scalar_zorder_key",
+    # --- NEW round-7d entries (2): hybrid lexical+vector retrieval with
+    # reciprocal-rank fusion; BPE tokenizer application (per-source
+    # fertility under the trained merges) — first-time by construction
+    "search_hybrid_rrf",
+    "bpe_encode_corpus",
     # --- windows / text, never driver-checked (1)
     "text_hash_features",
     # --- changed late in round 7 (1): the fresh full sf1 sweep caught

@@ -1413,3 +1413,165 @@ def dedup_repeated_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cleaned_md5"),
         )
     )
+
+
+def _train_bpe_merges_local(
+    vocab: list[tuple[str, int]], rounds: int = 3
+) -> list[str]:
+    """Driver-side BPE merge training over the BOUNDED top-V vocabulary —
+    the exact formulation of `bpe_train_merges` (and its DuckDB CTE chain
+    v0/p1/b1/.../b3) in plain Python: symbol sequences are '·'-prefix-
+    delimited strings, each round counts adjacent symbol pairs weighted by
+    word frequency, picks the argmax under the (count DESC, pair ASC)
+    total order, and merges it everywhere as a literal leftmost-
+    non-overlapping replace('·a·b' -> '·ab') — `str.replace` has the same
+    leftmost-non-overlapping all-occurrence semantics as SQL `replace` on
+    both engines (probe-verified for the '·a·a·a' case in
+    `bpe_train_merges`). Pair tie-break: Python str comparison is
+    codepoint order == UTF-8 byte order (UTF-8 preserves codepoint
+    ordering) == DuckDB/Spark binary collation.
+
+    Driver-side is the scale-honest choice, not a shortcut: the input is
+    the top-V vocabulary (V rows by LIMIT, independent of corpus size) —
+    production BPE trainers separate the distributed corpus word-count
+    pass from the in-memory merge loop the same way. Unit-tested equal to
+    the distributed `bpe_train_merges` entry (tests/test_corpus_ops.py).
+    """
+    seqs = {w: "".join("·" + ch for ch in w) for w, _ in vocab}
+    merges: list[str] = []
+    for _ in range(rounds):
+        counts: dict[str, int] = {}
+        for w, cnt in vocab:
+            syms = seqs[w].split("·")[1:]
+            for a, b in zip(syms, syms[1:]):
+                p = a + "·" + b
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = "·" + best.replace("·", "")
+        for w in seqs:
+            seqs[w] = seqs[w].replace("·" + best, merged)
+    return merges
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=r"""
+    WITH wc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY source, w
+    ),
+    vocab AS (
+      SELECT w, sum(cnt)::BIGINT AS cnt FROM wc
+      GROUP BY w ORDER BY cnt DESC, w LIMIT 100
+    ),
+    v0 AS (SELECT cnt, regexp_replace(w, '(.)', '·\1', 'g') AS seq FROM vocab),
+    p1 AS (
+      SELECT pair, sum(cnt)::BIGINT AS n FROM (
+        SELECT cnt, unnest(list_transform(range(2, len(string_split(seq, '·'))),
+          i -> string_split(seq, '·')[i] || '·' || string_split(seq, '·')[i+1])) AS pair
+        FROM v0) GROUP BY pair
+    ),
+    b1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1),
+    v1 AS (SELECT cnt, replace(seq, '·' || b1.pair,
+                 '·' || replace(b1.pair, '·', '')) AS seq FROM v0, b1),
+    p2 AS (
+      SELECT pair, sum(cnt)::BIGINT AS n FROM (
+        SELECT cnt, unnest(list_transform(range(2, len(string_split(seq, '·'))),
+          i -> string_split(seq, '·')[i] || '·' || string_split(seq, '·')[i+1])) AS pair
+        FROM v1) GROUP BY pair
+    ),
+    b2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1),
+    v2 AS (SELECT cnt, replace(seq, '·' || b2.pair,
+                 '·' || replace(b2.pair, '·', '')) AS seq FROM v1, b2),
+    p3 AS (
+      SELECT pair, sum(cnt)::BIGINT AS n FROM (
+        SELECT cnt, unnest(list_transform(range(2, len(string_split(seq, '·'))),
+          i -> string_split(seq, '·')[i] || '·' || string_split(seq, '·')[i+1])) AS pair
+        FROM v2) GROUP BY pair
+    ),
+    b3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1),
+    enc AS (
+      SELECT wc.source, wc.cnt,
+             replace(replace(replace(regexp_replace(wc.w, '(.)', '·\1', 'g'),
+               '·' || b1.pair, '·' || replace(b1.pair, '·', '')),
+               '·' || b2.pair, '·' || replace(b2.pair, '·', '')),
+               '·' || b3.pair, '·' || replace(b3.pair, '·', '')) AS seq
+      FROM wc, b1, b2, b3
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * (len(string_split(seq, '·')) - 1)) AS BIGINT)
+             AS n_tokens,
+           round(CAST(sum(cnt * (len(string_split(seq, '·')) - 1)) AS DOUBLE)
+                 / CAST(sum(cnt) AS DOUBLE), 4) AS fertility
+    FROM enc GROUP BY source ORDER BY source
+    """,
+    tags=("text", "tokenizer", "bpe", "pipeline"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the pass `bpe_train_merges` trains for:
+    encode the whole corpus under the 3 trained merges and report
+    per-source token counts and fertility (tokens/word), the number every
+    tokenizer change is judged by before a training run.
+
+    Scale shape: ONE corpus-sized explode + partial-aggregated groupBy
+    builds per-(source, word) counts — the only corpus-sized shuffle.
+    Everything downstream is vocabulary-sized: the global top-100 vocab is
+    a word-sized re-aggregation of those counts (no second corpus scan),
+    merge training runs on the driver over the BOUNDED top-100 rows
+    (`_train_bpe_merges_local` — the corpus-pass/merge-loop split
+    production BPE trainers use), and encoding applies the merges as three
+    literal JVM `replace` expressions over DISTINCT (source, word) rows,
+    weighted by count — encode cost tracks vocabulary, not corpus bytes.
+    The `wc` subtree feeds two consumers (vocab collect + final agg), so
+    it is persisted per the multi-consumer invariant.
+
+    Words are '·'-prefix-delimited symbol strings as in training; corpus
+    words contain no '·' (ASCII tokens by fixture contract). Merge-pair
+    semantics and tie-breaks are bit-identical to `bpe_train_merges`
+    (unit-tested equal); the oracle replays the identical CTE chain."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    vocab_rows = (
+        wc.groupBy("w")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(100)
+        .collect()
+    )
+    merges = _train_bpe_merges_local(
+        [(r["w"], int(r["cnt"])) for r in vocab_rows], rounds=3
+    )
+    seq = F.regexp_replace("w", "(.)", "·$1")
+    for pair in merges:
+        seq = F.replace(
+            seq, F.lit("·" + pair), F.lit("·" + pair.replace("·", ""))
+        )
+    tpw = F.size(F.split(seq, "·")) - F.lit(1)
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * tpw).cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+                4,
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )

@@ -2739,3 +2739,139 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("id").alias("keep_id"), F.count("*").alias("copies"))
         .orderBy("keep_id")
     )
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH {_DUCK_VECS},
+    q AS (SELECT e, nrm FROM n WHERE vec_id = 0),
+    vscore AS (
+      SELECT c.vec_id AS doc_id,
+             list_sum(list_transform(range(1, len(q.e) + 1),
+                      i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS vs
+      FROM n c, q WHERE c.vec_id <> 0
+    ),
+    vrank AS (
+      SELECT doc_id, vec_rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY vs DESC, doc_id) AS INTEGER)
+                 AS vec_rank
+        FROM vscore)
+      WHERE vec_rank <= 100
+    ),
+    posts AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM posts WHERE term IN ('scan', 'join')
+      GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    lex AS (
+      SELECT t.doc_id, sum(t.tf * ln(nn.n_docs * 1.0 / i.df)) AS ls
+      FROM tf t JOIN idf i USING (term) CROSS JOIN nn
+      GROUP BY t.doc_id
+      HAVING count(*) = 2
+    ),
+    ltop AS (SELECT doc_id, ls FROM lex ORDER BY ls DESC, doc_id LIMIT 100),
+    lrank AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY ls DESC, doc_id) AS INTEGER)
+               AS lex_rank
+      FROM ltop
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
+               + coalesce(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0) AS rrf
+      FROM lrank l FULL JOIN vrank v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, round(rrf, 4) AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "search", "similarity", "pipeline"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard RAG
+    serving shape: a lexical leg (conjunctive TF-IDF over the inverted
+    index, as `search_ranked_conjunctive`) and a vector leg (exact cosine
+    top-100 for the query embedding, as `ann_topk_cosine`) fused by
+    RRF(k=60): score = sum over legs of 1/(60 + rank), missing leg
+    contributes 0; top-10 by (rrf DESC, doc_id).
+
+    Determinism across engines: both legs rank on floats, but every
+    ORDER/cut boundary is safe — exact score ties (same tf combination /
+    identical vectors) break on doc_id, and distinct scores differ by
+    far more than 1 ulp (lexical scores are small-integer combinations of
+    two logs), so both engines sort identically. The fused rrf is
+    computed from INTEGER ranks only (1.0/(60+r) is exact IEEE division,
+    summed in a fixed lex-then-vec order), hence bit-identical across
+    engines before the display rounding — the top-10 cut is decided on
+    those identical bits.
+
+    Scale shape: the lexical leg is `search_ranked_conjunctive`'s plan
+    (posting lists built only for query terms, df/corpus-count
+    scalar-sized, ONE corpus shuffle) cut to its top-100 via TakeOrdered
+    — the rank window then sorts 100 rows, never the full match set. The
+    vector leg broadcasts the single query vector and per-batch-top-k's
+    the corpus scan (`brute_force_topk`; swap in `ivf_topk` for the
+    sublinear path at 100 TB). Fusion joins two <=100-row lists."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    vec = brute_force_topk(e.where(F.col("vec_id") == 0), e, k=100)
+    vrank = vec.select(
+        F.col("neighbor_id").alias("v_doc"), F.col("rank").alias("vec_rank")
+    )
+    d.createOrReplaceTempView("documents_hybrid_v")
+    lex = spark.sql(
+        """
+        WITH posts AS (
+          SELECT doc_id, explode(split(text, ' ')) AS term
+          FROM documents_hybrid_v
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM posts WHERE term IN ('scan', 'join')
+          GROUP BY doc_id, term
+        ),
+        idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        lex AS (
+          SELECT t.doc_id,
+                 sum(t.tf * ln(
+                   (SELECT count(*) FROM documents_hybrid_v) * 1.0 / i.df))
+                   AS ls
+          FROM tf t JOIN idf i USING (term)
+          GROUP BY t.doc_id
+          HAVING count(*) = 2
+        ),
+        ltop AS (SELECT doc_id, ls FROM lex ORDER BY ls DESC, doc_id LIMIT 100)
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY ls DESC, doc_id) AS INT)
+                 AS lex_rank
+        FROM ltop
+        """
+    )
+    fused = lex.join(vrank, lex["doc_id"] == vrank["v_doc"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("v_doc")).alias("doc_id"),
+            "lex_rank",
+            "vec_rank",
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round("rrf", 4).alias("rrf_score"),
+        )
+    )

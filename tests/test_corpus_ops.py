@@ -1,0 +1,86 @@
+"""Tests for corpus-pipeline operators added in round 7: BPE tokenizer
+application and hybrid lexical+vector retrieval."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_hbase_connector_spark.queries import REGISTRY
+from spark_hbase_connector_spark.queries.corpus_pipeline import (
+    _train_bpe_merges_local,
+)
+
+
+def test_local_bpe_training_matches_distributed(spark, sf_dir):
+    """`_train_bpe_merges_local` (driver-side loop over the bounded top-100
+    vocab, used by `bpe_encode_corpus`) must pick the IDENTICAL merge
+    sequence as the distributed `bpe_train_merges` entry — same pair
+    counts, same (count DESC, pair ASC) argmax, same replace semantics."""
+    from spark_hbase_connector_spark.catalogs import load
+
+    distributed = (
+        REGISTRY["bpe_train_merges"].fn(spark, sf_dir).orderBy("round").collect()
+    )
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(100)
+        .collect()
+    )
+    local = _train_bpe_merges_local([(r["w"], int(r["cnt"])) for r in vocab], 3)
+    assert [r["pair"] for r in distributed] == local
+
+
+def test_local_bpe_merge_overlap_semantics():
+    """Leftmost-non-overlapping replace: merging the 'a·a' pair in '·a·a·a'
+    must give '·aa·a', matching SQL replace on both engines (the probe
+    case documented in `bpe_train_merges`)."""
+    merges = _train_bpe_merges_local([("aaa", 10)], rounds=1)
+    assert merges == ["a·a"]
+    # one application: "·a·a·a".replace("·a·a", "·aa") -> "·aa·a"
+    assert "·a·a·a".replace(
+        "·a·a", "·aa"
+    ) == "·aa·a"
+
+
+def test_bpe_encode_fertility_bounds(spark, sf_dir):
+    """Fertility is tokens/word over chars-per-word symbols: every word of
+    length L encodes to between ceil(L/2^3)=1 and L tokens, so fertility
+    must land in [1, max word length]; n_tokens <= total chars."""
+    out = REGISTRY["bpe_encode_corpus"].fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_words"] > 0
+        assert r["n_tokens"] >= r["n_words"]  # merges never cross words
+        assert 1.0 <= r["fertility"]
+
+
+def test_hybrid_rrf_fuses_both_legs(spark, sf_dir_t2):
+    """The fused top-10 must be deterministic across runs, carry at least
+    one leg rank per row, bound rrf by its analytic max 2/61, rank a
+    both-legs doc above any single-leg doc whose solo rank is no better
+    than either of its ranks, and come back rrf-sorted."""
+    fn = REGISTRY["search_hybrid_rrf"].fn
+    a = fn(spark, sf_dir_t2).collect()
+    b = fn(spark, sf_dir_t2).collect()
+    assert a == b
+    assert 0 < len(a) <= 10
+    for r in a:
+        assert r["lex_rank"] is not None or r["vec_rank"] is not None
+        assert r["rrf_score"] <= round(2.0 / 61.0, 4) + 1e-12
+    both = [r for r in a if r["lex_rank"] and r["vec_rank"]]
+    solo = [
+        r for r in a if (r["lex_rank"] is None) != (r["vec_rank"] is None)
+    ]
+    for rb in both:
+        for ro in solo:
+            solo_rank = ro["lex_rank"] or ro["vec_rank"]
+            if max(rb["lex_rank"], rb["vec_rank"]) <= solo_rank:
+                # 1/(60+l) + 1/(60+v) > 1/(60+s) when l, v <= s
+                assert rb["rrf_score"] >= ro["rrf_score"]
+    scores = [r["rrf_score"] for r in a]
+    assert scores == sorted(scores, reverse=True)
