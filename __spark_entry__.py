@@ -93,13 +93,17 @@ DRIVER_WINDOW = [
     "agg_bitwise_bool",
     "agg_collation_ci",
     "agg_geomean_margin",
-    # --- events / time-series, never driver-checked (7)
+    # --- events / time-series, never driver-checked (5):
+    # events_pattern_runs rotated out for the round-7d overlap matrix —
+    # its sibling events_pattern_3seq (same module, same groupBy-runs
+    # shape) stays in the window
     "events_anomaly_zscore",
     "events_gap_percentiles",
     "events_mad_outliers",
     "events_pattern_3seq",
-    "events_pattern_runs",
     "events_user_entropy",
+    # --- NEW round-7d entry (1): cross-source shingle overlap matrix
+    "corpus_overlap_matrix",
     # --- scalar functions, never driver-checked (5): scalar_try_cast and
     # agg_max_by rotated out for the round-7d additions — each has
     # multiple driver-checked family siblings (scalar_array_hof /

@@ -622,3 +622,100 @@ def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad_ratio.alias("bad_ratio"),
         ((n_repl == 0) & (n_ctrl == 0)).alias("clean"),
     )
+
+
+@query(
+    "corpus_overlap_matrix",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT source,
+             unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS s
+      FROM toks WHERE len(l) >= 3
+    ),
+    ss AS (SELECT DISTINCT source, s FROM sh),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss
+              GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_inter,
+           round(CAST(n_inter AS DOUBLE)
+                 / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard,
+           round(CAST(n_inter AS DOUBLE)
+                 / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment
+    FROM inter
+    JOIN sizes sa ON src_a = sa.source
+    JOIN sizes sb ON src_b = sb.source
+    ORDER BY src_a, src_b
+    """,
+    tags=("text", "dedup", "quality", "pipeline"),
+)
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix — the dataset-paper staple: for every
+    pair of ingest sources, the distinct-shingle intersection, Jaccard,
+    and containment (intersection over the SMALLER side — "how much of
+    corpus A is already inside corpus B"), the numbers that decide
+    whether a new crawl adds anything.
+
+    Scale shape: ONE Arrow shingling pass keyed directly by source
+    (persisted — the distinct relation feeds both sizes and
+    intersections, and mapInPandas subtrees re-execute per consumer),
+    one distinct to (source, shingle). Intersections deliberately avoid
+    the posting self-join: group by shingle, collect the sorted source
+    SET (bounded by the source count, ~20 — NOT df: a shingle in a
+    million docs of one source still contributes one element), and
+    explode its pairs — per-shingle work is O(k²) with k <= n_sources,
+    so candidate volume is linear in distinct shingles with a
+    constant factor, never Σdf². Zero-overlap pairs are naturally
+    absent on both engines (pairs only arise from co-occurrence). All
+    ratios are exact-integer divisions — bit-identical doubles before
+    the display rounding."""
+    d = load(spark, sf_dir, "documents")
+    ss = shingle_postings(d, "text", "source").distinct().persist()
+    sizes = ss.groupBy(F.col("id").alias("source")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pairs = (
+        ss.groupBy("s")
+        .agg(F.array_sort(F.collect_set("id")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+                    "y -> struct(x AS src_a, y AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / F.least("na", "nb").cast("double"),
+                4,
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -84,3 +84,14 @@ def test_hybrid_rrf_fuses_both_legs(spark, sf_dir_t2):
                 assert rb["rrf_score"] >= ro["rrf_score"]
     scores = [r["rrf_score"] for r in a]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_overlap_matrix_invariants(spark, sf_dir):
+    """Every pair must satisfy src_a < src_b, 0 < jaccard <= containment
+    <= 1, and n_inter bounded by the smaller source's shingle count."""
+    rows = REGISTRY["corpus_overlap_matrix"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["n_inter"] > 0
+        assert 0.0 < r["jaccard"] <= r["containment"] <= 1.0
