@@ -310,10 +310,15 @@ def hypertable_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load(spark, sf_dir, "events")
+    # sf-scoped like every other fixture path (`{name}_{sf}`): a shared
+    # path let two interpreters at different SFs overwrite each other's
+    # rollup mid-read (observed as a transient schema-parity failure when
+    # a full sweep and the test suite ran concurrently).
+    sf = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(
         os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
         "spark_hbase_connector_fixtures",
-        "events_rollup",
+        f"events_rollup_{sf}",
     )
     cutoff = materialize_rollup(ev, path, ts_col="ts", dims=["event_type"])
     return rollup_with_tail(
