@@ -84,11 +84,13 @@ DRIVER_WINDOW = [
     "streaming_static_enrich",
     "streaming_stream_join",
     "streaming_tumbling_watermarked",
-    # --- sketch QA, never driver-checked (4)
+    # --- sketch QA, never driver-checked (3): count_min_qa rotated out
+    # for the round-7d PSI drift entry — three sketch-QA siblings remain
     "approx_distinct_qa",
     "approx_heavy_hitters_qa",
-    "count_min_qa",
     "hll_sketch_union_qa",
+    # --- NEW round-7d entry (1): PSI distribution-drift report
+    "corpus_drift_psi",
     # --- aggregation, never driver-checked (3)
     "agg_bitwise_bool",
     "agg_collation_ci",

@@ -719,3 +719,83 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "corpus_drift_psi",
+    oracle="""
+    WITH b AS (
+      SELECT source, least(n_chars // 40, 9) AS bucket FROM documents
+    ),
+    counts AS (
+      SELECT source, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY source, bucket
+    ),
+    totals AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS t FROM counts GROUP BY source
+    ),
+    shares AS (
+      SELECT c.source, c.bucket,
+             CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
+      FROM counts c JOIN totals t ON c.source = t.source
+    ),
+    ref AS (SELECT bucket, share AS p FROM shares WHERE source = 'src0')
+    SELECT s.source,
+           round(sum((s.share - ref.p) * ln(s.share / ref.p)), 4) AS psi,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM shares s JOIN ref ON s.bucket = ref.bucket
+    WHERE s.source <> 'src0'
+    GROUP BY s.source ORDER BY s.source
+    """,
+    tags=("quality", "drift", "pipeline"),
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report — population stability index of the
+    document-length distribution of every source against the reference
+    corpus (`src0`), the standard go/no-go gate before mixing a new
+    crawl into a training corpus (PSI < 0.1 stable, > 0.25 shifted).
+
+    Buckets are FIXED width (n_chars // 40, capped at 9) so both engines
+    bin identically with integer arithmetic; shares are exact-integer
+    ratios (bit-identical doubles); the epsilon-free PSI variant sums
+    (q-p)*ln(q/p) over buckets present in BOTH distributions (inner join
+    on the reference buckets — the repo-wide `ln`-at-4dp pattern proven
+    by the TF-IDF/surprisal/DSIR entries).
+
+    Scale shape: one corpus scan + ONE partial-aggregated groupBy to
+    (source, bucket) — at most n_sources x 10 rows leave the map side
+    regardless of corpus size; everything downstream (totals, shares,
+    the broadcast reference) is report-sized."""
+    d = load(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 40), F.lit(9)).alias("bucket"),
+    )
+    counts = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.persist()
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    shares = counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "bucket",
+        (F.col("c").cast("double") / F.col("t").cast("double")).alias("share"),
+    )
+    ref = (
+        shares.where(F.col("source") == "src0")
+        .select("bucket", F.col("share").alias("p"))
+    )
+    return (
+        shares.where(F.col("source") != "src0")
+        .join(F.broadcast(ref), "bucket")
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("share") - F.col("p"))
+                    * F.log(F.col("share") / F.col("p"))
+                ),
+                4,
+            ).alias("psi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        )
+        .orderBy("source")
+    )

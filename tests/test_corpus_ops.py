@@ -95,3 +95,14 @@ def test_overlap_matrix_invariants(spark, sf_dir):
         assert r["src_a"] < r["src_b"]
         assert r["n_inter"] > 0
         assert 0.0 < r["jaccard"] <= r["containment"] <= 1.0
+
+
+def test_drift_psi_invariants(spark, sf_dir):
+    """PSI is a sum of (q-p)*ln(q/p) terms, each non-negative, over at
+    most 10 fixed-width buckets; the reference source itself is absent."""
+    rows = REGISTRY["corpus_drift_psi"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["source"] != "src0"
+        assert r["psi"] >= 0.0
+        assert 1 <= r["n_buckets"] <= 10
