@@ -49,7 +49,7 @@ DRIVER_WINDOW = [
     # rebound to the prefix-filter scale path, ask #4), and five entries
     # whose output types were aligned by the new repo-wide arrow-schema
     # parity gate (tests/test_oracle_schema_parity.py). Everything rotated
-    # out was driver-green in r2-r6 and is unchanged; all 270 entries
+    # out was driver-green in r2-r6 and is unchanged; all 276 entries
     # remain oracle-checked by the committed full differentials.
     # --- changed this round, re-earning the signal (7)
     "kv_counter_increments",
