@@ -73,17 +73,28 @@ DRIVER_WINDOW = [
     "dedup_domain_cap",
     "ann_topk_filtered",
     "dedup_repeated_paragraphs",
-    # --- streaming, never driver-checked (10)
+    # --- streaming, never driver-checked (8): ohlc_bars and
+    # sliding_counts rotated out for round-7d changed-hash repeats (both
+    # have driver-checked family siblings: streaming_tumbling_counts r6,
+    # streaming_session_timeout_close r6)
     "streaming_dedup_distinct",
     "streaming_dropdup_within_watermark",
     "streaming_latest_per_key",
-    "streaming_ohlc_bars",
     "streaming_running_totals",
     "streaming_session_dynamic_gap",
-    "streaming_sliding_counts",
     "streaming_static_enrich",
     "streaming_stream_join",
     "streaming_tumbling_watermarked",
+    # --- changed by the round-7d expanded sf10 sweep (7): the money-rule
+    # and scale-0-rounding fixes below altered output hashes, so these
+    # previously-green entries re-earn the driver signal
+    "q19_disjunctive_revenue",
+    "agg_case_when",
+    "rollup_orders",
+    "unpivot_measures",
+    "window_percent_cume",
+    "recursive_date_spine",
+    "streaming_hbasekv_changefeed",
     # --- sketch QA, never driver-checked (3): count_min_qa rotated out
     # for the round-7d PSI drift entry — three sketch-QA siblings remain
     "approx_distinct_qa",
@@ -91,19 +102,17 @@ DRIVER_WINDOW = [
     "hll_sketch_union_qa",
     # --- NEW round-7d entry (1): PSI distribution-drift report
     "corpus_drift_psi",
-    # --- aggregation, never driver-checked (3)
-    "agg_bitwise_bool",
-    "agg_collation_ci",
+    # --- aggregation, never driver-checked (1): bitwise_bool and
+    # collation_ci rotated out for 7d changed-hash repeats (driver-checked
+    # family siblings agg_stats_moments / agg_bitmap_distinct r6)
     "agg_geomean_margin",
-    # --- events / time-series, never driver-checked (5):
-    # events_pattern_runs rotated out for the round-7d overlap matrix —
-    # its sibling events_pattern_3seq (same module, same groupBy-runs
-    # shape) stays in the window
+    # --- events / time-series, never driver-checked (3):
+    # events_pattern_runs (overlap-matrix rotation), events_mad_outliers
+    # and events_user_entropy (7d changed-hash rotation) rotated out —
+    # siblings events_anomaly_zscore / events_pattern_3seq stay
     "events_anomaly_zscore",
     "events_gap_percentiles",
-    "events_mad_outliers",
     "events_pattern_3seq",
-    "events_user_entropy",
     # --- NEW round-7d entry (1): cross-source shingle overlap matrix
     "corpus_overlap_matrix",
     # --- scalar functions, never driver-checked (5): scalar_try_cast and
@@ -114,7 +123,6 @@ DRIVER_WINDOW = [
     "scalar_haversine_nearest",
     "scalar_inline_structs",
     "scalar_tz_convert",
-    "scalar_url_parse",
     "scalar_zorder_key",
     # --- NEW round-7d entries (2): hybrid lexical+vector retrieval with
     # reciprocal-rank fusion; BPE tokenizer application (per-source

@@ -183,7 +183,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+                AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
@@ -198,7 +200,14 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst
     derives the per-side implied disjunctions (brand/size on part,
     quantity on lineitem) and pushes them below the join — the classic
-    disjunctive-predicate-inference test."""
+    disjunctive-predicate-inference test.
+
+    revenue sums EXACT decimals (money rule, CLAUDE.md): at sf10 the
+    matched sum reaches ~4.8e10 over ~1M addends, where double
+    summation-order noise between engines (~50 ulps) flips the 4th
+    decimal — caught by the round-7d expanded sf10 strict sweep. The
+    decimal product/sum is order-independent; the final decimal->double
+    cast is deterministic on both engines."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
@@ -213,9 +222,15 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(10, 40)
     )
     return j.where(c1 | c2).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (
+                F.lit(1).cast("decimal(3,2)")
+                - F.col("l_discount").cast("decimal(3,2)")
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -535,22 +550,32 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
            count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
-           round(sum(CASE WHEN o_totalprice > 100000.0 THEN o_totalprice ELSE 0.0 END), 4)
+           CAST(sum(CASE WHEN o_totalprice > 100000.0
+                         THEN CAST(o_totalprice AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
              AS big_total
     FROM orders GROUP BY o_orderpriority
     """,
     tags=("agg",),
 )
 def agg_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional aggregation (CASE WHEN / FILTER clauses)."""
+    """Conditional aggregation (CASE WHEN / FILTER clauses). big_total
+    sums EXACT decimals (money rule, CLAUDE.md — sf10 group sums reach
+    ~7e11 where double order noise flips the 4th decimal; caught by the
+    round-7d expanded sf10 sweep); the >100000.0 gate stays on the raw
+    double, identical bits on both engines."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
-        F.round(
-            F.sum(F.when(F.col("o_totalprice") > 100000.0, F.col("o_totalprice")).otherwise(0.0)),
-            4,
-        ).alias("big_total"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice") > 100000.0,
+                F.col("o_totalprice").cast("decimal(12,2)"),
+            ).otherwise(F.lit(0).cast("decimal(12,2)"))
+        )
+        .cast("double")
+        .alias("big_total"),
     )
 
 
@@ -558,17 +583,25 @@ def agg_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_orders",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 4) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     tags=("agg", "grouping"),
 )
 def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals."""
+    """ROLLUP hierarchy totals. total sums EXACT decimals (money rule,
+    CLAUDE.md — the grand-total row reaches ~2.5e12 at sf10 where double
+    order noise flips the 4th decimal; caught by the round-7d expanded
+    sf10 sweep)."""
     return (
         load(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total"),
+        )
     )
 
 

@@ -65,16 +65,20 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpivot_measures",
     oracle="""
     WITH long AS (
-      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      SELECT l_returnflag, 'l_quantity' AS measure,
+             CAST(l_quantity AS DECIMAL(12,2)) AS val FROM lineitem
       UNION ALL
-      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      SELECT l_returnflag, 'l_extendedprice',
+             CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
       UNION ALL
-      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      SELECT l_returnflag, 'l_discount',
+             CAST(l_discount AS DECIMAL(12,2)) FROM lineitem
       UNION ALL
-      SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+      SELECT l_returnflag, 'l_tax',
+             CAST(l_tax AS DECIMAL(12,2)) FROM lineitem
     )
     SELECT l_returnflag, measure,
-           round(sum(val), 4) AS total, count(*) AS n
+           CAST(sum(val) AS DOUBLE) AS total, count(*) AS n
     FROM long GROUP BY l_returnflag, measure
     """,
     tags=("unpivot",),
@@ -83,16 +87,20 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long unpivot (the inverse of `pivot_lineitem`): melt four
     measure columns into (measure, val) rows, then aggregate. Spark's
     native `DataFrame.unpivot` expands rows inside the scan stage — no
-    shuffle until the aggregation; the oracle replays it as UNION ALL."""
+    shuffle until the aggregation; the oracle replays it as UNION ALL.
+    All four measures are at most 2dp, so they melt as EXACT decimals
+    (money rule, CLAUDE.md — the l_extendedprice group reaches ~1e12 at
+    sf10 where double order noise flips the 4th decimal; caught by the
+    round-7d expanded sf10 sweep)."""
     li = load(spark, sf_dir, "lineitem")
-    long = li.unpivot(
-        ["l_returnflag"],
-        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        "measure",
-        "val",
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = li.select(
+        "l_returnflag",
+        *(F.col(c).cast("decimal(12,2)").alias(c) for c in measures),
     )
+    long = li.unpivot(["l_returnflag"], measures, "measure", "val")
     return long.groupBy("l_returnflag", "measure").agg(
-        F.round(F.sum("val"), 4).alias("total"),
+        F.sum("val").cast("double").alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -155,8 +163,8 @@ def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_percent_cume",
     oracle="""
     SELECT s_suppkey, s_name,
-           round(percent_rank() OVER w, 4) AS pct_rank,
-           round(cume_dist() OVER w, 4)    AS cume
+           round((percent_rank() OVER w) * 10000) / 10000 AS pct_rank,
+           round((cume_dist() OVER w) * 10000) / 10000    AS cume
     FROM supplier
     WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
     """,
@@ -167,14 +175,23 @@ def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from `window_rank_kinds`. The tiebreak key makes every peer group a
     singleton, so both functions are total-order deterministic. Global
     window over the supplier dim (small by construction); partition the
-    window by a key for fact-scale inputs."""
+    window by a key for fact-scale inputs.
+
+    Rounding is round(x * 10000) / 10000 on BOTH engines, not
+    round(x, 4): rank ratios like cume = 5/100000 at sf10 hit an exact
+    .5 at the 4th decimal, where DuckDB's scale-4 round (multiply, then
+    round the PRODUCT double) and Spark's (round the decimal expansion
+    of the ORIGINAL double) disagree — the 7d expanded sf10 sweep caught
+    exactly that. Pre-multiplying makes both engines round the SAME
+    product double at scale 0, where their half-away semantics are
+    identical."""
     s = load(spark, sf_dir, "supplier")
     w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
     return s.select(
         "s_suppkey",
         "s_name",
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        (F.round(F.percent_rank().over(w) * 10000) / 10000).alias("pct_rank"),
+        (F.round(F.cume_dist().over(w) * 10000) / 10000).alias("cume"),
     )
 
 

@@ -549,7 +549,7 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_hbasekv_changefeed",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n,
-           round(sum(c_acctbal), 4) AS total_bal,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
            min(c_custkey) AS min_key, max(c_custkey) AS max_key
     FROM customer
     """,
@@ -604,7 +604,13 @@ def streaming_hbasekv_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = stream.groupBy().agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        # money rule (CLAUDE.md): the global balance sum reaches ~7e9 at
+        # sf10, where double summation-order noise flips the 4th decimal
+        # (caught by the round-7d expanded sf10 sweep) — sum exact
+        # decimals, one deterministic cast back to double
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_bal"),
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
