@@ -78,7 +78,6 @@ DRIVER_WINDOW = [
     # have driver-checked family siblings: streaming_tumbling_counts r6,
     # streaming_session_timeout_close r6)
     "streaming_dedup_distinct",
-    "streaming_dropdup_within_watermark",
     "streaming_latest_per_key",
     "streaming_running_totals",
     "streaming_session_dynamic_gap",
@@ -95,11 +94,11 @@ DRIVER_WINDOW = [
     "window_percent_cume",
     "recursive_date_spine",
     "streaming_hbasekv_changefeed",
-    # --- sketch QA, never driver-checked (3): count_min_qa rotated out
-    # for the round-7d PSI drift entry — three sketch-QA siblings remain
+    # --- sketch QA, never driver-checked (2): count_min_qa rotated out
+    # for the round-7d PSI drift entry; hll_sketch_union_qa rotated out
+    # for the 7e BM25 entry — two sketch-QA siblings remain in-window
     "approx_distinct_qa",
     "approx_heavy_hitters_qa",
-    "hll_sketch_union_qa",
     # --- NEW round-7d entry (1): PSI distribution-drift report
     "corpus_drift_psi",
     # --- aggregation, never driver-checked (1): bitwise_bool and
@@ -129,6 +128,13 @@ DRIVER_WINDOW = [
     # fertility under the trained merges) — first-time by construction
     "search_hybrid_rrf",
     "bpe_encode_corpus",
+    # --- NEW round-7e entries (2): BM25 top-k ranking and positional
+    # phrase search — first-time by construction; they displace
+    # streaming_dropdup_within_watermark (seven streaming siblings remain
+    # in-window, three more driver-green r6) and hll_sketch_union_qa
+    # (approx_distinct_qa / approx_heavy_hitters_qa stay)
+    "search_bm25_topk",
+    "search_phrase_positions",
     # --- windows / text, never driver-checked (1)
     "text_hash_features",
     # --- changed late in round 7 (1): the fresh full sf1 sweep caught

@@ -2875,3 +2875,160 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 4).alias("rrf_score"),
         )
     )
+
+
+@query(
+    "search_bm25_topk",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x = 'scan'))
+               AS tf_scan,
+             len(list_filter(string_split(text, ' '), x -> x = 'join'))
+               AS tf_join,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+    ),
+    s AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan,
+             sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join
+      FROM d
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             CASE WHEN d.tf_scan > 0 THEN
+               ln(1.0 + (s.n_docs - s.df_scan + 0.5) / (s.df_scan + 0.5))
+                 * (d.tf_scan * 2.2)
+                 / (d.tf_scan + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+             ELSE 0.0 END
+             + CASE WHEN d.tf_join > 0 THEN
+               ln(1.0 + (s.n_docs - s.df_join + 0.5) / (s.df_join + 0.5))
+                 * (d.tf_join * 2.2)
+                 / (d.tf_join + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+             ELSE 0.0 END AS bm25
+      FROM d CROSS JOIN s
+      WHERE d.tf_scan > 0 OR d.tf_join > 0
+    )
+    SELECT doc_id, round(bm25 * 10000) / 10000 AS bm25_score
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "search"),
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 (Okapi, Lucene idf; k1=1.2, b=0.75) for the disjunctive
+    query {scan, join} — the standard lexical ranker next to the TF-IDF
+    conjunctive entry and the RRF fusion entry.
+
+    Spark-first plan: for a FIXED query there is no explode and no
+    posting-list shuffle at all — per-document tf and dl are vectorized
+    array expressions inside the scan projection
+    (`size(filter(split(..)))`, whole-stage codegen), the corpus stats
+    (N, avgdl, df per term) collapse to ONE single-row partial-aggregated
+    pass, and that row is broadcast back over the scoring scan (the
+    single-row BroadcastNestedLoopJoin allow-listed in plan hygiene —
+    the same shape as graph_pagerank's N broadcast). Top-10 is
+    TakeOrdered (per-partition heaps, no global sort). Two corpus scans
+    total, zero corpus-sized shuffles at any scale factor.
+
+    Cross-engine determinism: tf/dl/df/N are exact integers; avgdl is one
+    exact BIGINT sum cast once to double; each per-doc score is the SAME
+    IEEE expression tree evaluated on those identical inputs in both
+    engines, and the two term contributions are summed pairwise
+    (addition of two doubles is order-free), so ranking compares
+    identical bits. Ties (identical tf/dl combinations) break on doc_id.
+    Display rounding uses the round(x*10000)/10000 recipe (CLAUDE.md)."""
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents_bm25_v")
+    return spark.sql(
+        """
+        WITH d AS (
+          SELECT doc_id,
+                 size(filter(split(text, ' '), x -> x = 'scan')) AS tf_scan,
+                 size(filter(split(text, ' '), x -> x = 'join')) AS tf_join,
+                 size(split(text, ' ')) AS dl
+          FROM documents_bm25_v
+        ),
+        s AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                 sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan,
+                 sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join
+          FROM d
+        ),
+        scored AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.tf_scan > 0 THEN
+                   ln(1.0 + (s.n_docs - s.df_scan + 0.5) / (s.df_scan + 0.5))
+                     * (d.tf_scan * 2.2)
+                     / (d.tf_scan + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                 ELSE 0.0 END
+                 + CASE WHEN d.tf_join > 0 THEN
+                   ln(1.0 + (s.n_docs - s.df_join + 0.5) / (s.df_join + 0.5))
+                     * (d.tf_join * 2.2)
+                     / (d.tf_join + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                 ELSE 0.0 END AS bm25
+          FROM d CROSS JOIN s
+          WHERE d.tf_scan > 0 OR d.tf_join > 0
+        )
+        SELECT doc_id, round(bm25 * 10000) / 10000 AS bm25_score
+        FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+        """
+    )
+
+
+@query(
+    "search_phrase_positions",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    posts AS (
+      SELECT doc_id, unnest(toks) AS term,
+             unnest(range(0, len(toks))) AS pos
+      FROM s
+    ),
+    qp AS (
+      SELECT doc_id, term, pos FROM posts WHERE term IN ('scan', 'join')
+    )
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(a.pos) AS BIGINT) AS first_pos
+    FROM qp a JOIN qp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'scan' AND b.term = 'join'
+    GROUP BY a.doc_id
+    """,
+    tags=("text", "search", "join"),
+)
+def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("scan join", adjacent tokens) via POSITIONAL
+    postings — the inverted-index primitive phrase/proximity queries run
+    on: per-term (doc_id, position) lists joined on doc_id + adjacent
+    position, counting occurrences and the first match offset per doc.
+
+    Scale shape: postings are filtered to the query terms BEFORE the
+    join, so the self-join input is query-term-sized, never
+    corpus-sized; the adjacency condition is a pure equi-join
+    (doc_id, pos_a + 1 = pos_b — Catalyst extracts the arithmetic key,
+    no BNLJ/cartesian), and the per-doc aggregate partial-aggregates
+    map-side. On a real deployment the positional index would be
+    materialized and bucketed by term (see secondary_index_maintain),
+    turning the two scan+explode legs into two slim index lookups;
+    deriving it inline keeps the entry self-contained. All outputs are
+    integers — zero cross-engine float risk."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).where(F.col("term").isin("scan", "join"))
+    a = toks.where(F.col("term") == "scan").select("doc_id", F.col("pos").alias("pos_a"))
+    b = toks.where(F.col("term") == "join").select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    pairs = a.join(
+        b, (a["doc_id"] == b["doc_b"]) & (a["pos_a"] + F.lit(1) == b["pos_b"])
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("pos_a").cast("bigint").alias("first_pos"),
+    )

@@ -106,3 +106,62 @@ def test_drift_psi_invariants(spark, sf_dir):
         assert r["source"] != "src0"
         assert r["psi"] >= 0.0
         assert 1 <= r["n_buckets"] <= 10
+
+
+def _docs_texts(spark, sf_dir):
+    return {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+
+def test_bm25_topk_matches_bruteforce(spark, sf_dir):
+    """The registry's scan-side BM25 must equal a plain-Python
+    reimplementation of Okapi BM25 (Lucene idf, k1=1.2, b=0.75) over the
+    same corpus — same top-10 docs, same 4dp scores, score-sorted with
+    doc_id tiebreak."""
+    import math
+
+    texts = _docs_texts(spark, sf_dir)
+    n = len(texts)
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    avgdl = sum(dl.values()) / n
+    scores = {}
+    for term in ("scan", "join"):
+        tf = {d: ts.count(term) for d, ts in toks.items()}
+        df = sum(1 for v in tf.values() if v > 0)
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d, f_ in tf.items():
+            if f_ > 0:
+                scores[d] = scores.get(d, 0.0) + idf * (f_ * 2.2) / (
+                    f_ + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)
+                )
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = REGISTRY["search_bm25_topk"].fn(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert abs(r["bm25_score"] - round(s * 10000) / 10000) < 1e-9
+    vals = [r["bm25_score"] for r in got]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_phrase_positions_matches_bruteforce(spark, sf_dir):
+    """The positional-postings phrase join must equal per-doc adjacent-
+    pair counting in plain Python, including multi-occurrence docs and
+    the first-offset column."""
+    texts = _docs_texts(spark, sf_dir)
+    expect = {}
+    for d, t in texts.items():
+        ts = t.split(" ")
+        pos = [i for i in range(len(ts) - 1) if ts[i] == "scan" and ts[i + 1] == "join"]
+        if pos:
+            expect[d] = (len(pos), pos[0])
+    got = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in REGISTRY["search_phrase_positions"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must contain at least one phrase match"

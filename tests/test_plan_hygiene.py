@@ -64,6 +64,9 @@ _BNLJ_ALLOWED = {
     # corpus_ccnet_buckets broadcasts the single-row corpus-token-total
     # aggregate into the per-token scoring relation
     "corpus_ccnet_buckets",
+    # search_bm25_topk broadcasts the single-row corpus-stats aggregate
+    # (N, avgdl, per-term df) into the scoring scan
+    "search_bm25_topk",
 }
 
 _SKIP_TAGS = {"streaming", "fixture"}
