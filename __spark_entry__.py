@@ -81,7 +81,6 @@ DRIVER_WINDOW = [
     "streaming_latest_per_key",
     "streaming_running_totals",
     "streaming_session_dynamic_gap",
-    "streaming_static_enrich",
     "streaming_stream_join",
     "streaming_tumbling_watermarked",
     # --- changed by the round-7d expanded sf10 sweep (7): the money-rule
@@ -135,6 +134,10 @@ DRIVER_WINDOW = [
     # (approx_distinct_qa / approx_heavy_hitters_qa stay)
     "search_bm25_topk",
     "search_phrase_positions",
+    # --- NEW round-7e entry (1): MMR diversity rerank — displaces
+    # streaming_static_enrich (streaming keeps six in-window entries plus
+    # four driver-green r6 siblings)
+    "search_mmr_rerank",
     # --- windows / text, never driver-checked (1)
     "text_hash_features",
     # --- changed late in round 7 (1): the fresh full sf1 sweep caught

@@ -3032,3 +3032,122 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.min("pos_a").cast("bigint").alias("first_pos"),
     )
+
+
+# MMR is a greedy fixpoint-free loop with a FIXED candidate pool (top-100)
+# and a FIXED selection count (10), so it is oracle-able the same way the
+# kmeans entry is: unroll each greedy step as a CTE pair — score the
+# remaining candidates 0.7*sim(q,c) - 0.3*max(sim(c, s) for selected s),
+# pick the argmax (ties to the smallest doc_id), append to the selection.
+_MMR_STEP = """
+    s{t} AS MATERIALIZED (
+      SELECT c.doc_id, c.sq, 0.7 * c.sq - 0.3 * max(p.s) AS mmr
+      FROM cand c JOIN pair p ON p.ia = c.doc_id
+        AND p.ib IN (SELECT doc_id FROM sel{p})
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{p})
+      GROUP BY c.doc_id, c.sq
+      ORDER BY mmr DESC, c.doc_id LIMIT 1
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT * FROM sel{p}
+      UNION ALL SELECT doc_id, {t} AS mmr_rank, mmr FROM s{t}
+    )"""
+
+_MMR_ORACLE = (
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+          FROM v),
+    q AS (SELECT e, nrm FROM n WHERE vec_id = 0),
+    simq AS (
+      SELECT c.vec_id AS doc_id,
+             list_sum(list_transform(range(1, len(q.e) + 1),
+                      i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS sq,
+             c.e AS e, c.nrm AS nrm
+      FROM n c, q WHERE c.vec_id <> 0 AND c.nrm > 0
+    ),
+    cand AS MATERIALIZED (SELECT * FROM simq ORDER BY sq DESC, doc_id LIMIT 100),
+    pair AS MATERIALIZED (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             list_sum(list_transform(range(1, len(a.e) + 1),
+                      i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS s
+      FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+    ),
+    s1 AS MATERIALIZED (
+      SELECT doc_id, sq, 0.7 * sq AS mmr FROM cand
+      ORDER BY mmr DESC, doc_id LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT doc_id, 1 AS mmr_rank, mmr FROM s1),"""
+    + ",".join(_MMR_STEP.format(t=t, p=t - 1) for t in range(2, 11))
+    + """
+    SELECT CAST(mmr_rank AS INTEGER) AS mmr_rank, doc_id,
+           round(mmr * 10000) / 10000 AS mmr_score
+    FROM sel10
+    """
+)
+
+
+@query(
+    "search_mmr_rerank",
+    oracle=_MMR_ORACLE,
+    tags=("similarity", "search", "pipeline"),
+)
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversity rerank — the serving-side step
+    after candidate retrieval: from the exact cosine top-100 of the query
+    (vec_id 0), greedily pick 10 results maximizing
+    0.7*sim(query, c) - 0.3*max(sim(c, s)) over already-selected s, so
+    near-duplicate hits don't crowd the result page.
+
+    Scale shape: ALL corpus-sized work is the candidate pass —
+    `brute_force_topk`'s broadcast-query / per-batch-top-k Arrow matmul
+    scan (swap in `ivf_topk` for the sublinear path at 100 TB). The
+    rerank itself touches exactly 100 candidate vectors — a bounded
+    driver-side numpy loop (the same bounded-collect precedent as the
+    BPE top-100 vocab and the broadcast query matrices), because greedy
+    MMR over k=100/10 is constant work no matter the corpus size; its
+    result re-enters Spark as a 10-row local relation.
+
+    Cross-engine determinism: both engines double-cast the float32
+    vectors and evaluate the same 0.7/0.3 expression; argmax ties break
+    on doc_id; final scores use the round(x*10000)/10000 recipe applied
+    ENGINE-side (Spark round / DuckDB round on the same product double —
+    never Python's half-to-even). Verified strict at sf0.01/0.1/1/10."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0)
+    cands = brute_force_topk(q, e, k=100).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("score").alias("sq")
+    )
+    rows = (
+        cands.join(e, cands["doc_id"] == e["vec_id"])
+        .select("doc_id", "sq", "embedding")
+        .collect()
+    )  # bounded: exactly |top-100| rows by construction
+    ids = np.array([r["doc_id"] for r in rows])
+    sq = np.array([r["sq"] for r in rows], dtype=np.float64)
+    C = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    nrm = np.sqrt(np.einsum("ij,ij->i", C, C))
+    S = (C @ C.T) / (nrm[:, None] * nrm[None, :])
+    selected: list[tuple[int, int, float]] = []
+    active = np.ones(len(ids), dtype=bool)
+    ms = None  # max similarity to the selected set, per candidate
+    for rank in range(1, 11):
+        mmr = 0.7 * sq if ms is None else 0.7 * sq - 0.3 * ms
+        order = sorted(np.flatnonzero(active), key=lambda i: (-mmr[i], ids[i]))
+        best = order[0]
+        selected.append((int(ids[best]), rank, float(mmr[best])))
+        active[best] = False
+        ms = S[:, best].copy() if ms is None else np.maximum(ms, S[:, best])
+    out = spark.createDataFrame(
+        selected, "doc_id long, mmr_rank int, mmr_raw double"
+    )
+    return out.select(
+        "mmr_rank",
+        "doc_id",
+        (F.round(F.col("mmr_raw") * 10000) / 10000).alias("mmr_score"),
+    )

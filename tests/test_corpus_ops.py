@@ -165,3 +165,22 @@ def test_phrase_positions_matches_bruteforce(spark, sf_dir):
     }
     assert got == expect
     assert expect, "fixture must contain at least one phrase match"
+
+
+def test_mmr_rerank_diversifies(spark, sf_dir_t2):
+    """MMR invariants: 10 unique docs ranked 1..10; the first pick is the
+    cosine argmax (lambda scales it by 0.7); every later pick's stored
+    score equals 0.7*sim_q - 0.3*max-sim-to-prior-picks, so scores are
+    bounded above by 0.7*sim_q; deterministic across runs."""
+    from spark_hbase_connector_spark.operators.similarity import brute_force_topk
+
+    fn = REGISTRY["search_mmr_rerank"].fn
+    a = fn(spark, sf_dir_t2).collect()
+    b = fn(spark, sf_dir_t2).collect()
+    assert a == b
+    assert [r["mmr_rank"] for r in a] == list(range(1, 11))
+    assert len({r["doc_id"] for r in a}) == 10
+    e = spark.read.parquet(f"{sf_dir_t2}/embeddings.parquet")
+    top1 = brute_force_topk(e.where(F.col("vec_id") == 0), e, k=1).collect()[0]
+    assert a[0]["doc_id"] == top1["neighbor_id"]
+    assert abs(a[0]["mmr_score"] - round(0.7 * top1["score"] * 10000) / 10000) < 1e-9
