@@ -54,6 +54,15 @@ def main():
         except Exception as exc:
             records[name] = {"ok": False, "error": str(exc)[:300]}
             print(f"ERROR {name}  {time.time()-t0:.1f}s: {str(exc)[:400]}", flush=True)
+        # Crash-safe checkpoint: long sf>=10 sweeps can sit tens of minutes
+        # inside ONE oracle; a kill must not lose every completed record.
+        # The final write below replaces this with the stamped payload.
+        out_ckpt = os.environ.get("DIFF_JSON_OUT")
+        if out_ckpt:
+            with open(out_ckpt, "w") as f:
+                json.dump(
+                    {"sf_dir": sf_dir, "passed": n_ok, "run": n_run,
+                     "in_progress": True, "queries": records}, f, indent=1)
     print(f"== {n_ok}/{n_run} passed ==", flush=True)
     # Invariant (VERDICT r6 ask 3): a sweep launched before a registry edit
     # silently misses entries added mid-sweep. A full (un-scoped) sweep must
