@@ -109,7 +109,6 @@ DRIVER_WINDOW = [
     # and events_user_entropy (7d changed-hash rotation) rotated out —
     # siblings events_anomaly_zscore / events_pattern_3seq stay
     "events_anomaly_zscore",
-    "events_gap_percentiles",
     "events_pattern_3seq",
     # --- NEW round-7d entry (1): cross-source shingle overlap matrix
     "corpus_overlap_matrix",
@@ -119,7 +118,6 @@ DRIVER_WINDOW = [
     # scalar_datetime r6-7; agg_stats_moments / agg_bitmap_distinct r6)
     "scalar_array_setops",
     "scalar_haversine_nearest",
-    "scalar_inline_structs",
     "scalar_tz_convert",
     "scalar_zorder_key",
     # --- NEW round-7d entries (2): hybrid lexical+vector retrieval with
@@ -144,6 +142,13 @@ DRIVER_WINDOW = [
     # round(sum(double),4) flipping its last digit on the salt-scrambled
     # summation order; total_price now sums exact decimals (money rule)
     "join_salted_skew",
+    # --- changed by the round-7e sf100 sweep (2): the money-rule fix at
+    # the FOURTH decade (events sums over 1e6-1e8 addends); they re-earn
+    # the signal, displacing scalar_inline_structs and
+    # events_gap_percentiles (both with in-window family siblings).
+    # events_histogram got the same fix and was already in the window.
+    "rollup_time_hierarchy",
+    "range_join_windows",
 ]
 
 

@@ -200,7 +200,8 @@ def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(floor(value / 50.0) AS INT) AS bucket,
            CAST(CAST(floor(value / 50.0) AS INT) * 50.0 AS DOUBLE) AS bucket_lo,
-           count(*) AS n, round(sum(value), 4) AS total
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
     FROM events
     GROUP BY 1, 2
     """,
@@ -210,14 +211,20 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram (width_bucket by arithmetic — portable
     across engines): floor-bucket the measure, count and sum per bucket.
     One map-side-combinable shuffle on ~10 bucket keys; the shape behind
-    every distribution dashboard at scale."""
+    every distribution dashboard at scale.
+
+    total sums EXACT decimals (money rule, CLAUDE.md): buckets hold up
+    to ~6e7 addends at sf100, where double summation-order noise flips
+    round(sum(double), 4)'s last digit between engines — caught by the
+    round-7e sf100 sweep. The decimal sum is order-independent; the one
+    decimal->double cast is deterministic on both engines."""
     e = load(spark, sf_dir, "events")
     bucket = F.floor(F.col("value") / 50.0).cast("int")
     return (
         e.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
         )
         .select("bucket", (F.col("bucket") * 50.0).alias("bucket_lo"), "n", "total")
     )
@@ -432,7 +439,7 @@ def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(ts) AS INT) AS mo,
            CAST(day(ts) AS INT) AS dy,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 4) AS total
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
     FROM events
     GROUP BY ROLLUP (yr, mo, dy)
     """,
@@ -442,17 +449,25 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-hierarchy rollup (day ⊂ month ⊂ year ⊂ grand total) in
     one pass — the time-dimension cube every dashboard wants. ROLLUP
     expands to 4 grouping sets; Spark computes them from one shuffle of
-    partial aggregates, not four scans."""
+    partial aggregates, not four scans.
+
+    total sums EXACT decimals (money rule, CLAUDE.md): the grand-total
+    row sums ALL 1e8 values at sf100, where round(sum(double), 4)
+    flips its last digit between engines — caught by the round-7e sf100
+    sweep."""
     e = load(spark, sf_dir, "events")
     return (
         e.select(
             F.year("ts").alias("yr"),
             F.month("ts").alias("mo"),
             F.dayofmonth("ts").alias("dy"),
-            "value",
+            F.col("value").cast("decimal(12,2)").alias("value"),
         )
         .rollup("yr", "mo", "dy")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").cast("double").alias("total"),
+        )
     )
 
 

@@ -253,7 +253,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM range(0, 15) t(i)
     )
     SELECT w.window_id, count(*) AS n_events,
-           round(sum(e.value), 4) AS total_value
+           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
     GROUP BY w.window_id
     """,
@@ -265,7 +265,12 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/rangejoin.py): events matched to 6-hour maintenance windows
     (every 48h) with zero nested-loop compares — points join on their
     single time chunk, intervals explode to covered chunks only. The
-    oracle is the plain inequality join."""
+    oracle is the plain inequality join.
+
+    total_value sums EXACT decimals (money rule, CLAUDE.md): each window
+    matches ~8e5 events at sf100, enough for double summation-order
+    noise to flip round(sum(double), 4)'s last digit between engines —
+    caught by the round-7e sf100 sweep."""
     from spark_hbase_connector_spark.operators.rangejoin import range_join
 
     ev = load(spark, sf_dir, "events")
@@ -282,7 +287,7 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(ev, win, "ts", "w_start", "w_end", chunk_seconds=21_600)
     return joined.groupBy("window_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
     )
 
 
