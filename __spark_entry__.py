@@ -73,14 +73,10 @@ DRIVER_WINDOW = [
     "dedup_domain_cap",
     "ann_topk_filtered",
     "dedup_repeated_paragraphs",
-    # --- streaming, never driver-checked (8): ohlc_bars and
-    # sliding_counts rotated out for round-7d changed-hash repeats (both
-    # have driver-checked family siblings: streaming_tumbling_counts r6,
-    # streaming_session_timeout_close r6)
-    "streaming_dedup_distinct",
-    "streaming_latest_per_key",
-    "streaming_running_totals",
-    "streaming_session_dynamic_gap",
+    # --- streaming, never driver-checked (2): the rest of the family
+    # rotated out across 7d/7e for changed-hash repeats — five streaming
+    # siblings carried driver green in r6 and seven more are in the
+    # committed strict differentials at every SF
     "streaming_stream_join",
     "streaming_tumbling_watermarked",
     # --- changed by the round-7d expanded sf10 sweep (7): the money-rule
@@ -93,33 +89,25 @@ DRIVER_WINDOW = [
     "window_percent_cume",
     "recursive_date_spine",
     "streaming_hbasekv_changefeed",
-    # --- sketch QA, never driver-checked (2): count_min_qa rotated out
-    # for the round-7d PSI drift entry; hll_sketch_union_qa rotated out
-    # for the 7e BM25 entry — two sketch-QA siblings remain in-window
-    "approx_distinct_qa",
+    # --- sketch QA, never driver-checked (1): distinct_qa rotated out
+    # for a 7e changed-hash repeat (family siblings carried the signal in
+    # r2-r6)
     "approx_heavy_hitters_qa",
     # --- NEW round-7d entry (1): PSI distribution-drift report
     "corpus_drift_psi",
     # --- aggregation, never driver-checked (1): bitwise_bool and
     # collation_ci rotated out for 7d changed-hash repeats (driver-checked
     # family siblings agg_stats_moments / agg_bitmap_distinct r6)
-    "agg_geomean_margin",
-    # --- events / time-series, never driver-checked (3):
-    # events_pattern_runs (overlap-matrix rotation), events_mad_outliers
-    # and events_user_entropy (7d changed-hash rotation) rotated out —
-    # siblings events_anomaly_zscore / events_pattern_3seq stay
-    "events_anomaly_zscore",
+    # --- events / time-series, never driver-checked (1):
+    # events_pattern_3seq stays; its siblings rotated out for 7e
+    # changed-hash repeats
     "events_pattern_3seq",
     # --- NEW round-7d entry (1): cross-source shingle overlap matrix
     "corpus_overlap_matrix",
-    # --- scalar functions, never driver-checked (5): scalar_try_cast and
-    # agg_max_by rotated out for the round-7d additions — each has
-    # multiple driver-checked family siblings (scalar_array_hof /
-    # scalar_datetime r6-7; agg_stats_moments / agg_bitmap_distinct r6)
-    "scalar_array_setops",
+    # --- scalar functions, never driver-checked (1): the rest of the
+    # family rotated out for 7e changed-hash repeats (scalar_array_hof /
+    # scalar_datetime driver-green r6-7)
     "scalar_haversine_nearest",
-    "scalar_tz_convert",
-    "scalar_zorder_key",
     # --- NEW round-7d entries (2): hybrid lexical+vector retrieval with
     # reciprocal-rank fusion; BPE tokenizer application (per-source
     # fertility under the trained merges) — first-time by construction
@@ -136,8 +124,22 @@ DRIVER_WINDOW = [
     # streaming_static_enrich (streaming keeps six in-window entries plus
     # four driver-green r6 siblings)
     "search_mmr_rerank",
-    # --- windows / text, never driver-checked (1)
-    "text_hash_features",
+    # --- changed by the round-7e money-rule eradication (11): every
+    # remaining large-group money/quantity sum now sums exact decimals
+    # (q1 additionally rounds its scale-4/6 sums to scale 2 in the
+    # decimal domain before the double cast — the >2^53 unscaled
+    # conversion-boundary fix); all must re-earn the driver signal
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    "cube_lineitem",
+    "pivot_lineitem",
+    "orders_yoy_growth",
     # --- changed late in round 7 (1): the fresh full sf1 sweep caught
     # round(sum(double),4) flipping its last digit on the salt-scrambled
     # summation order; total_price now sums exact decimals (money rule)

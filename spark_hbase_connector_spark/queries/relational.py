@@ -26,13 +26,13 @@ from spark_hbase_connector_spark.queries.registry import query
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                       AS sum_qty,
-           round(sum(l_extendedprice), 4)                                  AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)               AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-           round(avg(l_quantity), 4)                                       AS avg_qty,
-           round(avg(l_extendedprice), 4)                                  AS avg_price,
-           round(avg(l_discount), 4)                                       AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)          AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)     AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4)      AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*), 4)       AS avg_disc,
            count(*)                                                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -43,20 +43,44 @@ from spark_hbase_connector_spark.queries.registry import query
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy multi-aggregate; exercises partial agg +
-    whole-stage codegen (all expressions JVM-side)."""
+    whole-stage codegen (all expressions JVM-side).
+
+    All money/quantity sums use EXACT decimals (money rule, CLAUDE.md):
+    each of the 4 groups sums ~1.5e7 addends at sf100, where
+    round(sum(double), 4) flips its last digit between engines; the
+    averages divide the same exact sums by the group count so both
+    engines round identical doubles. The scale-4/6 product sums are
+    additionally rounded to scale 2 IN THE DECIMAL DOMAIN (identical
+    half-up semantics on both engines, no float involved) before the
+    double cast: a scale-6 sum's unscaled value exceeds 2^53, where
+    DuckDB's two-step decimal->double conversion and Spark's correctly-
+    rounded BigDecimal conversion can land on ADJACENT doubles (caught
+    at sf1 by this fix's verification sweep); at scale 2 the unscaled
+    value fits in 2^53 and both conversions are exact-then-divide,
+    bit-identical."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    one = F.lit(1).cast("decimal(3,2)")
+    qty_d = F.col("l_quantity").cast("decimal(12,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = price_d * (one - F.col("l_discount").cast("decimal(3,2)"))
+    n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(qty_d).cast("double").alias("sum_qty"),
+            F.sum(price_d).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(disc_price * (one + F.col("l_tax").cast("decimal(3,2)"))), 2
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(qty_d).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(price_d).cast("double") / n, 4).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(3,2)")).cast("double") / n, 4
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -65,7 +89,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -90,9 +115,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-                "revenue"
-            ),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(3,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -383,7 +411,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -436,9 +464,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (
+                    F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(3,2)")
+                )
             )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -608,7 +642,8 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cube_lineitem",
     oracle="""
-    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     tags=("agg", "grouping"),
@@ -618,7 +653,11 @@ def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
     )
 
 
@@ -647,8 +686,10 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_lineitem",
     oracle="""
     SELECT l_returnflag,
-           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0.0), 4) AS qty_O,
-           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0.0), 4) AS qty_F
+           CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                         FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_O,
+           CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                         FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_F
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "pivot"),
@@ -657,14 +698,16 @@ def pivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT on linestatus (conditional-agg equivalent in the oracle)."""
     df = (
         load(spark, sf_dir, "lineitem")
+        .withColumn("l_quantity", F.col("l_quantity").cast("decimal(12,2)"))
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .sum("l_quantity")
     )
+    zero = F.lit(0).cast("decimal(12,2)")
     return df.select(
         "l_returnflag",
-        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 4).alias("qty_O"),
-        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 4).alias("qty_F"),
+        F.coalesce(F.col("O"), zero).cast("double").alias("qty_O"),
+        F.coalesce(F.col("F"), zero).cast("double").alias("qty_F"),
     )
 
 

@@ -874,7 +874,7 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH monthly AS (
       SELECT date_trunc('month', o_orderdate) AS m,
-             round(sum(o_totalprice), 2) AS revenue
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
       FROM orders GROUP BY 1
     ),
     shifted AS (
@@ -897,7 +897,7 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison are excluded rather than reported as NULL growth."""
     o = load(spark, sf_dir, "orders")
     monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("revenue")
     )
     w = Window.orderBy("m")
     shifted = monthly.select(

@@ -71,11 +71,13 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) AS volume
       FROM supplier s
       JOIN lineitem l ON s.s_suppkey = l.l_suppkey
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -125,9 +127,15 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (
+                    F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(3,2)")
+                )
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -201,12 +209,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount)
-               - 0.1 * p.p_retailprice * l.l_quantity AS amount
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+               - CAST(0.1 AS DECIMAL(2,1)) * CAST(p.p_retailprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -228,9 +238,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders")
     n = load(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    amount = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    ) - F.lit(0.1).cast("decimal(2,1)") * F.col("p_retailprice").cast(
+        "decimal(12,2)"
+    ) * F.col("l_quantity").cast("decimal(12,2)")
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -239,7 +251,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
     )
 
 
@@ -357,7 +369,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / 7.0, 4) AS avg_yearly,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -385,7 +398,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lim, F.col("l_partkey") == F.col("lim_partkey"))
         .where(F.col("l_quantity") < F.col("qty_lim"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -440,7 +457,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_global_sales_opportunity",
     oracle="""
     SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
-           round(sum(c_acctbal), 4) AS totacctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
     FROM (
       SELECT c.c_nationkey AS cntrycode, c.c_acctbal
       FROM customer c
@@ -471,7 +488,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT cntrycode, count(*) AS numcust,
-               round(sum(c_acctbal), 4) AS totacctbal
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
         FROM (
           SELECT c.c_nationkey AS cntrycode, c.c_acctbal
           FROM customer c
@@ -588,12 +605,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n   ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name = 'NATION_7'
     )
-    SELECT l_partkey AS ps_partkey, round(sum(l_extendedprice), 4) AS part_value
+    SELECT l_partkey AS ps_partkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_value
     FROM scoped
     GROUP BY l_partkey
-    HAVING round(sum(l_extendedprice), 4) >
-           round((SELECT 2.0 * sum(l_extendedprice) / count(DISTINCT l_partkey)
-                  FROM scoped), 4)
+    HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) >
+           (SELECT 2.0 * CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / count(DISTINCT l_partkey)
+            FROM scoped)
     ORDER BY part_value DESC, ps_partkey
     """,
     tags=("agg", "subquery"),
@@ -605,8 +624,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-invariant — a fixed fraction-of-total empties as the part count
     grows). The scalar is a single-row aggregate cross-joined (broadcast)
     into the grouped output, so the corpus is scanned twice but shuffled
-    once; both sides round to 4dp before comparing so engine-order float
-    summation can't flip a borderline group."""
+    once; both the per-part values and the threshold sum EXACT decimals
+    (money rule, CLAUDE.md) so engine-order float summation can't flip a
+    borderline group at any scale."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
@@ -616,13 +636,19 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_extendedprice")
     )
     total = scoped.agg(
-        F.round(
-            2.0 * F.sum("l_extendedprice") / F.count_distinct("l_partkey"), 4
+        (
+            2.0
+            * F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            / F.count_distinct("l_partkey")
         ).alias("_threshold")
     )
     return (
         scoped.groupBy(F.col("l_partkey").alias("ps_partkey"))
-        .agg(F.round(F.sum("l_extendedprice"), 4).alias("part_value"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("part_value")
+        )
         .join(F.broadcast(total))
         .where(F.col("part_value") > F.col("_threshold"))
         .select("ps_partkey", "part_value")
