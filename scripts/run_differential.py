@@ -59,10 +59,15 @@ def main():
         # The final write below replaces this with the stamped payload.
         out_ckpt = os.environ.get("DIFF_JSON_OUT")
         if out_ckpt:
-            with open(out_ckpt, "w") as f:
+            # Atomic: a kill mid-dump must not truncate the very file the
+            # checkpoint exists to preserve — write a sibling temp, then
+            # os.replace (atomic on POSIX within one filesystem).
+            tmp = out_ckpt + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(
                     {"sf_dir": sf_dir, "passed": n_ok, "run": n_run,
                      "in_progress": True, "queries": records}, f, indent=1)
+            os.replace(tmp, out_ckpt)
     print(f"== {n_ok}/{n_run} passed ==", flush=True)
     # Invariant (VERDICT r6 ask 3): a sweep launched before a registry edit
     # silently misses entries added mid-sweep. A full (un-scoped) sweep must

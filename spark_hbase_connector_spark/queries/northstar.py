@@ -2936,9 +2936,15 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINT sum cast once to double; each per-doc score is the SAME
     IEEE expression tree evaluated on those identical inputs in both
     engines, and the two term contributions are summed pairwise
-    (addition of two doubles is order-free), so ranking compares
-    identical bits. Ties (identical tf/dl combinations) break on doc_id.
-    Display rounding uses the round(x*10000)/10000 recipe (CLAUDE.md)."""
+    (addition of two doubles is order-free). The one non-guaranteed step
+    is ln(): neither java.lang.Math.log nor libm is correctly rounded,
+    so the idf values may disagree by ~1 ulp between engines — in
+    practice they agree, but the guarantee is ~1-ulp agreement, not bit
+    identity. The guards that make the entry deterministic anyway: exact
+    score ties (identical tf/dl combinations) break on doc_id, distinct
+    scores at the LIMIT 10 boundary differ by far more than an idf ulp
+    on this corpus, and display rounding uses the round(x*10000)/10000
+    recipe (CLAUDE.md)."""
     d = load(spark, sf_dir, "documents")
     d.createOrReplaceTempView("documents_bm25_v")
     return spark.sql(
@@ -3115,7 +3121,16 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors and evaluate the same 0.7/0.3 expression; argmax ties break
     on doc_id; final scores use the round(x*10000)/10000 recipe applied
     ENGINE-side (Spark round / DuckDB round on the same product double —
-    never Python's half-to-even). Verified strict at sf0.01/0.1/1/10."""
+    never Python's half-to-even). Every similarity entering the greedy
+    loop (query-candidate AND candidate-candidate) is recomputed here
+    with DIMENSION-ORDERED accumulation — the same left-to-right fold as
+    DuckDB's list_sum — rather than a BLAS matmul, whose blocked/FMA
+    accumulation is build-dependent and could flip a sub-ulp argmax
+    near-tie that then cascades through every later greedy pick. The one
+    residual float dependence on the candidate LEG is top-100 SET
+    membership (brute_force_topk's Arrow matmul vs the oracle's
+    list_sum), which would need a sub-ulp tie exactly at the rank-100
+    boundary. Verified strict at sf0.01/0.1/1/10."""
     import numpy as np
 
     e = load(spark, sf_dir, "embeddings")
@@ -3129,10 +3144,27 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )  # bounded: exactly |top-100| rows by construction
     ids = np.array([r["doc_id"] for r in rows])
-    sq = np.array([r["sq"] for r in rows], dtype=np.float64)
     C = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    nrm = np.sqrt(np.einsum("ij,ij->i", C, C))
-    S = (C @ C.T) / (nrm[:, None] * nrm[None, :])
+    qe = np.asarray(
+        q.select("embedding").collect()[0]["embedding"], dtype=np.float64
+    )
+    # Sequential (dimension-ordered) dot products: each += adds one
+    # product to the running sum, so every pair's accumulation order is
+    # i ascending — bit-identical to list_sum's fold, no BLAS involved.
+    n_c, dim = C.shape
+    sumsq = np.zeros(n_c)
+    dots_q = np.zeros(n_c)
+    dots = np.zeros((n_c, n_c))
+    q_ss = 0.0
+    for i in range(dim):
+        ci = C[:, i]
+        sumsq += ci * ci
+        q_ss += qe[i] * qe[i]
+        dots_q += qe[i] * ci
+        dots += np.outer(ci, ci)
+    nrm = np.sqrt(sumsq)
+    sq = dots_q / (float(np.sqrt(q_ss)) * nrm)
+    S = dots / (nrm[:, None] * nrm[None, :])
     selected: list[tuple[int, int, float]] = []
     active = np.ones(len(ids), dtype=bool)
     ms = None  # max similarity to the selected set, per candidate

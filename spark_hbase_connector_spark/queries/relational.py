@@ -89,8 +89,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -115,9 +115,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * F.col("l_discount").cast("decimal(3,2)")
+            # Money rule: scale-2 decimal round before the double cast
+            # (see q5's comment; same 2^53-unscaled-value class).
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(3,2)")
+                ),
+                2,
             )
             .cast("double")
             .alias("revenue"),
@@ -411,7 +416,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -464,12 +469,20 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (
-                    F.lit(1).cast("decimal(3,2)")
-                    - F.col("l_discount").cast("decimal(3,2)")
-                )
+            # Money rule (CLAUDE.md): round the scale-4 decimal sum to
+            # scale 2 in the decimal domain before the ONE double cast —
+            # past ~9e11 the unscaled value exceeds 2^53 where DuckDB's
+            # unscaled-then-divide cast and Spark's correctly-rounded
+            # cast land on adjacent doubles.
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (
+                        F.lit(1).cast("decimal(3,2)")
+                        - F.col("l_discount").cast("decimal(3,2)")
+                    )
+                ),
+                2,
             )
             .cast("double")
             .alias("revenue")

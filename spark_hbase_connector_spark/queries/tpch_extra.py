@@ -72,7 +72,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(sum(volume) AS DOUBLE) AS revenue
+           CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
@@ -127,12 +127,18 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (
-                    F.lit(1).cast("decimal(3,2)")
-                    - F.col("l_discount").cast("decimal(3,2)")
-                )
+            # Money rule: scale-2 decimal round before the double cast
+            # (see q5_local_supplier_volume; same 2^53 unscaled-value
+            # class once a (nation-pair, year) group's sum nears 1e12).
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (
+                        F.lit(1).cast("decimal(3,2)")
+                        - F.col("l_discount").cast("decimal(3,2)")
+                    )
+                ),
+                2,
             )
             .cast("double")
             .alias("revenue")
