@@ -850,13 +850,25 @@ def simhash_pairs(
 
     Output columns: (id1, id2, hamming).
     """
+    # persisted inside hamming_band_pairs: the bucket relation is
+    # self-joined, which would otherwise re-execute the whole
+    # shingle+simhash Arrow pass per side
+    return hamming_band_pairs(
+        simhash_words(df, text_col, id_col, w), max_hamming=max_hamming
+    )
+
+
+def hamming_band_pairs(words: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id1, id2, hamming) pairs within `max_hamming` over an (id, h)
+    frame of 64-bit signature words — the signature-agnostic core of
+    `simhash_pairs` (same Manku WWW'07 combination banding, same
+    guaranteed-recall argument), reused by the perceptual image-hash
+    dedup (`operators/multimodal.py:image_dhash_words`). The input
+    subtree is persisted here because the bucket relation is
+    self-joined; callers pass the raw words frame."""
     import itertools
 
-    # persisted: the bucket relation below is self-joined, which would
-    # otherwise re-execute the whole shingle+simhash Arrow pass per side
-    base = simhash_words(df, text_col, id_col, w).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    base = words.persist(StorageLevel.MEMORY_AND_DISK)
     n_blocks = max_hamming + 3
     match_blocks = n_blocks - max_hamming
     base_w, rem = divmod(64, n_blocks)

@@ -474,3 +474,187 @@ def sample_frames(
             )
 
     return assets.mapInPandas(gen, schema="id long, frame_index int, frame_hash string")
+
+
+# --------------------------------------------------- perceptual hashing ----
+
+
+def synth_bmp_payload(i: int, with_bump: bool = True) -> bytes:
+    """Deterministic REAL 9x8 24-bit uncompressed BMP whose gray levels
+    are arithmetic in ``i`` — the pixel-bearing sibling of
+    `synth_image_payload` (which builds headers only). Images come in
+    groups of 4 (``i // 4``): index 0 is the group's base pattern
+    ``(group*37 + x*11 + y*5 + x*y*(group+1)) % 251`` — the ``x*y``
+    cross-term makes the adjacent-column differences (what dHash
+    compares) group- AND row-dependent, so distinct groups get distinct
+    bit patterns (a pure gradient hashes every group identically: the
+    comparisons only see the +11 step) — and indices 1-3 add +100
+    (mod 251) at the single pixel ``(x, y) = (2v, v)``, a perturbation
+    that flips at most the two dHash bits adjacent to that pixel, so
+    within-group pairs are near-duplicates (Hamming <= 4). All three
+    channels carry the same value,
+    so a correct BGR decode must reproduce the formula exactly — which is
+    what lets a SQL oracle replay the hash without touching bytes."""
+    w, h = 9, 8
+    row_size = (w * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+    group, v = i // 4, i % 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # positive height => bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            g = (group * 37 + x * 11 + y * 5 + x * y * (group + 1)) % 251
+            if with_bump and v > 0 and x == 2 * v and y == v:
+                g = (g + 100) % 251
+            row += bytes((g, g, g))  # BGR
+        row += b"\x00" * (row_size - len(row))
+        rows.append(bytes(row))
+    pixel_data = b"".join(rows)
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB, uncompressed
+        + len(pixel_data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    header = (
+        b"BM"
+        + (14 + len(dib) + len(pixel_data)).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (14 + len(dib)).to_bytes(4, "little")
+    )
+    return header + dib + pixel_data
+
+
+def decode_bmp_gray(b: bytes) -> list[list[int]] | None:
+    """REAL uncompressed-24bpp BMP pixel decode, pure Python: honors the
+    pixel-array offset at byte 10, signed width/height (negative height =
+    top-down row order), 4-byte row padding, and BGR channel order.
+    Returns a top-down grid of integer gray levels ((B+G+R)//3), or None
+    for non-BMP / compressed / non-24bpp payloads (those would need a
+    real codec — out of scope by design, same contract as
+    `parse_image_dims`)."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    offset = int.from_bytes(b[10:14], "little")
+    if int.from_bytes(b[14:18], "little") < 40:
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h_signed = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if w <= 0 or h_signed == 0 or bpp != 24 or compression != 0:
+        return None
+    h = abs(h_signed)
+    row_size = (w * 3 + 3) & ~3
+    if offset + row_size * h > len(b):
+        return None
+    grid = []
+    for y_out in range(h):
+        # positive height: stored bottom-up -> top row is the LAST row
+        y_src = (h - 1 - y_out) if h_signed > 0 else y_out
+        base = offset + y_src * row_size
+        row = []
+        for x in range(w):
+            p = base + x * 3
+            row.append((b[p] + b[p + 1] + b[p + 2]) // 3)
+        grid.append(row)
+    return grid
+
+
+def mean_pool_gray(grid: list[list[int]], out_w: int, out_h: int) -> list[list[int]]:
+    """Integer mean-pool a gray grid to (out_w, out_h): cell (X, Y)
+    averages the source block [floor(X*w/out_w), floor((X+1)*w/out_w)) x
+    [floor(Y*h/out_h), floor((Y+1)*h/out_h)) with exact integer
+    sum // count — deterministic, no float rounding. Identity when the
+    grid is already the target size; blocks are clamped to >= 1 source
+    pixel, so upscaling degenerates to nearest-neighbor sampling (the
+    pHash 32x32 path on small inputs)."""
+    h, w = len(grid), len(grid[0])
+    if (w, h) == (out_w, out_h):
+        return grid
+    out = []
+    for yy in range(out_h):
+        y0 = min(yy * h // out_h, h - 1)
+        y1 = max(y0 + 1, (yy + 1) * h // out_h)
+        row = []
+        for xx in range(out_w):
+            x0 = min(xx * w // out_w, w - 1)
+            x1 = max(x0 + 1, (xx + 1) * w // out_w)
+            total = sum(grid[y][x] for y in range(y0, y1) for x in range(x0, x1))
+            row.append(total // ((y1 - y0) * (x1 - x0)))
+        out.append(row)
+    return out
+
+
+def dhash64_from_gray(grid: list[list[int]]) -> int:
+    """64-bit difference hash (dHash, public algorithm): mean-pool the
+    gray grid to 9x8, set bit (y*8 + x) iff pixel (x+1, y) > pixel (x, y)
+    — each row's 8 adjacent-column comparisons. Pure integer compares on
+    integer pools, hence exactly replayable in SQL from the pixel
+    formula. Returned as a SIGNED 64-bit int (Spark LongType)."""
+    g = mean_pool_gray(grid, 9, 8)
+    word = 0
+    for y in range(8):
+        for x in range(8):
+            if g[y][x + 1] > g[y][x]:
+                word |= 1 << (y * 8 + x)
+    return word - (1 << 64) if word >= 1 << 63 else word
+
+
+def phash64_from_gray(grid: list[list[int]]) -> int:
+    """64-bit DCT perceptual hash (pHash, public algorithm): mean-pool to
+    32x32, 2-D orthonormal DCT-II (numpy, float64), keep the top-left 8x8
+    coefficient block, set bit (y*8 + x) iff the coefficient exceeds the
+    MEDIAN of the block excluding the DC term. Robust to uniform
+    brightness shifts (DC carries them) — the float DCT makes it a
+    unit-test-verified operator rather than a SQL-replayable one (libm
+    cos() is not correctly rounded across engines); `dhash64_from_gray`
+    is the oracle-checked twin."""
+    import numpy as np
+
+    g = np.asarray(mean_pool_gray(grid, 32, 32), dtype=np.float64)
+    n = 32
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    scale = np.full(n, np.sqrt(2.0 / n))
+    scale[0] = np.sqrt(1.0 / n)
+    dct = (scale[:, None] * basis) @ g @ (scale[:, None] * basis).T
+    block = dct[:8, :8]
+    flat = np.concatenate([block.ravel()[1:]])  # drop DC
+    med = float(np.median(flat))
+    word = 0
+    for y in range(8):
+        for x in range(8):
+            if not (y == 0 and x == 0) and block[y, x] > med:
+                word |= 1 << (y * 8 + x)
+    return word - (1 << 64) if word >= 1 << 63 else word
+
+
+def image_dhash_words(assets: DataFrame, hasher=dhash64_from_gray) -> DataFrame:
+    """(id, h): 64-bit perceptual-hash word per decodable BMP payload,
+    one Arrow pass (same contract as `operators.dedup.simhash_words` —
+    feed the result to `operators.dedup.hamming_band_pairs` for the
+    banded near-dup join). Payloads that fail the pixel decode are
+    dropped (no hash, same as empty documents in SimHash). Payload bytes
+    never leave the worker; only (id, 8-byte word) rows shuffle, so the
+    banded join's volume is independent of image size."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            words: list[int] = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                grid = decode_bmp_gray(bytes(payload))
+                if grid is None:
+                    continue
+                ids.append(i)
+                words.append(hasher(grid))
+            yield pd.DataFrame({"id": ids, "h": pd.array(words, dtype="int64")})
+
+    return assets.mapInPandas(gen, schema="id long, h long")

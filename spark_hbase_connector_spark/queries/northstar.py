@@ -1631,6 +1631,82 @@ def multimodal_meta_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_image_phash",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 400)) AS i),
+    px AS (
+      SELECT i, x, y,
+             CASE WHEN (i % 4) > 0 AND x = 2 * (i % 4) AND y = (i % 4)
+                  THEN ((i // 4) * 37 + x * 11 + y * 5
+                        + x * y * ((i // 4) + 1) + 100) % 251
+                  ELSE ((i // 4) * 37 + x * 11 + y * 5
+                        + x * y * ((i // 4) + 1)) % 251
+             END AS g
+      FROM ids
+      CROSS JOIN (SELECT unnest(range(0, 9)) AS x) xs
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS y) ys
+    ),
+    bits AS (
+      SELECT a.i, a.y * 8 + a.x AS bit,
+             CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS v
+      FROM px a JOIN px b ON b.i = a.i AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    ham AS (
+      SELECT a.i AS id1, b.i AS id2,
+             CAST(sum(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END) AS INTEGER)
+               AS hamming
+      FROM bits a JOIN bits b ON a.bit = b.bit AND a.i < b.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2, hamming
+    FROM ham WHERE hamming <= 3
+    """,
+    tags=("multimodal", "dedup", "phash"),
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup, end-to-end on REAL pixel bytes:
+    workers synthesize 400 deterministic 9x8 24-bit BMPs
+    (`synth_bmp_payload` — 100 groups of 4, each group a base pattern
+    plus three single-pixel perturbations), `image_dhash_words` decodes
+    the actual BMP pixel array back out of the BYTES (bottom-up rows,
+    4-byte padding, BGR — `decode_bmp_gray`) and computes the 64-bit
+    dHash (adjacent-column comparisons on the mean-pooled gray grid),
+    and `operators.dedup.hamming_band_pairs` — the SAME Manku-banding
+    machinery as `dedup_simhash` — emits pairs within Hamming 3 with
+    guaranteed recall. The oracle replays the hash arithmetically from
+    the pixel-generator formula (exactly the `multimodal_meta_images` /
+    `dedup_simhash` certification recipe), so ANY defect in BMP
+    construction, pixel decode, hashing, or banding is a hash mismatch;
+    brute-force == banded is additionally unit-proven
+    (tests/test_multimodal.py). The float-DCT pHash twin
+    (`phash64_from_gray`) plugs into the same words->bands pipeline but
+    is unit-test-verified only (libm cos() is not SQL-replayable).
+
+    Scale shape: payload bytes never leave the worker — only (id, 8-byte
+    word) rows shuffle into the banded equality join, so the pair search
+    is independent of image size; candidate volume follows the SimHash
+    Σ-per-33-bit-bucket argument (`SCALE.md`)."""
+    from spark_hbase_connector_spark.operators.dedup import hamming_band_pairs
+    from spark_hbase_connector_spark.operators.multimodal import (
+        image_dhash_words,
+        synth_bmp_payload,
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            yield pd.DataFrame(
+                {"id": ids, "payload": [synth_bmp_payload(i) for i in ids]}
+            )
+
+    assets = spark.range(0, 400).mapInPandas(build, schema="id long, payload binary")
+    return hamming_band_pairs(image_dhash_words(assets), max_hamming=3)
+
+
+@query(
     "multimodal_audio_meta",
     oracle="""
     WITH ids AS (SELECT unnest(range(0, 240)) AS id),

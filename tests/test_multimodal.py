@@ -266,3 +266,124 @@ def test_fuzz_mp4_parser():
     )
 
     _fuzz(parse_mp4_meta, synth_mp4_payload)
+
+
+# ------------------------------------------------- perceptual hashing ----
+
+
+def test_bmp_pixel_roundtrip():
+    """decode_bmp_gray must reproduce the generator's pixel formula exactly
+    through the REAL byte layout (bottom-up rows, padding, BGR)."""
+    from spark_hbase_connector_spark.operators.multimodal import (
+        decode_bmp_gray,
+        synth_bmp_payload,
+    )
+
+    for i in (0, 1, 7, 123):
+        g = decode_bmp_gray(synth_bmp_payload(i))
+        group, v = i // 4, i % 4
+        for y in range(8):
+            for x in range(9):
+                exp = (group * 37 + x * 11 + y * 5 + x * y * (group + 1)) % 251
+                if v > 0 and x == 2 * v and y == v:
+                    exp = (exp + 100) % 251
+                assert g[y][x] == exp, (i, x, y)
+
+
+def test_bmp_decode_topdown_and_rejects():
+    """Negative height (top-down storage) must yield the same logical grid;
+    non-BMP / non-24bpp payloads must return None, not garbage."""
+    from spark_hbase_connector_spark.operators.multimodal import (
+        decode_bmp_gray,
+        synth_bmp_payload,
+    )
+
+    b = bytearray(synth_bmp_payload(9))
+    grid = decode_bmp_gray(bytes(b))
+    # rewrite height as negative (top-down) and reverse the stored rows
+    offset = int.from_bytes(b[10:14], "little")
+    row_size = (9 * 3 + 3) & ~3
+    rows = [bytes(b[offset + r * row_size : offset + (r + 1) * row_size]) for r in range(8)]
+    b[22:26] = (-8).to_bytes(4, "little", signed=True)
+    b[offset:] = b"".join(reversed(rows))
+    assert decode_bmp_gray(bytes(b)) == grid
+    assert decode_bmp_gray(b"NOTABMP" * 10) is None
+    bad_bpp = bytearray(synth_bmp_payload(0))
+    bad_bpp[28:30] = (8).to_bytes(2, "little")
+    assert decode_bmp_gray(bytes(bad_bpp)) is None
+
+
+def test_dhash_scale_invariance_and_bump_locality():
+    """Mean-pooling a 2x-upscaled image must give the identical dHash, and
+    a single-pixel perturbation flips at most 2 bits."""
+    from spark_hbase_connector_spark.operators.multimodal import (
+        decode_bmp_gray,
+        dhash64_from_gray,
+        synth_bmp_payload,
+    )
+
+    g = decode_bmp_gray(synth_bmp_payload(20))
+    up = [[g[y // 2][x // 2] for x in range(18)] for y in range(16)]
+    assert dhash64_from_gray(up) == dhash64_from_gray(g)
+    for i in (21, 22, 23):  # same group, bumped variants
+        d = dhash64_from_gray(decode_bmp_gray(synth_bmp_payload(i)))
+        assert bin((d ^ dhash64_from_gray(g)) & (2**64 - 1)).count("1") <= 2
+
+
+def test_phash_brightness_invariance():
+    """pHash's defining property: a uniform brightness shift lands entirely
+    in the DC coefficient, which the hash excludes — identical words."""
+    from spark_hbase_connector_spark.operators.multimodal import (
+        decode_bmp_gray,
+        phash64_from_gray,
+        synth_bmp_payload,
+    )
+
+    g = decode_bmp_gray(synth_bmp_payload(13))
+    shifted = [[v + 37 for v in row] for row in g]
+    assert phash64_from_gray(shifted) == phash64_from_gray(g)
+    # and it must NOT be degenerate: a different group hashes differently
+    other = decode_bmp_gray(synth_bmp_payload(113))
+    assert phash64_from_gray(other) != phash64_from_gray(g)
+
+
+def test_image_dhash_banding_equals_brute_force(spark):
+    """The banded Hamming join over image dHash words must find EXACTLY the
+    brute-force all-pairs result at the guaranteed bound (ham<=3) — the
+    image twin of test_simhash_banding_completeness."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spark_hbase_connector_spark.operators.dedup import hamming_band_pairs
+    from spark_hbase_connector_spark.operators.multimodal import (
+        image_dhash_words,
+        synth_bmp_payload,
+    )
+
+    def build(batches):
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            yield pd.DataFrame(
+                {"id": ids, "payload": [synth_bmp_payload(i) for i in ids]}
+            )
+
+    assets = spark.range(0, 200).mapInPandas(build, schema="id long, payload binary")
+    words = image_dhash_words(assets).persist()
+    banded = {
+        (r.id1, r.id2, r.hamming)
+        for r in hamming_band_pairs(words, max_hamming=3).collect()
+    }
+    a = words.select(F.col("id").alias("id1"), F.col("h").alias("h1"))
+    b = words.select(F.col("id").alias("id2"), F.col("h").alias("h2"))
+    brute = {
+        (r.id1, r.id2, r.hamming)
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute and len(banded) > 0
