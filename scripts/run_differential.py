@@ -3,6 +3,12 @@ python scripts/run_differential.py [sf_dir] [name ...]
 
 Set DIFF_JSON_OUT=<path> to also write a machine-readable per-query
 record (the committed-artifact form the round-2 advisor asked for).
+
+Set DIFF_EXCLUDE_SUPERLINEAR=1 for sf>=10 sweeps: the four entries whose
+DUCKDB ORACLES are super-linear by construction (not Spark-plan gaps) are
+skipped but still stamped into the JSON as self-describing
+``{"excluded": "oracle_superlinear", "reason": ...}`` rows, so a full
+sweep artifact enumerates the entire registry (VERDICT r7 ask #4).
 """
 
 import json
@@ -16,10 +22,37 @@ from spark_hbase_connector_spark import get_spark
 from spark_hbase_connector_spark.oracle import compare_frames, duckdb_connection
 from spark_hbase_connector_spark.queries import REGISTRY
 
+# The Spark side of each of these is scale-safe (measured decades in
+# SCALE.md); it is the ORACLE that cannot follow past sf1 — each is kept
+# strict-green at sf0.01/0.1/1, which is what certifies correctness.
+ORACLE_SUPERLINEAR = {
+    "embedding_cosine_pairs": (
+        "exact all-pairs cosine oracle is a full cross join (n^2 list_sum"
+        " dot products): 1117 s at sf10 vs Spark 6.7 s; the LSH-bucketed"
+        " twin embedding_cosine_pairs_lsh carries the sf10+ evidence"
+    ),
+    "dedup_edit_distance": (
+        "oracle is a length-banded THETA join (no equality key), which"
+        " DuckDB executes as a nested-loop cross product at sf10"
+    ),
+    "pipeline_semantic_dedup": (
+        "composes the all-pairs cosine oracle above; same cross-join"
+        " blowup"
+    ),
+}
+
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or list(REGISTRY)
+    excluded = {}
+    if os.environ.get("DIFF_EXCLUDE_SUPERLINEAR"):
+        excluded = {
+            n: r for n, r in ORACLE_SUPERLINEAR.items() if n in names
+        }
+        names = [n for n in names if n not in excluded]
+        for n, r in excluded.items():
+            print(f"EXCL  {n} (oracle_superlinear)", flush=True)
     spark = get_spark("diff", cpus=16)
     con = duckdb_connection(sf_dir)
     n_ok = 0
@@ -89,12 +122,14 @@ def main():
         )
         if probe.returncode == 0:
             current = set(probe.stdout.split())
-            missing = sorted(current - set(records))
+            missing = sorted(current - set(records) - set(excluded))
         else:
             print(f"WARN: registry re-probe failed: {probe.stderr[:300]}",
                   flush=True)
     out = os.environ.get("DIFF_JSON_OUT")
     if out:
+        for n, reason in excluded.items():
+            records[n] = {"excluded": "oracle_superlinear", "reason": reason}
         payload = {"sf_dir": sf_dir, "passed": n_ok, "run": n_run,
                    "queries": records}
         if missing:

@@ -740,6 +740,7 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank <= 5
     """,
     tags=("similarity", "ann", "filtered"),
+    bench=True,
 )
 def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search: exact top-5 cosine neighbors of each query
@@ -2870,6 +2871,7 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
     """,
     tags=("text", "search", "similarity", "pipeline"),
+    bench=True,
 )
 def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion — the standard RAG
@@ -2991,6 +2993,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
     """,
     tags=("text", "search"),
+    bench=True,
 )
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 (Okapi, Lucene idf; k1=1.2, b=0.75) for the disjunctive
@@ -3082,6 +3085,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY a.doc_id
     """,
     tags=("text", "search", "join"),
+    bench=True,
 )
 def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search ("scan join", adjacent tokens) via POSITIONAL
@@ -3176,6 +3180,7 @@ _MMR_ORACLE = (
     "search_mmr_rerank",
     oracle=_MMR_ORACLE,
     tags=("similarity", "search", "pipeline"),
+    bench=True,
 )
 def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance diversity rerank — the serving-side step
