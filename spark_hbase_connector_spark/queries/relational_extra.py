@@ -321,8 +321,9 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_regexp_extract_all",
     oracle="""
     SELECT event_id,
-           array_to_string(regexp_extract_all(props, '[0-9]+(?:\\.[0-9]+)?'),
-                           ',') AS numbers,
+           coalesce(array_to_string(
+               regexp_extract_all(props, '[0-9]+(?:\\.[0-9]+)?'), ','), '')
+             AS numbers,
            CAST(len(regexp_extract_all(props, '[0-9]+(?:\\.[0-9]+)?'))
                 AS INTEGER) AS n_numbers
     FROM events
@@ -382,10 +383,13 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
     ab AS (SELECT doc_id, l[1:15] AS a, l[10:24] AS b FROM t)
     SELECT doc_id,
-           array_to_string(list_sort(list_intersect(a, b)), ',') AS inter,
-           array_to_string(list_sort(list_distinct(a || b)), ',') AS uni,
-           array_to_string(list_sort(list_distinct(
-               list_filter(a, x -> NOT list_contains(b, x)))), ',') AS diff
+           coalesce(array_to_string(list_sort(list_intersect(a, b)), ','),
+                    '') AS inter,
+           coalesce(array_to_string(list_sort(list_distinct(a || b)), ','),
+                    '') AS uni,
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(a, x -> NOT list_contains(b, x)))), ','), '')
+             AS diff
     FROM ab WHERE doc_id % 11 = 0
     """,
     tags=("scalar", "array"),
@@ -397,8 +401,13 @@ def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted, then comma-joined — the driver canonicalizer sorts output
     columns with pandas and list cells are unhashable, so the joined
     string is the deterministic AND hashable form (set semantics remain
-    fully testable: every element and its sorted position survive). All
-    JVM expressions, zero shuffles, output bounded by the slice widths."""
+    fully testable: every element and its sorted position survive). The
+    oracle coalesces to '' because DuckDB's array_to_string returns NULL
+    for an EMPTY list where Spark's array_join returns '' — a divergence
+    only reachable when a-minus-b is empty, which first occurred at sf1
+    (text/props are non-null in every testdata decade, so the coalesce
+    is exact). All JVM expressions, zero shuffles, output bounded by the
+    slice widths."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     a, b = F.slice(toks, 1, 15), F.slice(toks, 10, 15)
