@@ -215,14 +215,34 @@ def connected_components_star(
     Scale: each round is two groupBy-min aggregations + joins keyed on
     node ids (all partial-aggregated), and the edge set only shrinks or
     re-targets — no round ever multiplies edges beyond the symmetrized
-    input. Use this for diameter-heavy graphs; for dedup cliques the
-    propagation loop converges in fewer materializations.
+    input. The INPUT edge relation is eagerly localCheckpointed before
+    the loop: round 1's symmetrize-and-join DAG consumes it four times,
+    and without materialization each consumption re-executes the whole
+    upstream pair-generation pipeline (for dedup graphs, the corpus-sized
+    candidate join) concurrently inside one job — at sf100 that filled
+    59 GB of shuffle spill and died on disk, with the checkpoint it runs
+    in bounded space. Superseded per-round checkpoints are released
+    best-effort so a deep-chain run's disk footprint stays ~2 edge sets
+    rather than max_iter of them. Use this for diameter-heavy graphs; for
+    dedup cliques the propagation loop converges in fewer
+    materializations.
     """
     E = (
         pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
+
+    def _release(df: DataFrame) -> None:
+        # free a superseded localCheckpoint's storage blocks without
+        # waiting for JVM GC + ContextCleaner (best-effort: toRdd() on a
+        # LogicalRDD plan is the checkpointed RDD itself; if internals
+        # shift and it's a wrapper, unpersist is a harmless no-op)
+        try:
+            df._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass
     # remember every vertex: star contraction drops edges of already-
     # rooted nodes, but the output must cover all of them
     all_nodes = (
@@ -256,12 +276,14 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
         )
         hang_self = m2.select("u", F.col("mn").alias("v"))
+        prev_E = E
         E = (
             hang_neighbors.unionByName(hang_self)
             .where(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()
         )
+        _release(prev_E)
         # hash-sum in modular space: raw xxhash64 sums overflow ANSI
         # long addition on large edge sets
         chk = E.agg(
