@@ -26,16 +26,26 @@ from spark_hbase_connector_spark.queries.registry import query
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)          AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)     AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4)      AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*), 4)       AS avg_disc,
-           count(*)                                                        AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           CAST(sum(qty_i) AS DOUBLE)                              AS sum_qty,
+           CAST(sum(price_i) AS DOUBLE) / 100                      AS sum_base_price,
+           CAST((sum(dp_i) + 50) // 100 AS DOUBLE) / 100           AS sum_disc_price,
+           CAST((sum(ch_i) + 5000) // 10000 AS DOUBLE) / 100       AS sum_charge,
+           round(CAST(sum(qty_i) AS DOUBLE) / count(*), 4)         AS avg_qty,
+           round(CAST(sum(price_i) AS DOUBLE) / 100 / count(*), 4) AS avg_price,
+           round(CAST(sum(disc_i) AS DOUBLE) / 100 / count(*), 4)  AS avg_disc,
+           count(*)                                                AS count_order
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT)                   AS qty_i,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_i,
+             CAST(round(l_discount * 100) AS BIGINT)      AS disc_i,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))  AS dp_i,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               * (100 + CAST(round(l_tax * 100) AS BIGINT))       AS ch_i
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     GROUP BY l_returnflag, l_linestatus
     """,
     tags=("agg",),
@@ -45,43 +55,61 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy multi-aggregate; exercises partial agg +
     whole-stage codegen (all expressions JVM-side).
 
-    All money/quantity sums use EXACT decimals (money rule, CLAUDE.md):
-    each of the 4 groups sums ~1.5e7 addends at sf100, where
-    round(sum(double), 4) flips its last digit between engines; the
-    averages divide the same exact sums by the group count so both
-    engines round identical doubles. The scale-4/6 product sums are
-    additionally rounded to scale 2 IN THE DECIMAL DOMAIN (identical
-    half-up semantics on both engines, no float involved) before the
-    double cast: a scale-6 sum's unscaled value exceeds 2^53, where
-    DuckDB's two-step decimal->double conversion and Spark's correctly-
-    rounded BigDecimal conversion can land on ADJACENT doubles (caught
-    at sf1 by this fix's verification sweep); at scale 2 the unscaled
-    value fits in 2^53 and both conversions are exact-then-divide,
-    bit-identical."""
+    All money/quantity sums are EXACT (money rule, CLAUDE.md) but in
+    FIXED-POINT LONG arithmetic, not decimal: each of the 4 groups sums
+    ~1.5e7 addends at sf100, where round(sum(double), 4) flips its last
+    digit between engines — but the r7e decimal formulation cost 10x at
+    sf100 (34.5 s vs 3.6 s; a sum over decimal(26,4) leaves Spark's
+    compact-long fast path AND pays per-row BigDecimal multiplies).
+    Exactness of the integer path: a 2-decimal money value's stored
+    double d satisfies |d*100 - cents| <= cents * 2^-52 << 0.5, so
+    round(d*100)::long recovers the integer cents EXACTLY in both
+    engines (identical IEEE multiply + half-away rounding, never at a
+    .5 tie); products stay in long (disc_price scale-4 <= 1e9/row,
+    charge scale-6 <= 1.1e11/row, group sums <= 1.2e18 < 2^63 through
+    ~sf300 — ANSI mode would throw loudly, not corrupt, beyond); the
+    scale-4/6 sums are rounded to scale 2 in INTEGER space
+    ((S + 50) div 100 — half-up, sums are positive) so the final cast's
+    unscaled value < 2^53, where long->double is exact and /100.0 is
+    one correctly-rounded IEEE op in both engines — bit-identical
+    outputs, same values as the r7e decimal formulation (verified
+    strict at four SFs)."""
     li = load(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(3,2)")
-    qty_d = F.col("l_quantity").cast("decimal(12,2)")
-    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc_price = price_d * (one - F.col("l_discount").cast("decimal(3,2)"))
+    qty_i = F.col("l_quantity").cast("long")
+    price_i = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_i = F.round(F.col("l_discount") * 100).cast("long")
+    tax_i = F.round(F.col("l_tax") * 100).cast("long")
+    dp_i = price_i * (F.lit(100) - disc_i)
+    ch_i = dp_i * (F.lit(100) + tax_i)
     n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty_d).cast("double").alias("sum_qty"),
-            F.sum(price_d).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(
-                F.sum(disc_price * (one + F.col("l_tax").cast("decimal(3,2)"))), 2
-            )
-            .cast("double")
-            .alias("sum_charge"),
-            F.round(F.sum(qty_d).cast("double") / n, 4).alias("avg_qty"),
-            F.round(F.sum(price_d).cast("double") / n, 4).alias("avg_price"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(3,2)")).cast("double") / n, 4
-            ).alias("avg_disc"),
+            F.sum(qty_i).cast("double").alias("sum_qty"),
+            (F.sum(price_i).cast("double") / 100).alias("sum_base_price"),
+            F.sum(dp_i).alias("__dp"),
+            F.sum(ch_i).alias("__ch"),
+            F.round(F.sum(qty_i).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(price_i).cast("double") / 100 / n, 4).alias("avg_price"),
+            F.round(F.sum(disc_i).cast("double") / 100 / n, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            (F.expr("CAST((__dp + 50) div 100 AS DOUBLE)") / 100).alias(
+                "sum_disc_price"
+            ),
+            (F.expr("CAST((__ch + 5000) div 10000 AS DOUBLE)") / 100).alias(
+                "sum_charge"
+            ),
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
         )
     )
 
