@@ -4,7 +4,8 @@ python scripts/run_differential.py [sf_dir] [name ...]
 Set DIFF_JSON_OUT=<path> to also write a machine-readable per-query
 record (the committed-artifact form the round-2 advisor asked for).
 
-Set DIFF_EXCLUDE_SUPERLINEAR=1 for sf>=10 sweeps: the four entries whose
+Set DIFF_EXCLUDE_SUPERLINEAR=1 for sf>=10 sweeps: the entries (see
+ORACLE_SUPERLINEAR below) whose
 DUCKDB ORACLES are super-linear by construction (not Spark-plan gaps) are
 skipped but still stamped into the JSON as self-describing
 ``{"excluded": "oracle_superlinear", "reason": ...}`` rows, so a full

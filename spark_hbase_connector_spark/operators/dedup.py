@@ -863,9 +863,13 @@ def hamming_band_pairs(words: DataFrame, max_hamming: int = 3) -> DataFrame:
     frame of 64-bit signature words — the signature-agnostic core of
     `simhash_pairs` (same Manku WWW'07 combination banding, same
     guaranteed-recall argument), reused by the perceptual image-hash
-    dedup (`operators/multimodal.py:image_dhash_words`). The input
-    subtree is persisted here because the bucket relation is
-    self-joined; callers pass the raw words frame."""
+    dedup (`operators/multimodal.py:image_dhash_words`) and the audio
+    fingerprint dedup. The input subtree is persisted here because the
+    bucket relation is self-joined; the verified pair set (small by
+    construction: only true near-dups plus ~n^2/2^34-per-combo random
+    collisions survive) is eagerly localCheckpointed so the persisted
+    words frame can be released before returning — without that,
+    every call leaked one cached relation for the session (ADVICE r8)."""
     import itertools
 
     base = words.persist(StorageLevel.MEMORY_AND_DISK)
@@ -906,9 +910,13 @@ def hamming_band_pairs(words: DataFrame, max_hamming: int = 3) -> DataFrame:
         .dropDuplicates(["id1", "id2"])
     )
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return cand.select("id1", "id2", ham.cast("int").alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    out = (
+        cand.select("id1", "id2", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .localCheckpoint()
     )
+    base.unpersist()
+    return out
 
 
 def minhash_lsh_pairs_incremental(

@@ -251,6 +251,14 @@ def connected_components_star(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # ORDERING INVARIANT (ADVICE r8): this eager count() must stay BEFORE
+    # the loop. _release() below unpersists superseded localCheckpointed
+    # RDDs' storage blocks, which makes those DataFrames permanently
+    # unrecomputable — safe only because all_nodes is the sole consumer
+    # of the initial E besides round 1, and it is fully materialized
+    # (persisted + counted) here. Making all_nodes lazy, or referencing
+    # the initial E after round 1, would fail with "checkpoint block not
+    # found" rather than recompute.
     all_nodes.count()
     prev = None
     for _ in range(max_iter):
