@@ -43,7 +43,15 @@ def materialize_rollup(
         .groupBy(chunk, *dims)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(value_col), 4).alias("total"),
+            # money rule (CLAUDE.md): value_col is 2dp money — exact
+            # fixed-point cents (q1 recipe); per-chunk sums grow with
+            # corpus size, the class round(sum(double), 4) flips
+            (
+                F.sum(F.round(F.col(value_col) * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("total"),
         )
     )
     rollup.write.mode("overwrite").partitionBy("chunk").parquet(path)
@@ -74,7 +82,15 @@ def rollup_with_tail(
         .groupBy(chunk, *dims)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(value_col), 4).alias("total"),
+            # money rule (CLAUDE.md): value_col is 2dp money — exact
+            # fixed-point cents (q1 recipe); per-chunk sums grow with
+            # corpus size, the class round(sum(double), 4) flips
+            (
+                F.sum(F.round(F.col(value_col) * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("total"),
         )
     )
     return stored.unionByName(tail)

@@ -446,8 +446,10 @@ def kv_major_compact_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_bucketed_colocated",
     oracle="""
-    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-             AS revenue
+    SELECT o.o_orderkey,
+           CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50)
+                // 100 AS DOUBLE) / 100 AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderstatus = 'O'
     GROUP BY o.o_orderkey
@@ -493,10 +495,24 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         o = spark.table("bkt_orders").where(F.col("o_orderstatus") == "O")
         l = spark.table("bkt_lineitem")
+        # Money rule (CLAUDE.md): per-order groups are <= 7 addends, but
+        # rounding a scale-4-exact sum to 2dp lands exactly ON a .xx50
+        # tie for ~1%% of orders, where Spark (BigDecimal expansion) and
+        # DuckDB (multiply-first) can disagree — the q1 fixed-point
+        # recipe makes the half-up tie-break integer-exact on both.
         j = o.join(l, o.o_orderkey == l.l_orderkey).groupBy("o_orderkey").agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100).cast("long")
+                )
+            ).alias("__rev4")
+        ).select(
+            "o_orderkey",
+            (F.expr("CAST((__rev4 + 50) div 100 AS DOUBLE)") / 100).alias(
+                "revenue"
+            ),
         )
         plan = explain_string(j)
         assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"

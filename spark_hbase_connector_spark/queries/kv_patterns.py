@@ -35,7 +35,7 @@ SALTED_CUST_CATALOG = {
     oracle="""
     SELECT o_custkey,
            count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                 AS BIGINT) AS total_cents
     FROM orders GROUP BY o_custkey ORDER BY o_custkey
     """,
@@ -51,8 +51,9 @@ def kv_counter_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first order after the cutoff) initialize from 0, exactly HBase's
     absent-counter rule. Money counted in exact integer cents — counters
     are longs, no float drift. Determinism: cents derive via
-    ``cast(decimal(12,2)) * 100`` (exact decimal HALF_UP, identical in
-    Spark and DuckDB); output carries a total ORDER BY. Output TYPE: the
+    ``round(x * 100)::long`` (q1 recipe — exact for any stored 2dp
+    double, identical in Spark and DuckDB, no per-row decimal cast);
+    output carries a total ORDER BY. Output TYPE: the
     oracle wraps the sum in an outer ``CAST(.. AS BIGINT)`` — DuckDB's
     ``sum(BIGINT)`` returns HUGEINT (arrow decimal128(38,0)), which
     hash-mismatches Spark's int64 under the driver's exact-arrow-type
@@ -63,7 +64,7 @@ def kv_counter_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_hbase_connector_spark.operators.mutations import apply_increments
 
     orders = load(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     head = orders.where(F.col("o_orderkey") <= 30000)
     tail = orders.where(F.col("o_orderkey") > 30000)
     base = head.groupBy("o_custkey").agg(
@@ -135,7 +136,8 @@ def kv_append_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH src AS (
       SELECT o_custkey AS k,
-             round(sum(o_totalprice), 2) AS s_total,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS s_total,
              count(*)::BIGINT AS n_orders
       FROM orders GROUP BY o_custkey
       UNION ALL SELECT 10000001, 111.11, 1
@@ -180,7 +182,13 @@ def kv_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     agg = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("s_total"),
+        # exact cents sum (money rule, q1 recipe)
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100
+        ).alias("s_total"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     synth = spark.createDataFrame(

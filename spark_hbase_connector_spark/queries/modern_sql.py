@@ -89,8 +89,8 @@ def recursive_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(m.month_start, '%Y-%m') AS month,
            count(o.o_orderkey) AS n_orders,
-           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(12,2))),
-                         CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                         0) AS DOUBLE) / 100 AS revenue
     FROM m LEFT JOIN orders o
       ON date_trunc('month', o.o_orderdate) = m.month_start
     GROUP BY 1 ORDER BY 1
@@ -105,10 +105,11 @@ def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The spine is 12 rows — Catalyst broadcasts it; the fact side keeps its
     scan partitioning and the month-trunc join needs one partial-aggregated
     shuffle. At 100 TB the spine stays 12 rows: cost is the aggregation,
-    identical to any monthly rollup. revenue sums EXACT decimals (money
-    rule, CLAUDE.md — monthly sums reach ~5e10 at sf10 where double order
+    identical to any monthly rollup. revenue is EXACT (money rule,
+    CLAUDE.md — monthly sums reach ~5e10 at sf10 where double order
     noise flips the last rounded digit; caught by the round-7d expanded
-    sf10 sweep)."""
+    sf10 sweep), in fixed-point cents longs (q1 recipe — bit-identical
+    to the decimal sum, no per-row BigDecimal cost)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
@@ -120,8 +121,8 @@ def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT date_format(m.month_start, 'yyyy-MM') AS month,
                count(o.o_orderkey) AS n_orders,
-               CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(12,2))),
-                             CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+               CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                             0) AS DOUBLE) / 100 AS revenue
         FROM m LEFT JOIN orders o
           ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.month_start
         GROUP BY 1 ORDER BY 1

@@ -117,8 +117,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue,
+    SELECT CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)) + 50) // 100
+                AS DOUBLE) / 100 AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -132,8 +133,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + global aggregate — the query where
     pushdown matters most (all four predicates reach the Parquet scan; the
-    agg is a single partial+final pair, no grouping shuffle of note)."""
+    agg is a single partial+final pair, no grouping shuffle of note).
+
+    Money rule (CLAUDE.md): FIXED-POINT LONG arithmetic, the q1 recipe
+    (`q1_pricing_summary` carries the exactness proof). The r8 decimal
+    formulation was equally exact but paid per-row BigDecimal multiplies
+    on the scan-heavy path — q1's identical situation cost 10x at sf100.
+    Scale-4 product <= 7e5/row (price_cents <= 1e7 x disc in {5,6,7});
+    the global sum stays < 2^53 through ~sf10000; half-up scale-2 round
+    in integer space ((S+50) div 100, positive), one long->double cast."""
     li = load(spark, sf_dir, "lineitem")
+    price_i = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_i = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -143,18 +154,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            # Money rule: scale-2 decimal round before the double cast
-            # (see q5's comment; same 2^53-unscaled-value class).
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * F.col("l_discount").cast("decimal(3,2)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue"),
+            F.sum(price_i * disc_i).alias("__rev4"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            (F.expr("CAST((__rev4 + 50) div 100 AS DOUBLE)") / 100).alias(
+                "revenue"
+            ),
+            "n_items",
         )
     )
 
@@ -163,7 +170,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000 AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -183,7 +192,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: 3-way fact join + broadcast dim + top-N by revenue.
     customer/nation broadcast (small sides); the only real shuffle is the
     orders-lineitem fact join and the final grouping; top-20 runs as
-    TakeOrderedAndProject, never a global sort."""
+    TakeOrderedAndProject, never a global sort.
+
+    Money rule (CLAUDE.md): revenue is an EXACT scale-4 fixed-point sum
+    (q1 recipe) — the old round(sum(double), 4) is the class that arms
+    as per-customer group size grows. Per-customer scale-4 sums stay
+    << 2^53 (a customer's 3-month returned revenue is ~1e9 scale-4
+    units), so the single long->double cast is exact and /10000 is one
+    correctly-rounded IEEE op on both engines; it also makes the
+    revenue-DESC top-20 boundary deterministic."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
@@ -197,8 +214,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (
+                        F.lit(100)
+                        - F.round(F.col("l_discount") * 100).cast("long")
+                    )
+                ).cast("double")
+                / 10000
             ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -210,33 +234,64 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+    SELECT round(CAST((sum(CASE WHEN p_type = 'ECONOMY' THEN dp_i ELSE 0 END)
+                       + 50) // 100 AS DOUBLE)
+                 / CAST((sum(dp_i) + 50) // 100 AS DOUBLE) * 1000000)
+             / 10000 AS promo_pct,
            count(*) AS n_items
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    FROM (
+      SELECT p.p_type,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS dp_i
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    )
     """,
     tags=("join", "agg"),
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-revenue share over a fact-dim join.
     part is broadcast; one month of lineitem reaches the join pre-filtered
-    (predicate pushed to the scan)."""
+    (predicate pushed to the scan).
+
+    Money rule (CLAUDE.md): the share is a RATIO of two unbounded money
+    sums — both accumulate in exact scale-4 fixed-point longs (q1
+    recipe), are integer-rounded to scale 2 ((S+50) div 100) so the
+    long->double casts stay exact past sf100 (one month of sf100
+    lineitem sums to ~7e15 scale-4 units, within 2x of 2^53 — the
+    scale-2 form has 100x headroom), and the 4dp percentage is formed
+    with the rank-ratio recipe round(x * 1e6)/1e4 — identical IEEE op
+    sequence on identical integers in both engines, never round(x, 4)
+    on a double."""
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
     )
     p = load(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))
+    dp_i = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    promo_i = F.when(F.col("p_type") == "ECONOMY", dp_i).otherwise(
+        F.lit(0).cast("long")
+    )
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            F.sum(promo_i).alias("__nm4"),
+            F.sum(dp_i).alias("__dn4"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            (
+                F.round(
+                    F.expr("CAST((__nm4 + 50) div 100 AS DOUBLE)")
+                    / F.expr("CAST((__dn4 + 50) div 100 AS DOUBLE)")
+                    * 1000000
+                )
+                / 10000
+            ).alias("promo_pct"),
+            "n_items",
         )
     )
 
@@ -244,9 +299,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
-                AS DOUBLE) AS revenue,
+    SELECT CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50)
+                // 100 AS DOUBLE) / 100 AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
@@ -263,12 +318,15 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity on lineitem) and pushes them below the join — the classic
     disjunctive-predicate-inference test.
 
-    revenue sums EXACT decimals (money rule, CLAUDE.md): at sf10 the
-    matched sum reaches ~4.8e10 over ~1M addends, where double
-    summation-order noise between engines (~50 ulps) flips the 4th
-    decimal — caught by the round-7d expanded sf10 strict sweep. The
-    decimal product/sum is order-independent; the final decimal->double
-    cast is deterministic on both engines."""
+    revenue is EXACT (money rule, CLAUDE.md): at sf10 the matched sum
+    reaches ~4.8e10 over ~1M addends, where double summation-order noise
+    between engines (~50 ulps) flips the 4th decimal — caught by the
+    round-7d expanded sf10 strict sweep. Now FIXED-POINT LONGS (q1
+    recipe) instead of r7d's decimals: the decimal sum paid per-row
+    BigDecimal multiplies (q1's 10x sf100 tax) AND its scale-4 unscaled
+    value (~5e15 at sf100) sat within 2x of the 2^53 cast cliff; the
+    integer-rounded scale-2 form has 100x headroom and one exact
+    long->double cast. Output is the sum at scale 2 (was scale 4)."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
@@ -282,17 +340,21 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").between(10, 30)
         & F.col("l_quantity").between(10, 40)
     )
-    return j.where(c1 | c2).agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(12,2)")
-            * (
-                F.lit(1).cast("decimal(3,2)")
-                - F.col("l_discount").cast("decimal(3,2)")
-            )
+    dp_i = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        j.where(c1 | c2)
+        .agg(
+            F.sum(dp_i).alias("__rev4"),
+            F.count(F.lit(1)).alias("n_items"),
         )
-        .cast("double")
-        .alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
+        .select(
+            (F.expr("CAST((__rev4 + 50) div 100 AS DOUBLE)") / 100).alias(
+                "revenue"
+            ),
+            "n_items",
+        )
     )
 
 
@@ -363,8 +425,8 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderstatus,
            count(*) AS n,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-             AS total_price
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100 AS total_price
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
     """,
@@ -376,12 +438,14 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot orderkey lands on 8 reducers instead of one. Semantics are provably
     identical to the plain join — the oracle IS the plain join.
 
-    total_price sums EXACT decimals (money rule, CLAUDE.md): at sf1 the
-    group sums reach ~1e11 over 6M addends, where float summation-order
-    noise (~sqrt(n)*eps*magnitude ~ 0.03) dwarfs a 4dp round — the old
+    total_price is EXACT (money rule, CLAUDE.md): at sf1 the group sums
+    reach ~1e11 over 6M addends, where float summation-order noise
+    (~sqrt(n)*eps*magnitude ~ 0.03) dwarfs a 4dp round — the old
     round(sum(double),4) flipped its last digit whenever task boundaries
-    moved. The exact decimal sum is order-independent on both engines;
-    the final IEEE decimal->double cast is deterministic."""
+    moved. Now FIXED-POINT cents longs (q1 recipe; the r7d decimal sum
+    paid per-row BigDecimal cost on every lineitem row): cents sums stay
+    < 2^53 through ~sf10000, one exact long->double cast, /100 is one
+    correctly-rounded IEEE op on both engines."""
     from spark_hbase_connector_spark.operators.skew import salted_join
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
@@ -391,9 +455,12 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, o, on="l_orderkey", salt=8)
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-        .cast("double")
-        .alias("total_price"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100
+        ).alias("total_price"),
     )
 
 
@@ -417,7 +484,17 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-N.
-    customer is small relative to lineitem: broadcast it explicitly."""
+    customer is small relative to lineitem: broadcast it explicitly.
+
+    Money note (CLAUDE.md sweep, r9): revenue keeps round(sum(double), 4)
+    because its per-group addend count is BOUNDED BY SCHEMA — the group
+    key is l_orderkey and an order has <= 7 lineitems at every SF (group
+    size, not table size, arms the flip class). Each addend's exact value
+    has scale 4 (2dp x 2dp product), so the exact per-order sum IS a
+    scale-4 value: round(x, 4) sits ON the value, never at a .5 tie, and
+    the <= 7-addend double sum's error (~1e-10) is 5e5x smaller than the
+    5e-5 half-ulp needed to flip it. Deterministic in both engines at any
+    SF."""
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
@@ -444,7 +521,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
+           CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50)
+                // 100 AS DOUBLE) / 100 AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -497,23 +576,24 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            # Money rule (CLAUDE.md): round the scale-4 decimal sum to
-            # scale 2 in the decimal domain before the ONE double cast —
-            # past ~9e11 the unscaled value exceeds 2^53 where DuckDB's
-            # unscaled-then-divide cast and Spark's correctly-rounded
-            # cast land on adjacent doubles.
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (
-                        F.lit(1).cast("decimal(3,2)")
-                        - F.col("l_discount").cast("decimal(3,2)")
-                    )
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
+            # Money rule (CLAUDE.md): FIXED-POINT LONGS, the q1 recipe —
+            # exact scale-4 products in int64, half-up scale-2 round in
+            # integer space, one exact long->double cast. Replaces the r8
+            # decimal-domain rounding (bit-identical values) because the
+            # decimal sum pays per-row BigDecimal multiplies — q1's
+            # identical formulation cost 10x at sf100.
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (
+                    F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+                )
+            ).alias("__rev4")
+        )
+        .select(
+            "n_name",
+            (F.expr("CAST((__rev4 + 50) div 100 AS DOUBLE)") / 100).alias(
+                "revenue"
+            ),
         )
     )
 
@@ -522,22 +602,31 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_outer_agg",
     oracle="""
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+           CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                AS DOUBLE) / 100 AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     """,
     tags=("join",),
 )
 def join_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving customers with no orders (NULL-safe agg)."""
+    """Left outer join preserving customers with no orders (NULL-safe agg).
+    total_spent is an EXACT fixed-point cents sum (money rule, CLAUDE.md
+    q1 recipe) — per-customer order counts are small under TPC-H but
+    unbounded under replication, which is what arms the old
+    round(sum(double), 4)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
+            (
+                F.coalesce(F.sum(cents), F.lit(0).cast("long")).cast("double")
+                / 100
+            ).alias("total_spent"),
         )
     )
 
@@ -600,20 +689,31 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_having",
     oracle="""
-    SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 4) AS spent
+    SELECT o_custkey, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS spent
     FROM orders GROUP BY o_custkey
     HAVING count(*) >= 15
     """,
     tags=("agg",),
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY + HAVING (post-aggregation filter)."""
+    """GROUP BY + HAVING (post-aggregation filter). spent is an EXACT
+    fixed-point cents sum (money rule, CLAUDE.md q1 recipe): the group is
+    per-customer and the HAVING gate selects exactly the LARGE groups, so
+    the old round(sum(double), 4) was the first place a bigger corpus
+    would flip."""
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("spent"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("spent"),
         )
         .where(F.col("n") >= 15)
     )
@@ -626,8 +726,8 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
            count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
            CAST(sum(CASE WHEN o_totalprice > 100000.0
-                         THEN CAST(o_totalprice AS DECIMAL(12,2))
-                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) / 100
              AS big_total
     FROM orders GROUP BY o_orderpriority
     """,
@@ -635,22 +735,25 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation (CASE WHEN / FILTER clauses). big_total
-    sums EXACT decimals (money rule, CLAUDE.md — sf10 group sums reach
-    ~7e11 where double order noise flips the 4th decimal; caught by the
-    round-7d expanded sf10 sweep); the >100000.0 gate stays on the raw
-    double, identical bits on both engines."""
+    is EXACT (money rule, CLAUDE.md — sf10 group sums reach ~7e11 where
+    double order noise flips the 4th decimal; caught by the round-7d
+    expanded sf10 sweep), now in fixed-point cents longs (q1 recipe;
+    bit-identical to the r7d decimal sum without the per-row BigDecimal
+    cost); the >100000.0 gate stays on the raw double, identical bits on
+    both engines."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
-        F.sum(
-            F.when(
-                F.col("o_totalprice") > 100000.0,
-                F.col("o_totalprice").cast("decimal(12,2)"),
-            ).otherwise(F.lit(0).cast("decimal(12,2)"))
-        )
-        .cast("double")
-        .alias("big_total"),
+        (
+            F.sum(
+                F.when(
+                    F.col("o_totalprice") > 100000.0,
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).cast("double")
+            / 100
+        ).alias("big_total"),
     )
 
 
@@ -658,24 +761,29 @@ def agg_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_orders",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     tags=("agg", "grouping"),
 )
 def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals. total sums EXACT decimals (money rule,
-    CLAUDE.md — the grand-total row reaches ~2.5e12 at sf10 where double
-    order noise flips the 4th decimal; caught by the round-7d expanded
-    sf10 sweep)."""
+    """ROLLUP hierarchy totals. total is EXACT (money rule, CLAUDE.md —
+    the grand-total row reaches ~2.5e12 at sf10 where double order noise
+    flips the 4th decimal; caught by the round-7d expanded sf10 sweep),
+    now fixed-point cents longs (q1 recipe; the grand total's cents stay
+    < 2^53 through ~sf3000)."""
     return (
         load(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("total"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("total"),
         )
     )
 
@@ -684,20 +792,20 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_lineitem",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     tags=("agg", "grouping"),
 )
 def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions."""
+    """CUBE over two dimensions. l_quantity is integer-valued: summing it
+    as BIGINT is exact (and stays exact in the double cast through 2^53,
+    ~sf1e7) without the per-row decimal cast the r7d formulation paid."""
     return (
         load(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("sum_qty")
+            F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty")
         )
     )
 
@@ -727,24 +835,26 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_lineitem",
     oracle="""
     SELECT l_returnflag,
-           CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(12,2)))
+           CAST(coalesce(sum(CAST(l_quantity AS BIGINT))
                          FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_O,
-           CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(12,2)))
+           CAST(coalesce(sum(CAST(l_quantity AS BIGINT))
                          FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_F
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "pivot"),
 )
 def pivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT on linestatus (conditional-agg equivalent in the oracle)."""
+    """PIVOT on linestatus (conditional-agg equivalent in the oracle).
+    l_quantity is integer-valued: BIGINT sums are exact without the
+    per-row decimal cast (money-rule sweep, r9)."""
     df = (
         load(spark, sf_dir, "lineitem")
-        .withColumn("l_quantity", F.col("l_quantity").cast("decimal(12,2)"))
+        .withColumn("l_quantity", F.col("l_quantity").cast("long"))
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .sum("l_quantity")
     )
-    zero = F.lit(0).cast("decimal(12,2)")
+    zero = F.lit(0).cast("long")
     return df.select(
         "l_returnflag",
         F.coalesce(F.col("O"), zero).cast("double").alias("qty_O"),

@@ -66,19 +66,19 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH long AS (
       SELECT l_returnflag, 'l_quantity' AS measure,
-             CAST(l_quantity AS DECIMAL(12,2)) AS val FROM lineitem
+             CAST(round(l_quantity * 100) AS BIGINT) AS val FROM lineitem
       UNION ALL
       SELECT l_returnflag, 'l_extendedprice',
-             CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+             CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
       UNION ALL
       SELECT l_returnflag, 'l_discount',
-             CAST(l_discount AS DECIMAL(12,2)) FROM lineitem
+             CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
       UNION ALL
       SELECT l_returnflag, 'l_tax',
-             CAST(l_tax AS DECIMAL(12,2)) FROM lineitem
+             CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
     )
     SELECT l_returnflag, measure,
-           CAST(sum(val) AS DOUBLE) AS total, count(*) AS n
+           CAST(sum(val) AS DOUBLE) / 100 AS total, count(*) AS n
     FROM long GROUP BY l_returnflag, measure
     """,
     tags=("unpivot",),
@@ -88,19 +88,21 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure columns into (measure, val) rows, then aggregate. Spark's
     native `DataFrame.unpivot` expands rows inside the scan stage — no
     shuffle until the aggregation; the oracle replays it as UNION ALL.
-    All four measures are at most 2dp, so they melt as EXACT decimals
-    (money rule, CLAUDE.md — the l_extendedprice group reaches ~1e12 at
-    sf10 where double order noise flips the 4th decimal; caught by the
-    round-7d expanded sf10 sweep)."""
+    All four measures are at most 2dp, so they melt as EXACT fixed-point
+    cents (money rule, CLAUDE.md q1 recipe — the l_extendedprice group
+    reaches ~1e12 at sf10 where double order noise flips the 4th
+    decimal, caught by the round-7d expanded sf10 sweep; cents longs are
+    bit-identical to the r7d decimal melt without the per-row BigDecimal
+    cost)."""
     li = load(spark, sf_dir, "lineitem")
     measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     li = li.select(
         "l_returnflag",
-        *(F.col(c).cast("decimal(12,2)").alias(c) for c in measures),
+        *(F.round(F.col(c) * 100).cast("long").alias(c) for c in measures),
     )
     long = li.unpivot(["l_returnflag"], measures, "measure", "val")
     return long.groupBy("l_returnflag", "measure").agg(
-        F.sum("val").cast("double").alias("total"),
+        (F.sum("val").cast("double") / 100).alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -201,7 +203,8 @@ def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(value / 50.0) AS INT) AS bucket,
            CAST(CAST(floor(value / 50.0) AS INT) * 50.0 AS DOUBLE) AS bucket_lo,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total
     FROM events
     GROUP BY 1, 2
     """,
@@ -213,18 +216,24 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     One map-side-combinable shuffle on ~10 bucket keys; the shape behind
     every distribution dashboard at scale.
 
-    total sums EXACT decimals (money rule, CLAUDE.md): buckets hold up
-    to ~6e7 addends at sf100, where double summation-order noise flips
+    total is EXACT (money rule, CLAUDE.md): buckets hold up to ~6e7
+    addends at sf100, where double summation-order noise flips
     round(sum(double), 4)'s last digit between engines — caught by the
-    round-7e sf100 sweep. The decimal sum is order-independent; the one
-    decimal->double cast is deterministic on both engines."""
+    round-7e sf100 sweep. Fixed-point cents longs (q1 recipe) —
+    bit-identical to the r7e decimal sum, no per-row BigDecimal cost on
+    the scan-heavy path."""
     e = load(spark, sf_dir, "events")
     bucket = F.floor(F.col("value") / 50.0).cast("int")
     return (
         e.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("total"),
         )
         .select("bucket", (F.col("bucket") * 50.0).alias("bucket_lo"), "n", "total")
     )
@@ -457,7 +466,8 @@ def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(ts) AS INT) AS mo,
            CAST(day(ts) AS INT) AS dy,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total
     FROM events
     GROUP BY ROLLUP (yr, mo, dy)
     """,
@@ -469,22 +479,24 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     expands to 4 grouping sets; Spark computes them from one shuffle of
     partial aggregates, not four scans.
 
-    total sums EXACT decimals (money rule, CLAUDE.md): the grand-total
-    row sums ALL 1e8 values at sf100, where round(sum(double), 4)
-    flips its last digit between engines — caught by the round-7e sf100
-    sweep."""
+    total is EXACT (money rule, CLAUDE.md): the grand-total row sums ALL
+    1e8 values at sf100, where round(sum(double), 4) flips its last
+    digit between engines — caught by the round-7e sf100 sweep. Fixed-
+    point cents longs (q1 recipe; grand-total cents < 2^53 through
+    ~sf4000) — bit-identical to the r7e decimal sum, 1e8 BigDecimal
+    per-row casts avoided."""
     e = load(spark, sf_dir, "events")
     return (
         e.select(
             F.year("ts").alias("yr"),
             F.month("ts").alias("mo"),
             F.dayofmonth("ts").alias("dy"),
-            F.col("value").cast("decimal(12,2)").alias("value"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
         .rollup("yr", "mo", "dy")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").cast("double").alias("total"),
+            (F.sum("cents").cast("double") / 100).alias("total"),
         )
     )
 
@@ -570,8 +582,8 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l_partkey,
-             sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-                 * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
                AS units
       FROM lineitem GROUP BY l_partkey
     ),
@@ -608,8 +620,9 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed prefix sums (same output, no single-partition sort).
 
     Determinism (r5 driver-hash fix): revenue is carried as EXACT integer
-    units (cents x whole-percent; TPC-H discount is a 2dp fraction so
-    ``cast(decimal(4,2))*100`` is lossless) and the 80/95% boundaries are
+    units (cents x whole-percent; ``round(x*100)::long`` recovers both
+    exactly — q1 recipe, cheaper than the r8 decimal-cast derivation) and
+    the 80/95% boundaries are
     the exact rational comparisons ``100*cum <= 80*total`` — a part at
     the boundary can never flip class from float drift. Sums accumulate
     in decimal(38,0) (DuckDB: HUGEINT), overflow-proof at any sf; only
@@ -617,10 +630,8 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up to cents then one bigint/100.0 division identical on both
     engines."""
     li = load(spark, sf_dir, "lineitem")
-    price_cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
-        "bigint"
-    )
-    disc_pct = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("bigint")
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
     rev = (
         li.select("l_partkey", (price_cents * (100 - disc_pct)).alias("row_units"))
         .groupBy("l_partkey")
@@ -841,7 +852,8 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              date_diff('day', max(o_orderdate), TIMESTAMP '1998-08-02') AS recency_days,
              count(*) AS frequency,
-             round(sum(o_totalprice), 2) AS monetary
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS monetary
       FROM orders GROUP BY o_custkey
     ),
     scored AS (
@@ -870,7 +882,15 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1998-08-02").cast("date"), F.max("o_orderdate")
         ).alias("recency_days"),
         F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        # Money rule (CLAUDE.md): exact cents sum (q1 recipe) — monetary
+        # is an ntile ORDER BY key, so a single order-noise flip would
+        # re-rank a customer across a quintile boundary
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100
+        ).alias("monetary"),
     )
     wr = Window.orderBy(F.col("recency_days").asc(), "o_custkey")
     wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
@@ -892,7 +912,8 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH monthly AS (
       SELECT date_trunc('month', o_orderdate) AS m,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS revenue
       FROM orders GROUP BY 1
     ),
     shifted AS (
@@ -915,7 +936,14 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison are excluded rather than reported as NULL growth."""
     o = load(spark, sf_dir, "orders")
     monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("revenue")
+        # exact cents sum (money rule; cents longs beat the decimal cast
+        # by avoiding per-row BigDecimal work — q1 recipe)
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100
+        ).alias("revenue")
     )
     w = Window.orderBy("m")
     shifted = monthly.select(

@@ -28,7 +28,8 @@ from spark_hbase_connector_spark.streaming.events import (
     "streaming_tumbling_counts",
     oracle="""
     SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start,
-           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+           event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming",),
@@ -90,7 +91,7 @@ def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
              event_type, value FROM ev
     )
     SELECT window_start, event_type, count(*) AS n,
-           round(sum(value), 4) AS total_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
     FROM wins GROUP BY 1, 2
     """,
     tags=("streaming", "window"),
@@ -112,7 +113,8 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start,
-             event_type, count(*) AS n, round(sum(value), 4) AS total_value
+             event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
       FROM events GROUP BY 1, 2
     ),
     wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
@@ -373,7 +375,9 @@ def streaming_first_horizon_watermark(spark: SparkSession, sf_dir: str) -> DataF
 @query(
     "streaming_static_enrich",
     oracle="""
-    SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 4) AS total_value
+    SELECT c.c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -454,7 +458,8 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_foreachbatch_sink",
     oracle="""
     SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS window_start,
-           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+           event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming", "sink"),
@@ -549,7 +554,8 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_hbasekv_changefeed",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total_bal,
            min(c_custkey) AS min_key, max(c_custkey) AS max_key
     FROM customer
     """,
@@ -606,11 +612,14 @@ def streaming_hbasekv_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         # money rule (CLAUDE.md): the global balance sum reaches ~7e9 at
         # sf10, where double summation-order noise flips the 4th decimal
-        # (caught by the round-7d expanded sf10 sweep) — sum exact
-        # decimals, one deterministic cast back to double
-        F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
-        .cast("double")
-        .alias("total_bal"),
+        # (caught by the round-7d expanded sf10 sweep) — exact fixed-point
+        # cents (q1 recipe; sign-safe, no rounding division involved)
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100
+        ).alias("total_bal"),
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )

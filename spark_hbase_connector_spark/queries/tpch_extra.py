@@ -72,12 +72,12 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+           CAST((sum(volume4) + 50) // 100 AS DOUBLE) / 100 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-             CAST(l.l_extendedprice AS DECIMAL(12,2))
-               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) AS volume
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume4
       FROM supplier s
       JOIN lineitem l ON s.s_suppkey = l.l_suppkey
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -127,21 +127,25 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            # Money rule: scale-2 decimal round before the double cast
-            # (see q5_local_supplier_volume; same 2^53 unscaled-value
-            # class once a (nation-pair, year) group's sum nears 1e12).
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (
-                        F.lit(1).cast("decimal(3,2)")
-                        - F.col("l_discount").cast("decimal(3,2)")
-                    )
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
+            # Money rule (CLAUDE.md): FIXED-POINT LONGS (q1 recipe) —
+            # exact scale-4 products in int64, half-up scale-2 integer
+            # round, one exact long->double cast. Bit-identical to the
+            # r8 decimal-domain rounding without its per-row BigDecimal
+            # tax (q1's identical situation cost 10x at sf100).
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (
+                    F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+                )
+            ).alias("__rev4")
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.expr("CAST((__rev4 + 50) div 100 AS DOUBLE)") / 100).alias(
+                "revenue"
+            ),
         )
     )
 
@@ -150,11 +154,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           round(CAST((sum(CASE WHEN nation = 'NATION_3' THEN volume4 ELSE 0 END)
+                       + 50) // 100 AS DOUBLE)
+                 / CAST((sum(volume4) + 50) // 100 AS DOUBLE) * 10000)
+             / 10000 AS mkt_share
     FROM (
       SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume4,
              n2.n_name AS nation
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -176,7 +183,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: 7-way star join -> national market share per year.
     Every dimension broadcasts (part/supplier/customer/nation x2/region);
     the single shuffle is lineitem->orders. The share is a conditional
-    aggregate over the same grouped rows — one pass."""
+    aggregate over the same grouped rows — one pass.
+
+    Money rule (CLAUDE.md): mkt_share is a RATIO of two unbounded money
+    sums — the old round(sum(double)/sum(double), 4) accumulates order
+    noise in BOTH operands. Now exact scale-4 fixed-point longs (q1
+    recipe), integer-rounded to scale 2 so the long->double casts stay
+    exact past sf100, with the 4dp ratio formed by the rank-ratio recipe
+    round(x * 10000)/10000 — identical IEEE op sequence on identical
+    integers in both engines."""
     p = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
@@ -192,7 +207,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
@@ -203,11 +220,23 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0)))
-                / F.sum(vol),
-                4,
-            ).alias("mkt_share")
+            F.sum(
+                F.when(F.col("nation") == "NATION_3", vol4).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("__nm4"),
+            F.sum(vol4).alias("__dn4"),
+        )
+        .select(
+            "o_year",
+            (
+                F.round(
+                    F.expr("CAST((__nm4 + 50) div 100 AS DOUBLE)")
+                    / F.expr("CAST((__dn4 + 50) div 100 AS DOUBLE)")
+                    * 10000
+                )
+                / 10000
+            ).alias("mkt_share"),
         )
     )
 
@@ -215,14 +244,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+    SELECT nation, o_year,
+           CAST(CASE WHEN sum(amount4) >= 0 THEN (sum(amount4) + 50) // 100
+                     ELSE -((-sum(amount4) + 50) // 100) END AS DOUBLE) / 100
+             AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-             CAST(l.l_extendedprice AS DECIMAL(12,2))
-               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
-               - CAST(0.1 AS DECIMAL(2,1)) * CAST(p.p_retailprice AS DECIMAL(12,2))
-                 * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT) * 10 AS amount4
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -238,17 +270,26 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and order year for a part
     subset. Supply cost is adapted to 0.1 * p_retailprice * l_quantity (no
     partsupp table in the harness schema). part filter (`LIKE '%red%'`)
-    prunes the broadcast side before the join."""
+    prunes the broadcast side before the join.
+
+    Money rule (CLAUDE.md): FIXED-POINT LONGS (q1 recipe). amount4 is the
+    exact scale-4 profit (0.1 * retail * qty at scale 4 == retail_cents *
+    qty * 10, exact integers); profit can be NEGATIVE, so the scale-2
+    round is half-AWAY-FROM-ZERO in integer space (sign-split: integer
+    division truncates toward zero in Spark but floors in DuckDB — they
+    only agree on non-negative operands), matching the HALF_UP decimal
+    round both engines used before. Bit-identical to the r7e decimal
+    formulation without the per-row BigDecimal tax."""
     p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders")
     n = load(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
-    ) - F.lit(0.1).cast("decimal(2,1)") * F.col("p_retailprice").cast(
-        "decimal(12,2)"
-    ) * F.col("l_quantity").cast("decimal(12,2)")
+    amount4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    ) - F.round(F.col("p_retailprice") * 100).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long") * 10
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -257,7 +298,18 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .agg(F.sum(amount4).alias("__amt4"))
+        .select(
+            "nation",
+            "o_year",
+            (
+                F.expr(
+                    "CAST(CASE WHEN __amt4 >= 0 THEN (__amt4 + 50) div 100"
+                    " ELSE -((-__amt4 + 50) div 100) END AS DOUBLE)"
+                )
+                / 100
+            ).alias("sum_profit"),
+        )
     )
 
 
@@ -332,7 +384,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / 10000 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -348,14 +402,21 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: scalar subquery over a derived revenue view (the
     supplier(s) achieving the quarter's max revenue). Expressed through
     SQL so Catalyst plans the uncorrelated scalar subquery (computed once,
-    injected as a literal — no join against the corpus)."""
+    injected as a literal — no join against the corpus).
+
+    Money rule (CLAUDE.md): per-supplier revenue is an EXACT scale-4
+    fixed-point sum (q1 recipe) — the `= max` equality gate is the worst
+    place for the old round(sum(double), 4)'s order noise (a 1-ulp flip
+    changes WHICH suppliers tie for the max)."""
     load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
         WITH rev AS (
           SELECT l_suppkey AS supplier_no,
-                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS DOUBLE) / 10000 AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -375,7 +436,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100
                  / 7.0, 4) AS avg_yearly,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem l
@@ -404,8 +466,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lim, F.col("l_partkey") == F.col("lim_partkey"))
         .where(F.col("l_quantity") < F.col("qty_lim"))
         .agg(
+            # Money rule: exact cents sum (q1 recipe; cents < 2^53, the
+            # exact long->double cast and /100 /7.0 divisions are the
+            # same correctly-rounded IEEE ops in both engines). The
+            # qty_lim threshold compares identical doubles in both
+            # engines (integer-exact sum / count).
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
                 / 7.0,
                 4,
             ).alias("avg_yearly"),
@@ -418,7 +488,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_customer",
     oracle="""
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           round(sum(l.l_quantity), 4) AS sum_qty
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -453,7 +523,10 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        # l_quantity is integer-valued: the BIGINT sum is exact in both
+        # engines (no round needed; the HAVING > 300 gate upstream sums
+        # doubles but over <= 7 integer-valued addends — exact too)
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
@@ -463,13 +536,16 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_global_sales_opportunity",
     oracle="""
     SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS totacctbal
     FROM (
       SELECT c.c_nationkey AS cntrycode, c.c_acctbal
       FROM customer c
       WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
         AND c.c_acctbal > (
-          SELECT avg(c_acctbal) FROM customer
+          SELECT (CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                       AS DOUBLE) / count(*)) / 100
+          FROM customer
           WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
         )
         AND NOT EXISTS (
@@ -488,19 +564,30 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     so Catalyst plans the scalar subquery once and rewrites NOT EXISTS to
     a left-anti join. The anti-join side is restricted to urgent orders
     (every synthetic customer has *some* order, so the original "never
-    ordered" predicate would be vacuously empty)."""
+    ordered" predicate would be vacuously empty).
+
+    Money rule (CLAUDE.md): both the average-balance THRESHOLD and
+    totacctbal are exact fixed-point cents (q1 recipe; c_acctbal can be
+    negative — no rounding division is involved, so sign-safety is free).
+    The threshold matters most: `c_acctbal > avg(double sum)` put an
+    order-noise-dependent boundary on which CUSTOMERS qualify — the
+    integer sum / count / 100 sequence yields the identical double in
+    both engines."""
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT cntrycode, count(*) AS numcust,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 AS totacctbal
         FROM (
           SELECT c.c_nationkey AS cntrycode, c.c_acctbal
           FROM customer c
           WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
             AND c.c_acctbal > (
-              SELECT avg(c_acctbal) FROM customer
+              SELECT (CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                           AS DOUBLE) / count(*)) / 100
+              FROM customer
               WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
             )
             AND NOT EXISTS (
@@ -612,11 +699,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n.n_name = 'NATION_7'
     )
     SELECT l_partkey AS ps_partkey,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS part_value
     FROM scoped
     GROUP BY l_partkey
-    HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) >
-           (SELECT 2.0 * CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+    HAVING CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 >
+           (SELECT 2.0 * (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                               AS DOUBLE) / 100)
                    / count(DISTINCT l_partkey)
             FROM scoped)
     ORDER BY part_value DESC, ps_partkey
@@ -630,9 +720,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-invariant — a fixed fraction-of-total empties as the part count
     grows). The scalar is a single-row aggregate cross-joined (broadcast)
     into the grouped output, so the corpus is scanned twice but shuffled
-    once; both the per-part values and the threshold sum EXACT decimals
-    (money rule, CLAUDE.md) so engine-order float summation can't flip a
-    borderline group at any scale."""
+    once; both the per-part values and the threshold are EXACT fixed-
+    point cents sums (money rule, CLAUDE.md — q1 recipe, bit-identical
+    to the r7d decimal sums without the per-row BigDecimal cost) so
+    engine-order float summation can't flip a borderline group at any
+    scale."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
@@ -641,20 +733,17 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("l_partkey", "l_extendedprice")
     )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     total = scoped.agg(
         (
             2.0
-            * F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            * (F.sum(cents).cast("double") / 100)
             / F.count_distinct("l_partkey")
         ).alias("_threshold")
     )
     return (
         scoped.groupBy(F.col("l_partkey").alias("ps_partkey"))
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("part_value")
-        )
+        .agg((F.sum(cents).cast("double") / 100).alias("part_value"))
         .join(F.broadcast(total))
         .where(F.col("part_value") > F.col("_threshold"))
         .select("ps_partkey", "part_value")

@@ -253,7 +253,8 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM range(0, 15) t(i)
     )
     SELECT w.window_id, count(*) AS n_events,
-           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
     FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
     GROUP BY w.window_id
     """,
@@ -287,7 +288,12 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(ev, win, "ts", "w_start", "w_end", chunk_seconds=21_600)
     return joined.groupBy("window_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        # money rule: exact cents (q1 recipe) — bit-identical to the r7d
+        # decimal sum without the per-row BigDecimal cost
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100
+        ).alias("total_value"),
     )
 
 
@@ -295,7 +301,9 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hypertable_rollup_merge",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS chunk, event_type,
-           count(*) AS n, round(sum(value), 4) AS total
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total
     FROM events GROUP BY 1, 2
     """,
     tags=("rollup", "timeseries"),
@@ -531,7 +539,8 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             round(sum(value), 4) AS day_value
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS day_value
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, strftime(day, '%Y-%m-%d') AS day, day_value,
@@ -552,9 +561,15 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     run over that tiny relation partitioned by type. Sample stddev on both
     engines (Spark stddev == stddev_samp == DuckDB stddev)."""
     e = load(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        # money rule: per-(type, day) sums grow with corpus size — exact
+        # fixed-point cents (q1 recipe); downstream avg/stddev/zscore then
+        # see identical doubles in both engines
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100
+        ).alias("day_value")
+    )
     w = Window.partitionBy("event_type")
     z = (F.col("day_value") - F.avg("day_value").over(w)) / F.stddev("day_value").over(w)
     return daily.select(

@@ -80,7 +80,18 @@ def tumbling_window_agg(stream: DataFrame, width: str = "15 minutes") -> DataFra
     """Per-event-type counts/sums over epoch-aligned tumbling windows."""
     return (
         stream.groupBy(F.window("ts", width), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # money rule (CLAUDE.md): per-window sums grow with corpus
+            # size (more users, same time span) — exact fixed-point
+            # cents (q1 recipe), never round(sum(double), 4)
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("total_value"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -98,7 +109,18 @@ def sliding_window_agg(
     is why production pairs this with a watermark to bound it)."""
     return (
         stream.groupBy(F.window("ts", width, slide), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # money rule (CLAUDE.md): per-window sums grow with corpus
+            # size (more users, same time span) — exact fixed-point
+            # cents (q1 recipe), never round(sum(double), 4)
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("total_value"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -147,7 +169,18 @@ def tumbling_window_agg_watermarked(
     return (
         stream.withWatermark("ts", delay)
         .groupBy(F.window("ts", width), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # money rule (CLAUDE.md): per-window sums grow with corpus
+            # size (more users, same time span) — exact fixed-point
+            # cents (q1 recipe), never round(sum(double), 4)
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("total_value"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -223,7 +256,12 @@ def stream_static_enrich_agg(stream: DataFrame, dim: DataFrame) -> DataFrame:
     aggregation."""
     joined = stream.join(F.broadcast(dim), stream["user_id"] == dim["c_custkey"])
     return joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+        F.count(F.lit(1)).alias("n"),
+        # money rule: exact cents (groups are per-mktsegment over ALL events)
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100
+        ).alias("total_value"),
     )
 
 
