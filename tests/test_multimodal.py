@@ -387,3 +387,84 @@ def test_image_dhash_banding_equals_brute_force(spark):
         .collect()
     }
     assert banded == brute and len(banded) > 0
+
+
+def test_wav_pcm_roundtrip_matches_formula():
+    """decode_wav_pcm16 must recover EXACTLY the generator's samples from
+    the bytes (the audio twin of test_bmp_pixel_roundtrip)."""
+    from spark_hbase_connector_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        synth_wav_fp_payload,
+    )
+
+    for i in (0, 1, 7, 42, 399):
+        group, v = i // 4, i % 4
+        expected = []
+        for t in range(260):
+            s = ((group * 97 + t * 11 + ((t * t + group * t) % 193)
+                  * (group % 7 + 3)) % 4001) - 2000
+            if v > 0 and t // 4 == 13 * v:
+                s = 3500 - (t % 4) * 700
+            expected.append(s)
+        assert decode_wav_pcm16(synth_wav_fp_payload(i)) == expected
+
+
+def test_wav_pcm_decode_rejects():
+    """Non-WAV / non-mono / non-16-bit / short payloads must return None
+    (or no hash) rather than garbage samples."""
+    from spark_hbase_connector_spark.operators.multimodal import (
+        audio_energy_hash64,
+        decode_wav_pcm16,
+        synth_wav_payload,
+    )
+
+    assert decode_wav_pcm16(b"NOTAWAVE" * 4) is None
+    # synth_wav_payload(1): 2-channel — mono-only decode must refuse
+    assert decode_wav_pcm16(synth_wav_payload(1)) is None
+    # synth_wav_payload(0): mono 16-bit but only 1-50 frames — decodes,
+    # then the fingerprint refuses (< 65 full windows)
+    short = decode_wav_pcm16(synth_wav_payload(0))
+    assert short is not None and audio_energy_hash64(short) is None
+
+
+def test_audio_fingerprint_banding_equals_brute_force(spark):
+    """Banded Hamming join over audio fingerprints == brute force at the
+    guaranteed bound (the audio twin of the image/simhash completeness
+    tests), and every emitted pair is within a perturbation group."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from spark_hbase_connector_spark.operators.dedup import hamming_band_pairs
+    from spark_hbase_connector_spark.operators.multimodal import (
+        audio_fingerprint_words,
+        synth_wav_fp_payload,
+    )
+
+    def build(batches):
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            yield pd.DataFrame(
+                {"id": ids, "payload": [synth_wav_fp_payload(i) for i in ids]}
+            )
+
+    assets = spark.range(0, 200).mapInPandas(build, schema="id long, payload binary")
+    words = audio_fingerprint_words(assets).persist()
+    banded = {
+        (r.id1, r.id2, r.hamming)
+        for r in hamming_band_pairs(words, max_hamming=3).collect()
+    }
+    a = words.select(F.col("id").alias("id1"), F.col("h").alias("h1"))
+    b = words.select(F.col("id").alias("id2"), F.col("h").alias("h2"))
+    brute = {
+        (r.id1, r.id2, r.hamming)
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute and len(banded) > 0
+    assert all(i1 // 4 == i2 // 4 for i1, i2, _ in banded)
