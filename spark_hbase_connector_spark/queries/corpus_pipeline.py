@@ -200,17 +200,17 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       i -> x.e[i] * cent.ce[i])) / (x.nrm * cent.cnrm) AS sim
       FROM n x CROSS JOIN cent
     ),
-    asgn AS (
+    asgn AS MATERIALIZED (
       SELECT vec_id, cell_id FROM (
         SELECT vec_id, cell_id,
                row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
         FROM sims) WHERE r <= 2
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
       FROM asgn a JOIN asgn b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
     ),
-    prs AS (
+    prs AS MATERIALIZED (
       SELECT id1, id2 FROM (
         SELECT id1, id2,
                list_sum(list_transform(range(1, len(x.e) + 1),
