@@ -26,19 +26,19 @@ from spark_hbase_connector_spark.queries import REGISTRY
 # The Spark side of each of these is scale-safe (measured decades in
 # SCALE.md); it is the ORACLE that cannot follow past sf1 — each is kept
 # strict-green at sf0.01/0.1/1, which is what certifies correctness.
+# r9 shrank this set from 3 to 1 (VERDICT r8 ask 4):
+# `dedup_edit_distance` now replays the PassJoin segment blocking as an
+# EQUI-join (259 s at sf10, completes) and `embedding_cosine_pairs`
+# reports the exact operator on a fixed 200-vector panel (58 s at sf10).
 ORACLE_SUPERLINEAR = {
-    "embedding_cosine_pairs": (
-        "exact all-pairs cosine oracle is a full cross join (n^2 list_sum"
-        " dot products): 1117 s at sf10 vs Spark 6.7 s; the LSH-bucketed"
-        " twin embedding_cosine_pairs_lsh carries the sf10+ evidence"
-    ),
-    "dedup_edit_distance": (
-        "oracle is a length-banded THETA join (no equality key), which"
-        " DuckDB executes as a nested-loop cross product at sf10"
-    ),
     "pipeline_semantic_dedup": (
-        "composes the all-pairs cosine oracle above; same cross-join"
-        " blowup"
+        "the oracle replays the IVF candidate generation (bounded) but"
+        " its candidate-scoring + 32-round min-label closure exceed"
+        " single-node DuckDB resources at sf10 (42 GB temp spill"
+        " unhinted; OOM-adjacent even with MATERIALIZED CTEs under"
+        " concurrent load); components are strict-green at sf0.01/0.1/1"
+        " and both composed halves (embedding_cosine_pairs_lsh,"
+        " dedup_components) sweep sf10 individually"
     ),
 }
 
