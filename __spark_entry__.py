@@ -102,6 +102,12 @@ DRIVER_WINDOW = [
     "streaming_static_enrich",
     "embedding_cosine_pairs",
     "dedup_edit_distance",
+    # (d') the r9 IVF-oracle restructures (vector-attached self-join,
+    # `_DUCK_IVF_AV` — values bit-identical, oracle SQL changed, so the
+    # driver re-earns them under the new oracle text; emptied the
+    # oracle-superlinear set)
+    "embedding_cosine_pairs_lsh",
+    "pipeline_semantic_dedup",
     # --- (e) r9 bit-identical fixed-point conversions
     "q9_product_profit",
     "q11_important_stock",

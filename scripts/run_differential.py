@@ -24,23 +24,19 @@ from spark_hbase_connector_spark.oracle import compare_frames, duckdb_connection
 from spark_hbase_connector_spark.queries import REGISTRY
 
 # The Spark side of each of these is scale-safe (measured decades in
-# SCALE.md); it is the ORACLE that cannot follow past sf1 — each is kept
-# strict-green at sf0.01/0.1/1, which is what certifies correctness.
-# r9 shrank this set from 3 to 1 (VERDICT r8 ask 4):
-# `dedup_edit_distance` now replays the PassJoin segment blocking as an
-# EQUI-join (259 s at sf10, completes) and `embedding_cosine_pairs`
-# reports the exact operator on a fixed 200-vector panel (58 s at sf10).
-ORACLE_SUPERLINEAR = {
-    "pipeline_semantic_dedup": (
-        "the oracle replays the IVF candidate generation (bounded) but"
-        " its candidate-scoring + 32-round min-label closure exceed"
-        " single-node DuckDB resources at sf10 (42 GB temp spill"
-        " unhinted; OOM-adjacent even with MATERIALIZED CTEs under"
-        " concurrent load); components are strict-green at sf0.01/0.1/1"
-        " and both composed halves (embedding_cosine_pairs_lsh,"
-        " dedup_components) sweep sf10 individually"
-    ),
-}
+# SCALE.md); it would be the ORACLE that cannot follow past sf1 — each
+# would be kept strict-green at sf0.01/0.1/1, which is what certifies
+# correctness. r9 EMPTIED the set (VERDICT r8 ask 4):
+# `dedup_edit_distance` replays the PassJoin segment blocking as an
+# EQUI-join (259 s at sf10, completes), `embedding_cosine_pairs`
+# reports the exact operator on a fixed 200-vector panel (58 s at sf10),
+# and `pipeline_semantic_dedup`'s oracle was restructured to the
+# vector-attached IVF self-join (`_DUCK_IVF_AV` in queries/northstar.py
+# — the r8 shape built a hash table on a 200M-row materialized candidate
+# CTE and spilled 42-54 GB; the new shape completes sf10 in ~114 s).
+# The stamping machinery stays for any future genuinely-superlinear
+# oracle.
+ORACLE_SUPERLINEAR: dict[str, str] = {}
 
 
 def main():

@@ -41,6 +41,7 @@ from spark_hbase_connector_spark.operators.dedup import (
 from spark_hbase_connector_spark.operators.graph import connected_components
 from spark_hbase_connector_spark.operators.similarity import cosine_pairs_lsh
 from spark_hbase_connector_spark.queries.northstar import (
+    _DUCK_IVF_AV,
     _DUCK_SHINGLES,
     _DUCK_VECS,
     duck_cc_min_label,
@@ -192,31 +193,11 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_semantic_dedup",
     oracle=f"""
     WITH RECURSIVE {_DUCK_VECS},
-    cent AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n
-             WHERE vec_id < greatest(16, (SELECT count(*) FROM embeddings) // 500)),
-    sims AS (
-      SELECT x.vec_id, cent.cell_id,
-             list_sum(list_transform(range(1, len(x.e) + 1),
-                      i -> x.e[i] * cent.ce[i])) / (x.nrm * cent.cnrm) AS sim
-      FROM n x CROSS JOIN cent
-    ),
-    asgn AS MATERIALIZED (
-      SELECT vec_id, cell_id FROM (
-        SELECT vec_id, cell_id,
-               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
-        FROM sims) WHERE r <= 2
-    ),
-    cand AS MATERIALIZED (
-      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-      FROM asgn a JOIN asgn b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-    ),
+    {_DUCK_IVF_AV},
     prs AS MATERIALIZED (
-      SELECT id1, id2 FROM (
-        SELECT id1, id2,
-               list_sum(list_transform(range(1, len(x.e) + 1),
-                        i -> x.e[i] * y.e[i])) / (x.nrm * y.nrm) AS score
-        FROM cand JOIN n x ON x.vec_id = id1 JOIN n y ON y.vec_id = id2
-      ) WHERE score >= 0.4
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM av a JOIN av b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
     ),
     edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM prs
               UNION ALL SELECT id2, id1 FROM prs),
@@ -240,7 +221,11 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition of two audited scale paths: candidate volume is bounded by
     the cell assignment (never all-pairs), and the component loop shuffles
     node-sized labels. The oracle replays the identical candidate
-    generation plus a recursive-CTE reachability closure."""
+    generation via the shared `_DUCK_IVF_AV` vector-attached self-join
+    (see its comment for why the shape — not just the ops — matters at
+    sf10) plus the unrolled min-label/pointer-jump closure; it completes
+    sf10 in ~114 s where the r8 formulation spilled 42-54 GB, so the
+    entry no longer needs an oracle-superlinear exclusion."""
     e = load(spark, sf_dir, "embeddings")
     # corpus-proportional cell count (shared formula with the lsh pair
     # entry and its oracle): constant expected cell size at any sf

@@ -625,6 +625,44 @@ _DUCK_VECS = """
           FROM v)
 """
 
+# DuckDB fragment: the shared IVF candidate structure (assumes _DUCK_VECS).
+# Derives per-vector top-2 coarse cells (proportional cell count, the same
+# formula as the Spark side) and attaches each vector's (e, nrm) to its
+# assignment rows, so downstream pair generation + cosine verification is a
+# SINGLE self-join of the small `av` relation (2n rows) on cell_id with the
+# threshold applied in the probe stream.
+#
+# Shape matters, not just ops: the r8 formulation materialized the DISTINCT
+# candidate-pair set (200M rows at sf10) and then joined vectors onto it —
+# DuckDB 1.0 does not propagate cardinality stats out of materialized CTEs,
+# so the scoring join built its hash table on the 200M-row side (42-54 GB
+# temp spill at sf10, the one oracle-superlinear exclusion). With vectors
+# pre-attached the only join is av ⋈ av: build side is 2n rows (~200 MB at
+# sf10), candidates stream through the cosine filter without ever
+# materializing, and the full pipeline oracle completes sf10 in ~114 s.
+# list_inner_product is bit-identical to the unrolled
+# list_sum(list_transform(range...)) fold (verified over 98,725 pairs) and
+# ~3x faster.
+_DUCK_IVF_AV = """
+    cent AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n
+             WHERE vec_id < greatest(16, (SELECT count(*) FROM embeddings) // 500)),
+    sims AS (
+      SELECT x.vec_id, cent.cell_id,
+             list_inner_product(x.e, cent.ce) / (x.nrm * cent.cnrm) AS sim
+      FROM n x CROSS JOIN cent
+    ),
+    asgn AS MATERIALIZED (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
+        FROM sims) WHERE r <= 2
+    ),
+    av AS MATERIALIZED (
+      SELECT a.vec_id, a.cell_id, x.e, x.nrm
+      FROM asgn a JOIN n x ON x.vec_id = a.vec_id
+    )
+"""
+
 
 @query(
     "embedding_cosine_pairs",
@@ -672,31 +710,15 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_cosine_pairs_lsh",
     oracle=f"""
     WITH {_DUCK_VECS},
-    cent AS (SELECT vec_id AS cell_id, e AS ce, nrm AS cnrm FROM n
-             WHERE vec_id < greatest(16, (SELECT count(*) FROM embeddings) // 500)),
-    sims AS (
-      SELECT x.vec_id, cent.cell_id,
-             list_sum(list_transform(range(1, len(x.e) + 1),
-                      i -> x.e[i] * cent.ce[i])) / (x.nrm * cent.cnrm) AS sim
-      FROM n x CROSS JOIN cent
-    ),
-    asgn AS MATERIALIZED (
-      SELECT vec_id, cell_id FROM (
-        SELECT vec_id, cell_id,
-               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS r
-        FROM sims) WHERE r <= 2
-    ),
-    cand AS MATERIALIZED (
-      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-      FROM asgn a JOIN asgn b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-    ),
+    {_DUCK_IVF_AV},
     scored AS (
-      SELECT id1, id2,
-             list_sum(list_transform(range(1, len(x.e) + 1),
-                      i -> x.e[i] * y.e[i])) / (x.nrm * y.nrm) AS score
-      FROM cand JOIN n x ON x.vec_id = id1 JOIN n y ON y.vec_id = id2
+      SELECT DISTINCT id1, id2, score FROM (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS score
+        FROM av a JOIN av b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      ) WHERE score >= 0.4
     )
-    SELECT id1, id2, round(score, 4) AS score FROM scored WHERE score >= 0.4
+    SELECT id1, id2, round(score, 4) AS score FROM scored
     """,
     tags=("similarity", "dedup", "lsh"),
     bench=True,
