@@ -50,7 +50,9 @@ def main():
         names = [n for n in names if n not in excluded]
         for n, r in excluded.items():
             print(f"EXCL  {n} (oracle_superlinear)", flush=True)
-    spark = get_spark("diff", cpus=16)
+    # 16 leaves headroom for DuckDB oracles at small SFs; sf>=10 sweeps are
+    # Spark-side dominated, so allow widening (DIFF_CPUS=32) there.
+    spark = get_spark("diff", cpus=int(os.environ.get("DIFF_CPUS", "16")))
     con = duckdb_connection(sf_dir)
     n_ok = 0
     n_run = 0
