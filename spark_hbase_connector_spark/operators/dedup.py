@@ -133,6 +133,131 @@ def shingle_postings_pos(
     return src.mapInPandas(gen, schema=f"id {id_type}, p int, s string")
 
 
+# splitmix64 finalizer constants for the vectorized shingle hasher
+_MX1 = 0x9E3779B97F4A7C15
+_MX2 = 0xBF58476D1CE4E5B9
+_MX3 = 0x94D049BB133111EB
+
+
+def _mix64(x):
+    """splitmix64 finalizer over a numpy uint64 array (full avalanche)."""
+    import numpy as np
+
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(_MX2)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(_MX3)
+    return x ^ (x >> np.uint64(31))
+
+
+def _batch_shingle_hashes(pdf, w: int):
+    """Vectorized core of the hashed shinglers: for one Arrow batch of
+    (id, __text), returns (ids_valid, doc_idx, pos, h) numpy views where
+    ``h[k]`` is a 64-bit hash of the w-token shingle starting at token
+    position ``pos[k]`` of document ``doc_idx[k]`` (an index into
+    ``ids_valid``). Hash = splitmix64 fold of the per-token keyed-siphash
+    values (``pandas.util.hash_array``, fixed key — deterministic across
+    workers, runs and sessions), so distinct shingle STRINGS map to
+    distinct 64-bit values w.h.p. (same 2^-64 birthday regime as the
+    xxhash64(shingle) formulation this replaces). Everything after the
+    per-document ``str.split`` is C-speed: one keyed hash over the
+    factorized token vocabulary, numpy shift-and-mix for the w-fold, and
+    boundary masking — no per-shingle Python, no shingle strings in the
+    Arrow stream (8 bytes/posting instead of ~w words)."""
+    import numpy as np
+    import pandas as pd
+    from itertools import chain
+
+    texts = pdf["__text"]
+    mask = texts.notna().to_numpy()
+    ids = pdf["id"].to_numpy()[mask]
+    splits = [t.split(" ") for t in texts[mask]]
+    lens = np.fromiter((len(s) for s in splits), dtype=np.int64, count=len(splits))
+    n = int(lens.sum())
+    empty = (
+        ids[:0],
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.uint64),
+    )
+    if n < w:
+        return empty
+    flat = np.array(list(chain.from_iterable(splits)), dtype=object)
+    th = pd.util.hash_array(flat, categorize=True)  # uint64 token hashes
+    doc_idx = np.repeat(np.arange(len(splits)), lens)
+    h = th[: n - w + 1].copy()
+    for j in range(1, w):
+        h = _mix64(h * np.uint64(_MX1) + th[j : n - w + 1 + j])
+    # a shingle is valid iff all w tokens fall inside one document
+    valid = doc_idx[: n - w + 1] == doc_idx[w - 1 :]
+    if not valid.any():
+        return empty
+    d = doc_idx[: n - w + 1][valid]
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    pos = np.flatnonzero(valid) - starts[d]
+    return ids, d, pos, h[valid]
+
+
+def shingle_posting_hashes(
+    df: DataFrame, text_col: str, id_col: str, w: int = 3
+) -> DataFrame:
+    """(id, s: long): 64-bit hashes of the distinct word w-shingles of each
+    document — the hashed twin of :func:`shingle_postings` for consumers
+    that only ever join/group on the shingle IDENTITY (every exact-pair
+    operator does: Jaccard/containment counts, span detection, MinHash
+    verification). The hash moves into the vectorized Arrow pass (see
+    :func:`_batch_shingle_hashes`), so the shingle string never crosses
+    the Python->JVM boundary at all and the downstream ``xxhash64``
+    projection disappears; per-doc distinctness is a C-level lexsort
+    dedup. Identical pair/count results w.h.p. (64-bit collision regime
+    unchanged from the xxhash64-keyed formulation it replaces)."""
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids, d, _, h = _batch_shingle_hashes(pdf, w)
+            if len(d):
+                # distinct (doc, hash): lexsort + consecutive-dedup
+                order = np.lexsort((h, d))
+                d, h = d[order], h[order]
+                keep = np.empty(len(d), dtype=bool)
+                keep[0] = True
+                keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+                d, h = d[keep], h[keep]
+            yield pd.DataFrame({"id": ids[d], "s": h.view(np.int64)})
+
+    return src.mapInPandas(gen, schema=f"id {id_type}, s long")
+
+
+def shingle_posting_hashes_pos(
+    df: DataFrame, text_col: str, id_col: str, w: int = 8
+) -> DataFrame:
+    """(id, p, h): EVERY w-shingle occurrence as (0-based token position,
+    64-bit shingle hash) — the hashed twin of :func:`shingle_postings_pos`
+    (span detection consumes only position + identity, never the string).
+    Same vectorized single-pass core as :func:`shingle_posting_hashes`."""
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids, d, pos, h = _batch_shingle_hashes(pdf, w)
+            yield pd.DataFrame(
+                {
+                    "id": ids[d],
+                    "p": pos.astype(np.int32),
+                    "h": h.view(np.int64),
+                }
+            )
+
+    return src.mapInPandas(gen, schema=f"id {id_type}, p int, h long")
+
+
 def paragraph_chunks(
     df: DataFrame,
     text_col: str,
@@ -193,8 +318,9 @@ def duplicated_span_stats(
     relational analogue of suffix-array substring dedup over a corpus.
 
     Plan: positional postings (one Arrow pass, persisted — two consumers),
-    duplicated-shingle set via one groupBy on xxhash64(shingle) (8-byte
-    keys, the string never shuffles), then per-document interval union as
+    duplicated-shingle set via one groupBy on the 64-bit shingle hash
+    (8-byte keys computed inside the Arrow pass — r10: the string never
+    even leaves Python), then per-document interval union as
     two same-sort windows (running max + island cumsum) — gaps-and-islands
     where overlapping-or-touching shingle intervals [p, p+w) merge, so
     ``dup_tokens`` is the exact union coverage, never double-counted.
@@ -202,10 +328,8 @@ def duplicated_span_stats(
     Scale: posting volume is O(total tokens); the groupBy and the window
     both shuffle by doc — bounded per-doc state, no all-pairs anything.
     """
-    posts = (
-        shingle_postings_pos(df, text_col, id_col, w)
-        .select("id", "p", F.xxhash64("s").alias("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    posts = shingle_posting_hashes_pos(df, text_col, id_col, w).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     dup = (
         posts.groupBy("h")
@@ -238,14 +362,14 @@ def _hashed_postings_and_sizes(
     df: DataFrame, text_col: str, id_col: str, w: int, max_df: int | None
 ):
     """Shared inverted-index scaffolding for the exact pair operators:
-    persisted xxhash64-keyed postings (the join/groupBy key is an 8-byte
-    long, the shingle string never shuffles), per-doc set sizes computed
-    BEFORE the ``max_df`` stop-shingle filter (so similarity denominators
-    stay the naive definition), then the optional hot-shingle drop."""
-    posts = (
-        shingle_postings(df, text_col, id_col, w)
-        .select("id", F.xxhash64("s").alias("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    persisted 64-bit-hash-keyed postings (the join/groupBy key is an
+    8-byte long computed INSIDE the Arrow pass — r10: the shingle string
+    no longer crosses the Python->JVM boundary either, see
+    :func:`shingle_posting_hashes`), per-doc set sizes computed BEFORE
+    the ``max_df`` stop-shingle filter (so similarity denominators stay
+    the naive definition), then the optional hot-shingle drop."""
+    posts = shingle_posting_hashes(df, text_col, id_col, w).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     if max_df is not None:
@@ -532,53 +656,70 @@ def minhash_band_buckets(
 ) -> DataFrame:
     """(id, band, bkey): LSH band bucket keys straight from the documents.
 
-    One Arrow ``mapInPandas`` pass computes, per document and fully in
-    numpy: distinct shingles -> crc32 shingle hashes -> the whole MinHash
-    signature (affine permutations, vectorized (num_hashes x n_shingles)
-    min) -> one crc32 bucket key per band. Zero shuffles and zero row
-    explosion before the bucket join — the JVM alternative (explode each
-    shingle hash x num_hashes, groupBy min) moves docs x num_hashes rows
-    through two shuffles and re-executes upstream Python stages per
-    consumer. Signatures are internal (candidates are exact-verified), so
-    the hash only needs determinism; crc32 is stable across runs.
+    One Arrow ``mapInPandas`` pass, vectorized across the WHOLE batch
+    (r10 — the per-document numpy loop paid ~50 us of small-array
+    overhead per doc): the shared vectorized shingler
+    (:func:`_batch_shingle_hashes`) produces all (doc, shingle-hash)
+    occurrences, a C-level lexsort dedups them per doc, each affine
+    permutation h_j(x) = (a_j x + b_j) mod P32 is evaluated over the
+    entire batch's postings at once with the per-doc minimum taken by
+    ``np.minimum.reduceat``, and band keys are a splitmix64 fold of each
+    band's signature rows. Zero shuffles and zero row explosion before
+    the bucket join — the JVM alternative (explode each shingle hash x
+    num_hashes, groupBy min) moves docs x num_hashes rows through two
+    shuffles and re-executes upstream Python stages per consumer.
+    Signatures are internal (candidates are exact-verified), so the hash
+    only needs determinism — the permutation input is the low 32 bits of
+    the deterministic 64-bit shingle hash (duplicates introduced by the
+    masking are absorbed by the min).
     """
     import numpy as np
     import pandas as pd
-    import zlib
 
     rows = num_hashes // bands
-    A = np.array([a for a, _ in _MINHASH_AB[:num_hashes]], dtype=np.uint64)[:, None]
-    B = np.array([b for _, b in _MINHASH_AB[:num_hashes]], dtype=np.uint64)[:, None]
+    A = np.array([a for a, _ in _MINHASH_AB[:num_hashes]], dtype=np.uint64)
+    B = np.array([b for _, b in _MINHASH_AB[:num_hashes]], dtype=np.uint64)
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
         for pdf in batches:
-            ids: list = []
-            bnd: list[int] = []
-            key: list[int] = []
-            for i, t in zip(pdf["id"], pdf["__text"]):
-                if t is None:
-                    continue
-                toks = t.split(" ")
-                if len(toks) < w:
-                    continue
-                shs = {" ".join(toks[p : p + w]) for p in range(len(toks) - w + 1)}
-                h = np.fromiter(
-                    (zlib.crc32(s.encode()) for s in shs),
-                    dtype=np.uint64,
-                    count=len(shs),
+            ids, d, _, h = _batch_shingle_hashes(pdf, w)
+            if not len(d):
+                yield pd.DataFrame(
+                    {
+                        "id": ids[:0],
+                        "band": pd.array([], dtype="int32"),
+                        "bkey": pd.array([], dtype="int64"),
+                    }
                 )
-                sig = ((A * h[None, :] + B) % _P32).min(axis=1)
-                for j in range(bands):
-                    ids.append(i)
-                    bnd.append(j)
-                    key.append(zlib.crc32(sig[j * rows : (j + 1) * rows].tobytes()))
+                continue
+            # distinct (doc, shingle) then mask to the 32-bit affine domain
+            order = np.lexsort((h, d))
+            d, h = d[order], h[order]
+            keep = np.empty(len(d), dtype=bool)
+            keep[0] = True
+            keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+            d, x = d[keep], h[keep] & np.uint64(0xFFFFFFFF)
+            docs, starts = np.unique(d, return_index=True)
+            n_docs = len(docs)
+            sig = np.empty((num_hashes, n_docs), dtype=np.uint64)
+            for j in range(num_hashes):
+                sig[j] = np.minimum.reduceat(
+                    (A[j] * x + B[j]) % np.uint64(_P32), starts
+                )
+            bnd = np.repeat(np.arange(bands, dtype=np.int32), n_docs)
+            keys = np.empty((bands, n_docs), dtype=np.uint64)
+            for jb in range(bands):
+                k = sig[jb * rows] + np.uint64(jb)
+                for r in range(1, rows):
+                    k = _mix64(k * np.uint64(_MX1) + sig[jb * rows + r])
+                keys[jb] = _mix64(k)
             yield pd.DataFrame(
                 {
-                    "id": ids,
-                    "band": pd.array(bnd, dtype="int32"),
-                    "bkey": pd.array(key, dtype="int64"),
+                    "id": np.tile(ids[docs], bands),
+                    "band": bnd,
+                    "bkey": keys.reshape(-1).view(np.int64),
                 }
             )
 
@@ -607,8 +748,11 @@ def minhash_lsh_pairs(
 
     Output columns: (id1, id2, jaccard).
     """
-    # persisted: consumed by sizes and both verification sides (3x)
-    posts = shingle_postings(df, text_col, id_col, w).persist(
+    # persisted: consumed by sizes and both verification sides (3x).
+    # r10: hashed postings — the verification join keys on the 8-byte
+    # shingle hash computed inside the Arrow pass (same pairs w.h.p.),
+    # so shingle strings never cross the Python->JVM boundary or shuffle.
+    posts = shingle_posting_hashes(df, text_col, id_col, w).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
@@ -661,6 +805,14 @@ def simhash_words(
     pass — the JVM alternative (a groupBy with 64 sum aggregates plus a
     64-term word expression) costs ~4s of Catalyst/Janino compile per run
     before touching a row, and an extra shuffle.
+
+    r10 vectorization (same md5 bits, same words): md5 — the one
+    irreducible per-shingle cost, pinned by the DuckDB replay — is paid
+    once per BATCH-unique shingle (``pd.factorize``) instead of once per
+    (doc, shingle): a duplication-heavy corpus re-hashes each boilerplate
+    shingle once per batch, not once per document. The 64 majority votes
+    run as ONE ``np.unpackbits`` + ``np.add.reduceat`` over the whole
+    batch instead of a per-document (n x 64) matrix.
     """
     import hashlib
 
@@ -669,34 +821,51 @@ def simhash_words(
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     id_type = df.schema[id_col].dataType.simpleString()
-    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
 
     def gen(batches):
         for pdf in batches:
             ids: list = []
-            words: list[int] = []
+            counts: list[int] = []
+            shs: list[str] = []
             for i, t in zip(pdf["id"], pdf["__text"]):
                 if t is None:
                     continue
                 toks = t.split(" ")
                 if len(toks) < w:
                     continue
-                shs = {" ".join(toks[p : p + w]) for p in range(len(toks) - w + 1)}
-                h = np.fromiter(
-                    (
-                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                        for s in shs
-                    ),
-                    dtype=np.uint64,
-                    count=len(shs),
-                )
-                votes = ((h[:, None] >> shifts) & 1).sum(axis=0)
-                word = int(((votes * 2 > len(h)).astype(np.uint64) << shifts[0]).sum())
-                if word >= 2**63:
-                    word -= 2**64
+                ss = {" ".join(toks[p : p + w]) for p in range(len(toks) - w + 1)}
                 ids.append(i)
-                words.append(word)
-            yield pd.DataFrame({"id": ids, "h": pd.array(words, dtype="int64")})
+                counts.append(len(ss))
+                shs.extend(ss)
+            if not ids:
+                yield pd.DataFrame(
+                    {"id": ids, "h": pd.array([], dtype="int64")}
+                )
+                continue
+            codes, uniq = pd.factorize(np.array(shs, dtype=object))
+            uh = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                    for s in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            h_all = uh[codes]
+            # bit b of each hash, batch-wide: little-endian uint64 bytes +
+            # bitorder='little' puts column k at bit position k, matching
+            # (h >> k) & 1
+            bits = np.unpackbits(
+                h_all.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            n_arr = np.asarray(counts, dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(n_arr)))[:-1]
+            votes = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+            words = ((votes * 2 > n_arr[:, None]).astype(np.uint64) * weights).sum(
+                axis=1
+            )
+            yield pd.DataFrame({"id": ids, "h": words.view(np.int64)})
 
     return src.mapInPandas(gen, schema=f"id {id_type}, h long")
 
@@ -948,10 +1117,10 @@ def minhash_lsh_pairs_incremental(
 
     Output columns: (new_id, corpus_id, jaccard).
     """
-    new_posts = shingle_postings(new_df, text_col, id_col, w).persist(
+    new_posts = shingle_posting_hashes(new_df, text_col, id_col, w).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    corpus_posts = shingle_postings(corpus_df, text_col, id_col, w).persist(
+    corpus_posts = shingle_posting_hashes(corpus_df, text_col, id_col, w).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     n_sizes = new_posts.groupBy("id").agg(F.count(F.lit(1)).alias("n1"))
