@@ -861,7 +861,9 @@ def simhash_words(
             )
             n_arr = np.asarray(counts, dtype=np.int64)
             starts = np.concatenate(([0], np.cumsum(n_arr)))[:-1]
-            votes = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+            # dtype=int64 keeps the accumulator wide WITHOUT materializing
+            # an 8x astype copy of the (n_postings x 64) bit matrix
+            votes = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
             words = ((votes * 2 > n_arr[:, None]).astype(np.uint64) * weights).sum(
                 axis=1
             )

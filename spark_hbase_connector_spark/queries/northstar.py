@@ -154,10 +154,22 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs: word-3-gram Jaccard >= 0.85 via inverted-index
-    self-join (never a cross join)."""
+    """Exact near-dup pairs: word-3-gram Jaccard >= 0.85 (never a cross
+    join). r10: executes via the rarest-first prefix-filter self-join
+    (PPJoin — `operators/dedup.py:shingle_jaccard_pairs_prefix`), which
+    is LOSSLESS by the prefix lemma: identical pairs and values to the
+    naive inverted-index self-join, same oracle, but candidate volume
+    Σ pf(s)² instead of Σ df(s)² (the exact join's wall on
+    boilerplate-heavy corpora — ~2x at sf0.1, unboundedly more at
+    100 TB). `shingle_jaccard_pairs` remains the reference formulation
+    (`dedup_threshold_histogram` consumes it at low thresholds where
+    prefix filtering degenerates)."""
+    from spark_hbase_connector_spark.operators.dedup import (
+        shingle_jaccard_pairs_prefix,
+    )
+
     d = load(spark, sf_dir, "documents")
-    pairs = shingle_jaccard_pairs(d, "text", "doc_id", threshold=0.85)
+    pairs = shingle_jaccard_pairs_prefix(d, "text", "doc_id", threshold=0.85)
     return pairs.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
 
 
