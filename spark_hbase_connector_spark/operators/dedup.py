@@ -273,7 +273,11 @@ def paragraph_chunks(
     :func:`shingle_postings` the chunks tile the document (len/w rows per
     doc, not len rows), and ``ord`` preserves reconstruction order. Same
     single Arrow-pass architecture (see the module docstring for why the
-    pure-expression formulation loses)."""
+    pure-expression formulation loses). r10: the per-chunk Python loop
+    (scalar ``.iloc`` per passthrough value per chunk dominated) is
+    replaced by ``np.repeat`` gathers for every fixed-width column; only
+    the unavoidable per-chunk ``" ".join`` remains Python-level."""
+    import numpy as np
     import pandas as pd
 
     cols = [F.col(id_col).alias("id"), *passthrough, F.col(text_col).alias("__text")]
@@ -285,22 +289,29 @@ def paragraph_chunks(
 
     def gen(batches):
         for pdf in batches:
-            out: dict[str, list] = {"id": [], **{c: [] for c in passthrough}}
-            ords: list[int] = []
-            segs: list[str] = []
-            pt_vals = [pdf[c] for c in passthrough]
-            for k, (i, t) in enumerate(zip(pdf["id"], pdf["__text"])):
-                if t is None:
-                    continue
-                toks = t.split(" ")
-                n = (len(toks) + w - 1) // w
-                for j in range(n):
-                    out["id"].append(i)
-                    for c, vals in zip(passthrough, pt_vals):
-                        out[c].append(vals.iloc[k])
-                    ords.append(j)
-                    segs.append(" ".join(toks[j * w : (j + 1) * w]))
-            out["ord"] = pd.array(ords, dtype="int32")
+            texts = pdf["__text"]
+            mask = texts.notna().to_numpy()
+            ids = pdf["id"].to_numpy()[mask]
+            pt_vals = {c: pdf[c].to_numpy()[mask] for c in passthrough}
+            splits = [t.split(" ") for t in texts[mask]]
+            nck = np.fromiter(
+                ((len(s) + w - 1) // w for s in splits),
+                dtype=np.int64,
+                count=len(splits),
+            )
+            d = np.repeat(np.arange(len(splits)), nck)
+            total = int(nck.sum())
+            starts = np.concatenate(([0], np.cumsum(nck)))[:-1]
+            ords = np.arange(total, dtype=np.int64) - starts[d]
+            segs = [
+                " ".join(s[j * w : (j + 1) * w])
+                for s, n in zip(splits, nck)
+                for j in range(n)
+            ]
+            out = {"id": ids[d]}
+            for c in passthrough:
+                out[c] = pt_vals[c][d]
+            out["ord"] = ords.astype(np.int32)
             out["seg"] = segs
             yield pd.DataFrame(out)
 

@@ -1369,9 +1369,14 @@ def dedup_repeated_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_hbase_connector_spark.operators.dedup import paragraph_chunks
 
     d = load(spark, sf_dir, "documents")
+    # h is a pure GROUPING identity for first-occurrence detection — any
+    # injective-w.h.p. hash partitions segments identically, so r10 swaps
+    # the md5 key for xxhash64 (long vs 32-char string: ~4x narrower
+    # shuffle key, no hex encode). The OUTPUT cleaned_md5 stays md5 —
+    # that value is the oracle-pinned reconstruction digest.
     segs = paragraph_chunks(
         d, "text", "doc_id", passthrough=("source",), w=8
-    ).withColumn("h", F.md5(F.col("seg").cast("binary")))
+    ).withColumn("h", F.xxhash64("seg"))
     segs = segs.persist()
     keys = segs.select("source", "h", "id", "ord")
     firsts = keys.groupBy("source", "h").agg(

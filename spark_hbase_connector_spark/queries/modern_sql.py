@@ -360,15 +360,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("c_custkey DIV 10").alias("dst"),
     )
     ranks = pagerank(edges, iters=3, damping=0.85)
-    n = ranks.agg(F.count("*").alias("n"))
-    return (
-        ranks.join(F.broadcast(n))
-        .select(
-            "id",
-            F.round(F.col("rank") * F.col("n") + F.lit(1e-9), 4).alias("rank_scaled"),
-        )
-        .orderBy("id")
-    )
+    # N as a driver-side scalar, not a single-row broadcast join: ranks is
+    # already localCheckpointed by the operator, so the count is one cheap
+    # node-sized job, and the BNLJ (plus its broadcast exchange) vanishes
+    # from the plan. N is a bounded scalar at any corpus size.
+    n = ranks.count()
+    return ranks.select(
+        "id",
+        F.round(F.col("rank") * F.lit(float(n)) + F.lit(1e-9), 4).alias(
+            "rank_scaled"
+        ),
+    ).orderBy("id")
 
 
 from spark_hbase_connector_spark.functions.zorder import zorder_sql_expr

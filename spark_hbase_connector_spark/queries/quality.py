@@ -386,33 +386,61 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-token counts. Boilerplate and template-heavy docs score low
     (their bigrams are corpus-frequent); lexically novel docs score high.
 
-    Plan: one Arrow pass emits bigram occurrences, immediately projected
-    to xxhash64 keys and persisted (three consumers — bigram counts,
-    first-token counts, and the scoring join; the strings never shuffle).
-    Count relations are Zipf-skewed at corpus scale: the hot first-token
-    join keys (stopwords) are exactly the AQE skew-join case, and both
-    count tables broadcast when the vocabulary fits."""
+    Plan: one Arrow pass emits bigram occurrences as 64-bit token/bigram
+    HASHES computed inside the vectorized pass (r10 — keyed per-token
+    hash + splitmix64 fold, the `_batch_shingle_hashes` recipe: the
+    strings never cross the Python->JVM boundary at all, the per-token
+    Python loop is gone, and the former JVM xxhash64 projection
+    disappears; counts/joins only ever need the key identity), persisted
+    (three consumers — bigram counts, first-token counts, and the scoring
+    join). Count relations are Zipf-skewed at corpus scale: the hot
+    first-token join keys (stopwords) are exactly the AQE skew-join
+    case, and both count tables broadcast when the vocabulary fits."""
+    from itertools import chain
+
+    import numpy as np
     import pandas as pd
+
+    from spark_hbase_connector_spark.operators.dedup import _MX1, _mix64
 
     d = load(spark, sf_dir, "documents")
 
     def gen(batches):
         for pdf in batches:
-            ids, w1s, bigs = [], [], []
-            for i, t in zip(pdf["doc_id"], pdf["text"]):
-                if t is None:
-                    continue
-                toks = t.split(" ")
-                for p in range(len(toks) - 1):
-                    ids.append(i)
-                    w1s.append(toks[p])
-                    bigs.append(toks[p] + " " + toks[p + 1])
-            yield pd.DataFrame({"id": ids, "w1": w1s, "big": bigs})
+            texts = pdf["text"]
+            mask = texts.notna().to_numpy()
+            ids = pdf["doc_id"].to_numpy()[mask]
+            splits = [t.split(" ") for t in texts[mask]]
+            lens = np.fromiter(
+                (len(s) for s in splits), dtype=np.int64, count=len(splits)
+            )
+            n = int(lens.sum())
+            if n < 2:
+                yield pd.DataFrame(
+                    {
+                        "id": ids[:0],
+                        "w1": np.empty(0, np.int64),
+                        "big": np.empty(0, np.int64),
+                    }
+                )
+                continue
+            flat = np.array(list(chain.from_iterable(splits)), dtype=object)
+            th = pd.util.hash_array(flat, categorize=True)
+            doc_idx = np.repeat(np.arange(len(splits)), lens)
+            # a bigram is valid iff both tokens fall inside one document
+            valid = doc_idx[:-1] == doc_idx[1:]
+            big = _mix64(th[:-1] * np.uint64(_MX1) + th[1:])[valid]
+            yield pd.DataFrame(
+                {
+                    "id": ids[doc_idx[:-1][valid]],
+                    "w1": th[:-1][valid].view(np.int64),
+                    "big": big.view(np.int64),
+                }
+            )
 
     bg = (
         d.select("doc_id", "text")
-        .mapInPandas(gen, schema="id long, w1 string, big string")
-        .select("id", F.xxhash64("w1").alias("w1"), F.xxhash64("big").alias("big"))
+        .mapInPandas(gen, schema="id long, w1 long, big long")
         .persist()
     )
     cb = bg.groupBy("big").agg(F.count(F.lit(1)).alias("nb"))

@@ -37,9 +37,6 @@ _BNLJ_ALLOWED = {
     "funnel_steps",
     "approx_heavy_hitters_qa",
     "diag_key_skew",
-    # graph_pagerank broadcasts the single-row node-count aggregate into
-    # the node-sized rank relation to scale ranks by N
-    "graph_pagerank",
     # region_split_plan_qa broadcasts the single-row split-boundary sketch
     # against the fact table to bucket rows
     "region_split_plan_qa",
