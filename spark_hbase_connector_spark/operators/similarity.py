@@ -886,21 +886,26 @@ def pq_encode(
         C = bC.value  # (m, k, dsub)
         mm, kk, ds = C.shape
         for pdf in batches:
-            ids = []
-            codes = []
-            for i, v in zip(pdf["id"], pdf["__v"]):
-                if v is None:
-                    continue
-                V = np.asarray(v, dtype=np.float64).reshape(mm, ds)
-                row = []
-                for j in range(mm):
-                    D = np.einsum(
-                        "kd,kd->k", C[j] - V[j][None, :], C[j] - V[j][None, :]
-                    )
-                    row.append(int(np.argmin(D)))  # argmin takes lowest index on ties
-                ids.append(i)
-                codes.append(row)
-            yield pd.DataFrame({"id": ids, "codes": codes})
+            vv = pdf["__v"]
+            rows = [i for i in range(len(pdf)) if vv.iloc[i] is not None]
+            if not rows:
+                continue
+            # batch-wide (r10): same DIRECT-difference distances and
+            # lowest-code argmin tie behavior as the per-row loop this
+            # replaces, with the reduction still over the contiguous
+            # subspace axis — one einsum per subspace per batch instead
+            # of one per subspace per ROW
+            V3 = np.vstack(
+                [np.asarray(vv.iloc[i], dtype=np.float64) for i in rows]
+            ).reshape(len(rows), mm, ds)
+            codes = np.empty((len(rows), mm), dtype=np.int32)
+            for j in range(mm):
+                diff = C[j][None, :, :] - V3[:, j][:, None, :]
+                D = np.einsum("bkd,bkd->bk", diff, diff)
+                codes[:, j] = np.argmin(D, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy()[rows], "codes": list(codes)}
+            )
 
     return src.mapInPandas(gen, schema=f"id {id_type}, codes array<int>")
 
@@ -1004,6 +1009,80 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """(id, cell_id, codes): the persistent IVF-PQ index relation in ONE
+    Arrow pass over the corpus. r10 — the previous composition ran
+    :func:`assign_cells` and :func:`pq_encode` as two separate corpus
+    scans and shuffle-JOINED their outputs back together by id; cell and
+    codes are both per-row functions of the embedding, so the join (two
+    corpus-sized exchanges) and the second scan were pure overhead.
+
+    Float contracts are preserved exactly: cell sim is the same
+    ``(V @ C.T) / (vn * cn)`` matmul as ``assign_cells`` (tiebreak
+    cell_id asc via a min-over-tied-cells reduction — only maximal sims
+    participate); PQ distances keep ``pq_encode``'s DIRECT difference
+    formulation ``sum((c - v)^2)`` (the oracle's list_sum shape), batch-
+    vectorized with the reduction still over the contiguous subspace
+    axis, and ``argmin`` keeps lowest-code tie behavior. Rows dropped
+    match the old inner join: NULL vectors (both passes) and zero-norm
+    vectors (assign_cells)."""
+    import numpy as np
+    import pandas as pd
+
+    c_rows = centroids.select("cell_id", "embedding").collect()  # small side
+    cc_ids = [r[0] for r in c_rows]
+    CC = np.vstack([np.asarray(r[1], dtype=np.float64) for r in c_rows])
+    ccn = np.sqrt(np.einsum("ij,ij->i", CC, CC))
+    keep = ccn > 0
+    cc_ids = [i for i, ok2 in zip(cc_ids, keep) if ok2]
+    Cq = np.asarray(codebooks, dtype=np.float64)
+    sc = corpus.sparkSession.sparkContext
+    b = sc.broadcast((cc_ids, CC[keep], ccn[keep], Cq))
+    id_type = corpus.schema[c_id].dataType.simpleString()
+    cell_type = centroids.schema["cell_id"].dataType.simpleString()
+    src = corpus.select(F.col(c_id).alias("id"), F.col(c_vec).alias("__v"))
+
+    def gen(batches):
+        b_cids, b_C, b_cn, b_Cq = b.value
+        mm, kk, ds = b_Cq.shape
+        cids_arr = np.asarray(b_cids)
+        big = cids_arr.max() + 1 if len(cids_arr) else 0
+        for pdf in batches:
+            vv = pdf["__v"]
+            rows = [i for i in range(len(pdf)) if vv.iloc[i] is not None]
+            if not rows:
+                continue
+            V = np.vstack([np.asarray(vv.iloc[i], dtype=np.float64) for i in rows])
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            ok = vn > 0
+            if not ok.any():
+                continue
+            V = V[ok]
+            ids = pdf["id"].to_numpy()[rows][ok]
+            S = (V @ b_C.T) / (vn[ok][:, None] * b_cn[None, :])
+            mx = S.max(axis=1, keepdims=True)
+            cell = np.where(S >= mx, cids_arr[None, :], big).min(axis=1)
+            V3 = V.reshape(len(V), mm, ds)
+            codes = np.empty((len(V), mm), dtype=np.int32)
+            for j in range(mm):
+                diff = b_Cq[j][None, :, :] - V3[:, j][:, None, :]
+                D = np.einsum("bkd,bkd->bk", diff, diff)
+                codes[:, j] = np.argmin(D, axis=1)  # lowest code on ties
+            yield pd.DataFrame(
+                {"id": ids, "cell_id": cell, "codes": list(codes)}
+            )
+
+    return src.mapInPandas(
+        gen, schema=f"id {id_type}, cell_id {cell_type}, codes array<int>"
+    )
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1021,23 +1100,23 @@ def ivf_pq_topk(
     ~nprobe/n_cells of the corpus) and PQ codes bound the MEMORY (the
     scorer reads ~m small ints per vector, never the floats).
 
-    Plan: corpus vectors are assigned to their nearest cell (one Arrow
-    pass, nprobe=1) and PQ-encoded (one Arrow pass); the joined
-    (id, cell, codes) relation is the persistent index a real deployment
-    would store. Queries' probed cells and ADC lookup tables are
-    broadcast; ONE Arrow pass over the index rows scores each code row
-    only for the queries probing its cell and keeps per-batch top-k
-    (rounded-score order, the same total order as the final window).
-    A (query, vector) pair can surface via exactly one cell, so no dedup
-    pass is needed. Output: (query_id, neighbor_id, score, rank)."""
+    Plan: corpus vectors are cell-assigned AND PQ-encoded in ONE fused
+    Arrow pass (:func:`ivf_pq_index` — r10: the previous two-scan-plus-
+    id-join composition paid a second corpus read and two corpus-sized
+    exchanges for what is a per-row computation); the (id, cell, codes)
+    relation is the persistent index a real deployment would store.
+    Queries' probed cells and ADC lookup tables are broadcast; ONE Arrow
+    pass over the index rows scores each code row only for the queries
+    probing its cell and keeps per-batch top-k (rounded-score order, the
+    same total order as the final window). A (query, vector) pair can
+    surface via exactly one cell, so no dedup pass is needed. Output:
+    (query_id, neighbor_id, score, rank)."""
     import numpy as np
     import pandas as pd
 
     C = np.asarray(codebooks, dtype=np.float64)
     mm, kk, ds = C.shape
-    cells = assign_cells(corpus, centroids, c_id, c_vec, nprobe=1)
-    codes = pq_encode(corpus, C, c_id, c_vec)
-    index = codes.join(cells.withColumnRenamed(c_id, "id"), "id")
+    index = ivf_pq_index(corpus, centroids, C, c_id, c_vec)
 
     probed: dict = {}
     for r in assign_cells(queries, centroids, q_id, q_vec, nprobe=nprobe).collect():
