@@ -1410,12 +1410,17 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document (smoothed idf = ln((N+1)/(df+1))+1).
     All JVM-side: one explode + two partial-aggregated groupBys; the
     document-frequency relation joins back via broadcast (vocabulary <<
-    corpus at scale after a min-df cut); top-3 via window."""
+    corpus at scale after a min-df cut); top-3 via window. The tf
+    relation is persisted (r10): it feeds BOTH the df aggregation and
+    the scoring join, and Catalyst planned the explode+groupBy subtree
+    twice (two parquet scans, two shuffles — the before-plan shows no
+    ReusedExchange because the consuming aggregates differ)."""
     d = load(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.count()
@@ -3234,34 +3239,40 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vrank = vec.select(
         F.col("neighbor_id").alias("v_doc"), F.col("rank").alias("vec_rank")
     )
-    d.createOrReplaceTempView("documents_hybrid_v")
-    lex = spark.sql(
-        """
-        WITH posts AS (
-          SELECT doc_id, explode(split(text, ' ')) AS term
-          FROM documents_hybrid_v
-        ),
-        tf AS (
-          SELECT doc_id, term, count(*) AS tf
-          FROM posts WHERE term IN ('scan', 'join')
-          GROUP BY doc_id, term
-        ),
-        idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        lex AS (
-          SELECT t.doc_id,
-                 sum(t.tf * ln(
-                   (SELECT count(*) FROM documents_hybrid_v) * 1.0 / i.df))
-                   AS ls
-          FROM tf t JOIN idf i USING (term)
-          GROUP BY t.doc_id
-          HAVING count(*) = 2
-        ),
-        ltop AS (SELECT doc_id, ls FROM lex ORDER BY ls DESC, doc_id LIMIT 100)
-        SELECT doc_id,
-               CAST(row_number() OVER (ORDER BY ls DESC, doc_id) AS INT)
-                 AS lex_rank
-        FROM ltop
-        """
+    # r10: the SQL-CTE formulation planned the tf subtree twice (tf feeds
+    # both idf and the scoring join — two full document scans + explodes
+    # in the before-plan); tf is tiny (docs x <=2 query terms), so
+    # persist it and aggregate once. Arithmetic is unchanged bit-for-bit:
+    # ln(n*1.0/df) is the same double division, and each doc's sum has
+    # exactly 2 addends (HAVING count = 2), so accumulation order cannot
+    # change the value.
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term").isin("scan", "join"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = float(d.count())
+    lex_scored = (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))
+            ).alias("ls"),
+            F.count(F.lit(1)).alias("__nt"),
+        )
+        .where(F.col("__nt") == 2)
+        .select("doc_id", "ls")
+    )
+    ltop = lex_scored.orderBy(F.desc("ls"), F.asc("doc_id")).limit(100)
+    from pyspark.sql import Window
+
+    w_lex = Window.orderBy(F.desc("ls"), F.asc("doc_id"))
+    lex = ltop.select(
+        "doc_id", F.row_number().over(w_lex).cast("int").alias("lex_rank")
     )
     fused = lex.join(vrank, lex["doc_id"] == vrank["v_doc"], "full_outer")
     rrf = F.coalesce(
