@@ -2395,32 +2395,35 @@ def search_ranked_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('scan' AND 'join'), scored by sum(tf * ln(N/df)). The term filter
     lands before the explode-aggregate, so posting lists are built only
     for query terms; df is term-sized (broadcasts by stats) and the
-    corpus count is an uncorrelated scalar subquery (computed once,
-    injected as a literal — no join at all); conjunction = HAVING count
-    == n_terms on the grouped postings — intersection via aggregation,
-    never a self-join per term. One corpus-sized shuffle (doc_id, term)."""
+    corpus count is a driver-side scalar (computed once, injected as a
+    literal — no join at all); conjunction = HAVING count == n_terms on
+    the grouped postings — intersection via aggregation, never a
+    self-join per term. One corpus-sized shuffle (doc_id, term). r10:
+    tf is persisted — the SQL CTE fed both idf and the scoring join, so
+    Catalyst scanned + exploded the corpus twice; arithmetic unchanged
+    (ln(n*1.0/df) is the same double division, 2-addend sums are
+    order-insensitive)."""
     d = load(spark, sf_dir, "documents")
-    d.createOrReplaceTempView("documents_search_v")
-    return spark.sql(
-        """
-        WITH posts AS (
-          SELECT doc_id, explode(split(text, ' ')) AS term
-          FROM documents_search_v
-        ),
-        tf AS (
-          SELECT doc_id, term, count(*) AS tf
-          FROM posts WHERE term IN ('scan', 'join')
-          GROUP BY doc_id, term
-        ),
-        idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-        SELECT t.doc_id,
-               round(sum(t.tf * ln(
-                 (SELECT count(*) FROM documents_search_v) * 1.0 / i.df)), 4)
-                 AS score
-        FROM tf t JOIN idf i USING (term)
-        GROUP BY t.doc_id
-        HAVING count(*) = 2
-        """
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term").isin("scan", "join"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = float(d.count())
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))), 4
+            ).alias("score"),
+            F.count(F.lit(1)).alias("__nt"),
+        )
+        .where(F.col("__nt") == 2)
+        .select("doc_id", "score")
     )
 
 
@@ -3367,15 +3370,24 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe (CLAUDE.md)."""
     d = load(spark, sf_dir, "documents")
     d.createOrReplaceTempView("documents_bm25_v")
+    # r10: the per-doc (tf_scan, tf_join, dl) relation fed BOTH the
+    # corpus-stats aggregate and the scoring projection — Catalyst
+    # planned the CTE twice, so the corpus text was scanned AND
+    # re-tokenized twice. Persist the doc_id + 3-ints relation (tiny at
+    # any scale) so the split/filter projections run once per document.
+    per_doc = spark.sql(
+        """
+        SELECT doc_id,
+               size(filter(split(text, ' '), x -> x = 'scan')) AS tf_scan,
+               size(filter(split(text, ' '), x -> x = 'join')) AS tf_join,
+               size(split(text, ' ')) AS dl
+        FROM documents_bm25_v
+        """
+    ).persist()
+    per_doc.createOrReplaceTempView("bm25_per_doc_v")
     return spark.sql(
         """
-        WITH d AS (
-          SELECT doc_id,
-                 size(filter(split(text, ' '), x -> x = 'scan')) AS tf_scan,
-                 size(filter(split(text, ' '), x -> x = 'join')) AS tf_join,
-                 size(split(text, ' ')) AS dl
-          FROM documents_bm25_v
-        ),
+        WITH d AS (SELECT * FROM bm25_per_doc_v),
         s AS (
           SELECT count(*) AS n_docs,
                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
@@ -3445,9 +3457,16 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     deriving it inline keeps the entry self-contained. All outputs are
     integers — zero cross-engine float risk."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
-    ).where(F.col("term").isin("scan", "join"))
+    # persisted (r10): both phrase legs derive from toks, and without the
+    # persist Catalyst planned the scan+posexplode subtree once per leg —
+    # two full corpus tokenizations for a query-term-sized relation
+    toks = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+        )
+        .where(F.col("term").isin("scan", "join"))
+        .persist()
+    )
     a = toks.where(F.col("term") == "scan").select("doc_id", F.col("pos").alias("pos_a"))
     b = toks.where(F.col("term") == "join").select(
         F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")

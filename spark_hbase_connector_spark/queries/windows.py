@@ -427,14 +427,18 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day, counted
-    on each subsequent active day (the product-analytics staple). Two
-    partial-aggregated shuffles on user_id (first-day + distinct activity)
-    feeding one broadcast-joinable cohort relation — the cohort table is
-    user-sized, the output cohort_day x day_offset, both far below event
-    volume; nothing event-sized shuffles twice."""
+    on each subsequent active day (the product-analytics staple). r10:
+    ONE event-sized pass — the cohort day is min(day) over the DISTINCT
+    (user, day) activity relation (identical to min over raw events, the
+    duplicates it drops cannot change a min), so the former second
+    events scan + event-sized shuffle for the first-day aggregate now
+    reads the persisted distinct-activity relation (days-per-user sized,
+    orders of magnitude below event volume)."""
     e = load(spark, sf_dir, "events")
-    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
-    act = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    act = (
+        e.select("user_id", F.to_date("ts").alias("day")).distinct().persist()
+    )
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         act.join(first, "user_id")
         .groupBy(
