@@ -82,35 +82,38 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     then measure each source's out-of-vocabulary token rate — the QA
     check run before committing to a tokenizer or mixing a new source in.
 
-    Two token-keyed groupBys (both partial-aggregated), a V-row broadcast
-    for the membership join, one final source-keyed aggregation."""
+    r10 plan: everything derives from ONE corpus tokenize pass — the
+    per-(source, token) count relation is persisted (distinct-pair
+    sized: |vocabulary| x |sources|, far below token-occurrence volume)
+    and feeds BOTH the global vocabulary counts (sum of longs — exact,
+    order-free) and the weighted coverage aggregation; the previous
+    shape planned the scan+explode subtree twice (occurrence-sized,
+    twice). Top-V via sort+limit -> TakeOrderedAndProject: per-partition
+    partial top-V then a V-row merge on the driver side — NOT a global
+    window (row_number over an unpartitioned ordering would drag the
+    whole vocabulary relation into one partition)."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "source", F.explode(F.split("text", " ")).alias("tok")
-    ).where(F.col("tok") != "")
-    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    # top-V via sort+limit -> TakeOrderedAndProject: per-partition partial
-    # top-V then a V-row merge on the driver side — NOT a global window
-    # (row_number over an unpartitioned ordering would drag the whole
-    # vocabulary relation into one partition)
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    counts = st.groupBy("tok").agg(F.sum("n").alias("c"))
     vocab = (
         counts.orderBy(F.col("c").desc(), "tok")
         .limit(_VOCAB_SIZE)
         .select("tok", F.lit(True).alias("in_vocab"))
     )
+    oov_n = F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0))
     return (
-        toks.join(F.broadcast(vocab), "tok", "left")
+        st.join(F.broadcast(vocab), "tok", "left")
         .groupBy("source")
         .agg(
-            F.count("*").alias("total_tokens"),
-            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("oov_tokens"),
-            F.round(
-                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-                / F.count("*"),
-                4,
-            ).alias("oov_rate"),
+            F.sum("n").alias("total_tokens"),
+            oov_n.cast("bigint").alias("oov_tokens"),
+            F.round(oov_n / F.sum("n"), 4).alias("oov_rate"),
         )
         .orderBy("source")
     )

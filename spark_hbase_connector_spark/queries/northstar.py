@@ -1634,28 +1634,34 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation pipeline in one plan: fingerprint
     dedup (keep min-id representative) -> quality gate (length window +
-    short-token ratio) -> per-language corpus stats. Everything fuses into
-    two aggregations and one semi-join; at 100 TB this whole flow is the
-    nightly curation job, and each stage is individually oracle-verified
-    elsewhere — this entry proves they compose."""
+    short-token ratio) -> per-language corpus stats. r10: ONE corpus
+    scan — per-doc quality metrics are computed inline and the
+    representative per fingerprint is picked by min(struct(doc_id, ...))
+    in the SAME aggregation (struct order = doc_id primary, unique, so
+    exactly the old min-doc_id row survives); the previous shape scanned
+    documents twice (the min-id aggregate, then the semi-join's probe
+    side). Two partial-aggregated shuffles total (fp, then lang); at
+    100 TB this whole flow is the nightly curation job, and each stage
+    is individually oracle-verified elsewhere — this entry proves they
+    compose."""
     d = load(spark, sf_dir, "documents")
-    reps = (
-        d.select(canonical_fingerprint("text").alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    kept = d.join(reps, "doc_id", "left_semi")
     toks = tokens("text")
     n = F.size(toks)
     shorts = F.expr("size(filter(split(text, ' '), t -> length(t) <= 2))")
-    scored = kept.select(
-        "lang",
-        n.cast("int").alias("n_tokens"),
-        (shorts / n).alias("short_ratio"),
+    per_doc = d.select(
+        canonical_fingerprint("text").alias("fp"),
+        F.struct(
+            "doc_id",
+            "lang",
+            n.cast("int").alias("n_tokens"),
+            (shorts / n).alias("short_ratio"),
+        ).alias("r"),
+    )
+    rep = per_doc.groupBy("fp").agg(F.min("r").alias("r")).select(
+        "r.lang", "r.n_tokens", "r.short_ratio"
     )
     return (
-        scored.where(
+        rep.where(
             (F.col("n_tokens") >= 20)
             & (F.col("n_tokens") <= 1000)
             & (F.col("short_ratio") < 0.4)
