@@ -229,12 +229,20 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for the benchmark). The eval side's postings are tiny by
     construction, so they BROADCAST — the 100 TB train corpus is scanned
     once, shingled once (one Arrow pass), and never shuffled; each side's
-    shingler feeds exactly one consumer, so no persist is needed."""
+    shingler feeds exactly one consumer, so no persist is needed. r10:
+    both sides use the HASHED shingle pass (the join/count only ever
+    touch shingle identity) — 8-byte int64 keys from the vectorized
+    Arrow pass instead of 5-word strings crossing the Python->JVM
+    boundary and sitting in the broadcast hash relation."""
+    from spark_hbase_connector_spark.operators.dedup import (
+        shingle_posting_hashes,
+    )
+
     d = load(spark, sf_dir, "documents")
-    ev = shingle_postings(
+    ev = shingle_posting_hashes(
         d.where(F.col("source") == "src0"), "text", "doc_id", w=5
     ).withColumnRenamed("id", "eval_id")
-    tr = shingle_postings(
+    tr = shingle_posting_hashes(
         d.where(F.col("source") != "src0"), "text", "doc_id", w=5
     ).withColumnRenamed("id", "train_id")
     return (
@@ -703,8 +711,17 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent on both engines (pairs only arise from co-occurrence). All
     ratios are exact-integer divisions — bit-identical doubles before
     the display rounding."""
+    from spark_hbase_connector_spark.operators.dedup import (
+        shingle_posting_hashes,
+    )
+
     d = load(spark, sf_dir, "documents")
-    ss = shingle_postings(d, "text", "source").distinct().persist()
+    # hashed shingle identity (r10): the matrix only needs intersection
+    # COUNTS and sizes, never the shingle string — 8-byte keys all the way.
+    # The global distinct stays: the hashed pass dedups per DOCUMENT only,
+    # while sizes need distinct (source, shingle) across all docs of a
+    # source — it just shuffles 8-byte keys now instead of w-word strings.
+    ss = shingle_posting_hashes(d, "text", "source").distinct().persist()
     sizes = ss.groupBy(F.col("id").alias("source")).agg(
         F.count(F.lit(1)).alias("n")
     )
