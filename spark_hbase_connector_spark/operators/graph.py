@@ -38,6 +38,20 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _release(df: DataFrame) -> None:
+    """Free a superseded localCheckpoint's storage blocks without waiting
+    for JVM GC + ContextCleaner (best-effort: toRdd() on a LogicalRDD
+    plan is the checkpointed RDD itself; if internals shift and it's a
+    wrapper, unpersist is a harmless no-op). At scale the superseded
+    per-iteration label/rank checkpoints are node-sized executor blocks;
+    lazy reclamation lets them stack up iters-deep per call
+    (tests/test_cache_lifecycle.py pins the plateau behavior)."""
+    try:
+        df._jdf.queryExecution().toRdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _propagate(edges: DataFrame, lbl: DataFrame) -> DataFrame:
     """One min-label hop; passes through any extra columns on ``lbl``."""
     nbr_min = (
@@ -92,6 +106,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    ckpt = labels  # the checkpoint backing `labels`, released when superseded
     for _ in range(max_iter):
         # Convergence is judged on the SECOND hop only: labels are
         # monotone, so ANY hop that changes nothing is a fixpoint — a
@@ -105,6 +120,8 @@ def connected_components(
             "id", "comp", (F.col("comp") < F.col("__mid")).alias("__chg")
         ).localCheckpoint()
         n_changed = updated.where(F.col("__chg")).count()
+        _release(ckpt)  # `updated` is eagerly materialized; the previous
+        ckpt = updated  # round's label blocks are now unreachable
         labels = updated.select("id", "comp")
         if n_changed == 0:
             break
@@ -177,7 +194,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
@@ -188,6 +205,8 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        _release(ranks)  # new_ranks is eagerly materialized; the superseded
+        ranks = new_ranks  # iteration's rank blocks are now unreachable
     ej.unpersist()
     nodes.unpersist()
     return ranks
@@ -234,15 +253,6 @@ def connected_components_star(
         .localCheckpoint()
     )
 
-    def _release(df: DataFrame) -> None:
-        # free a superseded localCheckpoint's storage blocks without
-        # waiting for JVM GC + ContextCleaner (best-effort: toRdd() on a
-        # LogicalRDD plan is the checkpointed RDD itself; if internals
-        # shift and it's a wrapper, unpersist is a harmless no-op)
-        try:
-            df._jdf.queryExecution().toRdd().unpersist(False)
-        except Exception:
-            pass
     # remember every vertex: star contraction drops edges of already-
     # rooted nodes, but the output must cover all of them
     all_nodes = (
