@@ -40,14 +40,17 @@ from pyspark.storagelevel import StorageLevel
 
 def _release(df: DataFrame) -> None:
     """Free a superseded localCheckpoint's storage blocks without waiting
-    for JVM GC + ContextCleaner (best-effort: toRdd() on a LogicalRDD
-    plan is the checkpointed RDD itself; if internals shift and it's a
-    wrapper, unpersist is a harmless no-op). At scale the superseded
-    per-iteration label/rank checkpoints are node-sized executor blocks;
-    lazy reclamation lets them stack up iters-deep per call
-    (tests/test_cache_lifecycle.py pins the plateau behavior)."""
+    for JVM GC + ContextCleaner. A localCheckpointed DataFrame's analyzed
+    plan is a LogicalRDD whose ``rdd()`` IS the persisted checkpoint RDD
+    — unpersisting it drops the blocks immediately. (``toRdd()`` is NOT
+    that RDD: RDDScanExec wraps the checkpoint in a fresh
+    MapPartitionsRDD, so the pre-r10 toRdd() form silently no-opped and
+    leaked iters-deep per call.) Best-effort: if internals shift and the
+    plan is not a LogicalRDD, this is a harmless no-op. At scale the
+    superseded per-iteration label/rank checkpoints are node-sized
+    executor blocks (tests/test_cache_lifecycle.py pins the plateau)."""
     try:
-        df._jdf.queryExecution().toRdd().unpersist(False)
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass
 
@@ -254,22 +257,24 @@ def connected_components_star(
     )
 
     # remember every vertex: star contraction drops edges of already-
-    # rooted nodes, but the output must cover all of them
+    # rooted nodes, but the output must cover all of them.
+    # ORDERING INVARIANT (ADVICE r8, tightened r10): this must be an
+    # EAGER localCheckpoint (lineage-truncated), created BEFORE the loop.
+    # _release() below frees the superseded checkpoints' storage blocks,
+    # making those DataFrames permanently unrecomputable — round 1
+    # releases the INITIAL E, so anything still derived from it by
+    # lineage (a merely-persisted all_nodes was: unpersist-then-return
+    # handed the caller a frame that recomputed all_nodes from the freed
+    # initial checkpoint and died with "checkpoint block not found")
+    # must own its blocks outright. Like the returned labels, all_nodes
+    # is caller-owned: its blocks live while the returned frame does and
+    # the ContextCleaner reclaims them when the caller's reference dies.
     all_nodes = (
         E.select(F.col("u").alias("id"))
         .unionByName(E.select(F.col("v").alias("id")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
-    # ORDERING INVARIANT (ADVICE r8): this eager count() must stay BEFORE
-    # the loop. _release() below unpersists superseded localCheckpointed
-    # RDDs' storage blocks, which makes those DataFrames permanently
-    # unrecomputable — safe only because all_nodes is the sole consumer
-    # of the initial E besides round 1, and it is fully materialized
-    # (persisted + counted) here. Making all_nodes lazy, or referencing
-    # the initial E after round 1, would fail with "checkpoint block not
-    # found" rather than recompute.
-    all_nodes.count()
     prev = None
     for _ in range(max_iter):
         sym = E.unionByName(
@@ -319,6 +324,4 @@ def connected_components_star(
     roots = all_nodes.join(labels, "id", "left_anti").select(
         "id", F.col("id").alias("comp")
     )
-    out = labels.unionByName(roots)
-    all_nodes.unpersist()
-    return out
+    return labels.unionByName(roots)
