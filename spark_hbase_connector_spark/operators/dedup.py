@@ -817,13 +817,19 @@ def simhash_words(
     64-term word expression) costs ~4s of Catalyst/Janino compile per run
     before touching a row, and an extra shuffle.
 
-    r10 vectorization (same md5 bits, same words): md5 — the one
-    irreducible per-shingle cost, pinned by the DuckDB replay — is paid
-    once per BATCH-unique shingle (``pd.factorize``) instead of once per
-    (doc, shingle): a duplication-heavy corpus re-hashes each boilerplate
-    shingle once per batch, not once per document. The 64 majority votes
-    run as ONE ``np.unpackbits`` + ``np.add.reduceat`` over the whole
-    batch instead of a per-document (n x 64) matrix.
+    r11: REVERTED to the per-document formulation below. The r10
+    batch-wide rewrite (``pd.factorize`` + md5 per batch-unique shingle +
+    one ``np.unpackbits``/``np.add.reduceat`` vote pass) won a
+    single-threaded microbenchmark but LOST end to end with a heavy right
+    tail — committed interleaved fresh-process A/B (`ab/r11/ab_simhash_*`,
+    5 pairs, per-row load sentinels): r9 per-doc code steady at
+    1.38-1.56 s while the batch-wide code's clean rows spanned
+    1.32-3.59 s (median ratio 1.20x, and an 8.99 s median-of-3 row in
+    this round's opening bench). The batch-wide pass allocates
+    object-array + 64-bytes-per-posting temporaries that interact badly
+    with worker memory state; the per-doc pass touches only
+    (doc-shingles x 64) blocks that stay cache-sized. Guide §1.1: the
+    empirical loop beats the first-principles rewrite here.
     """
     import hashlib
 
@@ -832,53 +838,34 @@ def simhash_words(
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     id_type = df.schema[id_col].dataType.simpleString()
-    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
 
     def gen(batches):
         for pdf in batches:
             ids: list = []
-            counts: list[int] = []
-            shs: list[str] = []
+            words: list[int] = []
             for i, t in zip(pdf["id"], pdf["__text"]):
                 if t is None:
                     continue
                 toks = t.split(" ")
                 if len(toks) < w:
                     continue
-                ss = {" ".join(toks[p : p + w]) for p in range(len(toks) - w + 1)}
-                ids.append(i)
-                counts.append(len(ss))
-                shs.extend(ss)
-            if not ids:
-                yield pd.DataFrame(
-                    {"id": ids, "h": pd.array([], dtype="int64")}
+                shs = {" ".join(toks[p : p + w]) for p in range(len(toks) - w + 1)}
+                h = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                        for s in shs
+                    ),
+                    dtype=np.uint64,
+                    count=len(shs),
                 )
-                continue
-            codes, uniq = pd.factorize(np.array(shs, dtype=object))
-            uh = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                    for s in uniq
-                ),
-                dtype=np.uint64,
-                count=len(uniq),
-            )
-            h_all = uh[codes]
-            # bit b of each hash, batch-wide: little-endian uint64 bytes +
-            # bitorder='little' puts column k at bit position k, matching
-            # (h >> k) & 1
-            bits = np.unpackbits(
-                h_all.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-            )
-            n_arr = np.asarray(counts, dtype=np.int64)
-            starts = np.concatenate(([0], np.cumsum(n_arr)))[:-1]
-            # dtype=int64 keeps the accumulator wide WITHOUT materializing
-            # an 8x astype copy of the (n_postings x 64) bit matrix
-            votes = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
-            words = ((votes * 2 > n_arr[:, None]).astype(np.uint64) * weights).sum(
-                axis=1
-            )
-            yield pd.DataFrame({"id": ids, "h": words.view(np.int64)})
+                votes = ((h[:, None] >> shifts) & 1).sum(axis=0)
+                word = int(((votes * 2 > len(h)).astype(np.uint64) << shifts[0]).sum())
+                if word >= 2**63:
+                    word -= 2**64
+                ids.append(i)
+                words.append(word)
+            yield pd.DataFrame({"id": ids, "h": pd.array(words, dtype="int64")})
 
     return src.mapInPandas(gen, schema=f"id {id_type}, h long")
 
