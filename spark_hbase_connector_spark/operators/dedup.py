@@ -389,6 +389,44 @@ def _hashed_postings_and_sizes(
     return posts, sizes
 
 
+def _rarity_ranked_docs(posts: DataFrame) -> DataFrame:
+    """(id, ss, n): each document's shingle hashes as an array sorted by
+    global rarity (document frequency asc, hash asc — one shared total
+    order), plus the set size — the scaffolding both prefix-filter
+    operators build their prefixes and verification arrays from.
+
+    r11 (guide §3.1, §2.3; measured at sf10, where this build was the
+    single largest stage of the prefix operators):
+
+    - the df join runs as a SHUFFLED HASH join (hint) instead of the
+      planner's default sort-merge: sorting ~26M postings + ~20M distinct
+      shingles by ``s`` only to throw the order away in the next
+      groupBy(id) exchange was the wall (docs build 42 s -> 6 s in the
+      quiet-box run; consistently fastest under load). The build side is
+      the per-partition slice of the (s, df) relation — a few MB per
+      partition at any scale once AQE sizes the exchange.
+    - ``df`` is carried as a saturating int32 instead of int64: the sort
+      key only needs A shared total order biased to rarity, and halving
+      the struct halves what the groupBy(id) exchange moves per posting.
+      (least(count, 2^31-1) keeps ANSI mode overflow-free if a planetary
+      boilerplate shingle ever exceeds 2.1B documents; saturated ties
+      still sort deterministically by the hash tiebreaker.)
+    """
+    dfreq = posts.groupBy("s").agg(
+        F.least(F.count(F.lit(1)), F.lit(2**31 - 1)).cast("int").alias("df")
+    )
+    return (
+        posts.join(dfreq.hint("shuffle_hash"), "s")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("arr"))
+        .select(
+            "id",
+            F.transform("arr", lambda x: x["s"]).alias("ss"),
+            F.size("arr").alias("n"),
+        )
+    )
+
+
 def shingle_containment_pairs(
     df: DataFrame,
     text_col: str,
@@ -466,18 +504,15 @@ def shingle_containment_pairs_prefix(
     for the exact join, identical 492,910 pairs (SCALE.md).
     """
     posts, _ = _hashed_postings_and_sizes(df, text_col, id_col, w, None)
-    dfreq = posts.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # one groupBy(id) produces rank (sort_array), size, prefix slice and
-    # the verification array — same fusion as the jaccard twin (r6)
+    # the verification array — same fusion as the jaccard twin (r6);
+    # r11: shared _rarity_ranked_docs scaffolding (shuffled-hash df join,
+    # int32 df sort key — see its docstring). No positional filter here:
+    # for the one-sided prefix×full-postings join the positional bound
+    # pi >= mp1 - (1-t)·n1 is implied by the existing pigeonhole count
+    # filter pi >= k1 - (1-t)·n1 (mp1 <= k1), so it would prune nothing.
     docs = (
-        posts.join(dfreq, "s")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("arr"))
-        .select(
-            "id",
-            F.transform("arr", lambda x: x["s"]).alias("ss"),
-            F.size("arr").alias("n"),
-        )
+        _rarity_ranked_docs(posts)
         .withColumn(
             "k", (F.floor((1.0 - threshold) * F.col("n")) + 2).cast("int")
         )
@@ -613,25 +648,33 @@ def shingle_jaccard_pairs_prefix(
     # rank (no window exec), its size IS n, its head slice IS the prefix,
     # and the shingle projection IS the verification array — one exchange
     # where the r5 plan used three (rank window, sizes agg, sets agg).
-    dfreq = posts.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     docs = (
-        posts.join(dfreq, "s")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("arr"))
-        .select(
-            "id",
-            F.transform("arr", lambda x: x["s"]).alias("ss"),
-            F.size("arr").alias("n"),
-        )
+        _rarity_ranked_docs(posts)
         .withColumn(
             "k",
             (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 2).cast("int"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # positions ride the prefix (1-based rank in the doc's rarity order)
+    # to power the PPJoin positional filter below
     prefix = docs.select(
-        "id", "n", F.explode(F.slice("ss", F.lit(1), F.col("k"))).alias("s")
-    )
+        "id",
+        "n",
+        F.posexplode(F.slice("ss", F.lit(1), F.col("k"))).alias("p", "s"),
+    ).withColumn("p", F.col("p") + 1)
+    # Positional filter (PPJoin, Xiao et al. — sound upper bound): let the
+    # pair's prefix matches be m_1 < ... < m_pi in the shared rarity
+    # order, with m_pi at positions (mp1, mp2). Any common element
+    # x < m_pi lies in BOTH prefixes (x precedes a prefix member in each
+    # doc's order) and is therefore itself one of the pi matches; so
+    # everything else in A∩B is ordered >= m_pi and
+    # |A∩B| <= pi + min(n1 - mp1, n2 - mp2). J >= t needs
+    # |A∩B| >= t/(1+t)·(n1+n2); pairs whose bound can't reach that are
+    # dropped BEFORE verification — lossless (measured sf10: candidates
+    # 2.54M -> 657k, identical 25,500 output pairs). Late-prefix-only
+    # matches are exactly the hot boilerplate tail, so this kills the
+    # candidates the rarest-first ordering couldn't.
     cand = (
         prefix.alias("a")
         .join(
@@ -639,10 +682,24 @@ def shingle_jaccard_pairs_prefix(
             (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .agg(F.first(F.col("a.n")).alias("n1"), F.first(F.col("b.n")).alias("n2"))
+        .agg(
+            F.first(F.col("a.n")).alias("n1"),
+            F.first(F.col("b.n")).alias("n2"),
+            F.max(F.col("a.p")).alias("mp1"),
+            F.max(F.col("b.p")).alias("mp2"),
+            F.count(F.lit(1)).alias("pi"),
+        )
         .where(
             F.least("n1", "n2")
             >= threshold * F.greatest("n1", "n2") - F.lit(1e-9)
+        )
+        .where(
+            F.col("pi")
+            + F.least(F.col("n1") - F.col("mp1"), F.col("n2") - F.col("mp2"))
+            >= F.lit(threshold)
+            / (1.0 + threshold)
+            * (F.col("n1") + F.col("n2"))
+            - F.lit(1e-9)
         )
     )
     g1 = docs.select(F.col("id").alias("id1"), F.col("ss").alias("ss1"))
@@ -650,7 +707,8 @@ def shingle_jaccard_pairs_prefix(
     i = F.size(F.array_intersect("ss1", "ss2"))
     jac = i / (F.col("n1") + F.col("n2") - i)
     return (
-        cand.join(g1, "id1")
+        cand.select("id1", "id2", "n1", "n2")
+        .join(g1, "id1")
         .join(g2, "id2")
         .select("id1", "id2", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
